@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Pipelines, Relational, Similarity, TextOps}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 (plus the training-data
+  * pipeline extensions: dedup, similarity search, text analysis,
+  * multimodal) is declared here as a named query with, where the
+  * semantics are ANSI-SQL-expressible, a DuckDB oracle over the same
+  * parquet tables. Queries without an oracle (custom 64-bit hashes /
+  * InDel similarity / approximate ANN) get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * 3-way join + theta filter + sort (reference GAIN_SELECT shape,
+    * params_queries.py:13-20).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04_theta_join(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ Pipelines.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q23 fuzzy InDel, q27 fingerprint, q30 simhash, q33 LSH ANN) —
+    * driver records a weaker rows-only check for those.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Pipelines.oracles
 }

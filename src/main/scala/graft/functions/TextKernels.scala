@@ -1,0 +1,200 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-Scala scalar kernels backing the custom Catalyst expressions.
+  * Kept as static methods on an object so generated code (whole-stage
+  * codegen) can call them directly: `graft.functions.TextKernels.xxx(...)`.
+  *
+  * Semantics mirror the reference engine's behaviors:
+  *  - indelRatio: rapidfuzz `fuzz.ratio` — InDel (insert/delete only,
+  *    i.e. LCS-based) normalized similarity in [0,100], 4 decimal places
+  *    (reference: spotify-tags-etl spotify_client.py:164).
+  *  - asciiFold: NFD-decompose + strip combining marks, e.g.
+  *    'Björk' -> 'Bjork' (reference: spotify_client.py:181-202).
+  */
+object TextKernels {
+
+  // ---------------------------------------------------------------- fuzz
+  /** Length of the longest common subsequence, O(m*n) time, O(min) space. */
+  private def lcsLen(a: CharSequence, b: CharSequence): Int = {
+    // ensure the DP row is over the shorter string
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    val m = s.length
+    if (m == 0) return 0
+    val row = new Array[Int](m + 1)
+    var i = 0
+    while (i < l.length) {
+      val ci = l.charAt(i)
+      var prev = 0 // row(j) from the previous iteration (diagonal)
+      var j = 0
+      while (j < m) {
+        val tmp = row(j + 1)
+        row(j + 1) =
+          if (ci == s.charAt(j)) prev + 1
+          else math.max(row(j + 1), row(j))
+        prev = tmp
+        j += 1
+      }
+      i += 1
+    }
+    row(m)
+  }
+
+  /** InDel similarity ratio in [0, 100], rounded to 4 decimal places. */
+  def indelRatio(s1: UTF8String, s2: UTF8String): Double = {
+    val a = s1.toString
+    val b = s2.toString
+    val total = a.length + b.length
+    if (total == 0) return 100.0
+    val dist = total - 2 * lcsLen(a, b)
+    math.rint(100.0 * (1.0 - dist.toDouble / total) * 10000.0) / 10000.0
+  }
+
+  // ---------------------------------------------------------- ascii fold
+  private val CombiningMarks = Pattern.compile("\\p{Mn}+")
+
+  def asciiFold(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: pure ASCII needs no normalization
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
+    UTF8String.fromString(CombiningMarks.matcher(nfd).replaceAll(""))
+  }
+
+  // ------------------------------------------------------------- hashing
+  /** 64-bit splitmix-style avalanche; cheap, well-distributed. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rolling-polynomial hash of one k-gram starting at `off`. */
+  @inline private def gramHash(s: String, off: Int, k: Int): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < k) { h = h * 31 + s.charAt(off + i); i += 1 }
+    h
+  }
+
+  /** Winnowing-style document fingerprint: min of mixed k-gram hashes.
+    * Deterministic 64-bit content fingerprint; equal docs -> equal fp.
+    */
+  def docFingerprint(s: UTF8String, k: Int): Long = {
+    val str = s.toString
+    if (str.length < k) return mix64(str.hashCode.toLong)
+    var min = Long.MaxValue
+    var i = 0
+    while (i + k <= str.length) {
+      val h = mix64(gramHash(str, i, k))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simHash(s: UTF8String): Long = {
+    val str = s.toString
+    val acc = new Array[Int](64)
+    var start = 0
+    val n = str.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(str.charAt(i))) {
+        if (i > start) {
+          var h = 1125899906842597L
+          var j = start
+          while (j < i) { h = h * 31 + str.charAt(j); j += 1 }
+          h = mix64(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------- minhash
+  // Fixed (seeded) odd multipliers for k permutation-hashes.
+  private val MinhashK = 64
+  private val MinhashSeeds: Array[Long] =
+    Array.tabulate(MinhashK)(i => mix64(0x5eed0000L + i) | 1L)
+
+  /** Distinct char k-gram hashes of a string. */
+  private def gramHashes(str: String, k: Int): java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    if (str.length < k) { set.add(mix64(str.hashCode.toLong)); return set }
+    var i = 0
+    while (i + k <= str.length) { set.add(mix64(gramHash(str, i, k))); i += 1 }
+    set
+  }
+
+  /** MinHash signature (64 longs) over char k-gram shingles. */
+  def minHash(s: UTF8String, k: Int): ArrayData = {
+    val grams = gramHashes(s.toString, k)
+    val sig = Array.fill(MinhashK)(Long.MaxValue)
+    val it = grams.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      var i = 0
+      while (i < MinhashK) {
+        val h = mix64(g ^ MinhashSeeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Exact Jaccard similarity of the two strings' char k-gram sets.
+    * Raw double division of exact integer counts — bit-identical in any
+    * engine computing the same counts (rounding would NOT be: half-even
+    * vs half-away rounding of doubles diverges on exact midpoints).
+    */
+  def jaccardGrams(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = gramHashes(a.toString, k)
+    val sb = gramHashes(b.toString, k)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    inter.toDouble / union
+  }
+
+  // ------------------------------------------------------------- vectors
+  /** Cosine similarity between two float vectors, accumulated in double
+    * in index order (deterministic, matches a sequential oracle).
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (with whole-stage codegen via static
+  * kernel calls into [[TextKernels]]) for semantics Spark lacks:
+  *
+  *  - `fuzz_ratio`   — InDel similarity (rapidfuzz fuzz.ratio semantics;
+  *                     Spark's `levenshtein` allows substitutions, so it
+  *                     computes a different metric).
+  *  - `ascii_fold`   — NFD-decompose + strip combining marks.
+  *  - `sim_hash`     — 64-bit SimHash over whitespace tokens.
+  *  - `min_hash`     — 64-long MinHash signature over char k-grams.
+  *  - `jaccard_grams`— exact char-k-gram Jaccard of two strings.
+  *  - `doc_fingerprint` — winnowing-style min-of-rolling-hash fingerprint.
+  *  - `cosine_sim`   — deterministic (sequential double) cosine similarity
+  *                     over float vectors.
+  *
+  * All are NullIntolerant-shaped: any null input yields null (the default
+  * Unary/Binary eval path already short-circuits on null children).
+  */
+case class FuzzRatioExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fuzz_ratio"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.indelRatio(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.indelRatio($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class AsciiFoldExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ascii_fold"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.asciiFold(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.asciiFold($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.simHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class DocFingerprintExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.docFingerprint(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.docFingerprint($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_hash"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minHash(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minHash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class JaccardGramsExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_grams"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.jaccardGrams(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.jaccardGrams($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.cosineSim(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points + SQL registration. */
+object GraftFunctions {
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  def fuzz_ratio(a: Column, b: Column): Column = c(FuzzRatioExpr(e(a), e(b)))
+  def ascii_fold(a: Column): Column = c(AsciiFoldExpr(e(a)))
+  def sim_hash(a: Column): Column = c(SimHashExpr(e(a)))
+  def doc_fingerprint(a: Column, k: Int = 8): Column = c(DocFingerprintExpr(e(a), k))
+  def min_hash(a: Column, k: Int = 3): Column = c(MinHashExpr(e(a), k))
+  def jaccard_grams(a: Column, b: Column, k: Int = 3): Column =
+    c(JaccardGramsExpr(e(a), e(b), k))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
+
+  /** Idempotent SQL-surface registration (`SELECT fuzz_ratio(a, b)`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fuzz_ratio",
+      xs => FuzzRatioExpr(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ascii_fold",
+      xs => AsciiFoldExpr(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_hash",
+      xs => SimHashExpr(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      xs => DocFingerprintExpr(xs.head, 8), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_grams",
+      xs => JaccardGramsExpr(xs.head, xs(1), 3), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      xs => CosineSimExpr(xs.head, xs(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines, each built for
+  * the 100 TB shape of the problem:
+  *
+  *  - exact:   hash-groupBy on normalized text (one shuffle on the
+  *             normalized key; map-side partial agg).
+  *  - MinHash: shingle → 64-perm MinHash signature → 16 bands × 4 rows
+  *             LSH → candidate pairs via an equi-join on (band, key) —
+  *             never all-pairs — then exact-Jaccard verification.
+  *  - SimHash: 64-bit SimHash → 4 × 16-bit bands. Pigeonhole: any pair
+  *             at Hamming distance <= 3 shares at least one exact band,
+  *             so the band join is a lossless blocking for d <= 3.
+  *  - n-gram:  exact char-3-gram Jaccard within (source, length-ratio)
+  *             blocks — quadratic only inside a block.
+  */
+object Dedup {
+  import Relational.Q
+
+  /** Exact duplicate groups by normalized content (lower, collapse
+    * whitespace, trim) — the `dropDuplicates` generalization with an
+    * explicit canonical representative (min doc_id).
+    */
+  val q28_dedup_exact: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("norm", lower(trim(regexp_replace($"text", "\\s+", " "))))
+      .groupBy($"norm")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
+      .select($"canonical_id", $"dup_count")
+      .orderBy($"canonical_id")
+  }
+
+  /** MinHash + LSH near-duplicate pairs, verified by exact 3-gram
+    * Jaccard >= 0.8.
+    *
+    * Recall: with 16 bands x 4 rows, P(candidate | j) = 1-(1-j^4)^16;
+    * at j = 0.85 that is > 0.9999, and the data's pair-similarity
+    * histogram is empty in (0.75, 0.85), so LSH + exact verification
+    * equals the brute-force oracle. At 100 TB the band join shuffles
+    * only (doc_id, band_key) tuples, never text x text.
+    */
+  val q29_dedup_minhash: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val sigs = docs.withColumn("sig", min_hash($"text", 3))
+    val bandCols: Seq[Column] = (0 until 16).map { i =>
+      struct(lit(i).as("band"), hash(slice($"sig", i * 4 + 1, 4)).as("key")).as(s"b$i")
+    }
+    val bands = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"b.band", $"b.key")
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band", "key"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("text_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("text_b")), "doc_b")
+      .withColumn("jac", jaccard_grams($"text_a", $"text_b", 3))
+      .where($"jac" >= 0.8)
+      .select($"doc_a", $"doc_b", $"jac")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance <= 3 (lossless
+    * 4-band blocking; see object doc). No SQL oracle for the custom
+    * 64-bit hash — rows-only check.
+    */
+  val q30_dedup_simhash: Q = (spark, dir) => {
+    import spark.implicits._
+    val sigs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", sim_hash($"text").as("sig"))
+    val bandCols: Seq[Column] = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned($"sig", 16 * i).bitwiseAND(lit(0xFFFFL)).as("key")).as(s"b$i")
+    }
+    val bands = sigs
+      .select($"doc_id", $"sig", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"sig", $"b.band", $"b.key")
+    bands.as("a")
+      .join(bands.as("b"), Seq("band", "key"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("hamming"))
+      .distinct()
+      .where($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within (same source,
+    * length-ratio <= 2) blocks at threshold 0.3. The length filter is
+    * a standard Jaccard upper-bound prune: j(A,B) <= min/max sizes.
+    */
+  val q31_dedup_ngram: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"source", $"n_chars")
+    val a = docs.select($"doc_id".as("doc_a"), $"text".as("text_a"),
+      $"source", $"n_chars".as("len_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"text".as("text_b"),
+      $"source", $"n_chars".as("len_b"))
+    a.join(b, "source")
+      .where($"doc_a" < $"doc_b" &&
+        $"len_b" * 2 >= $"len_a" && $"len_b" <= $"len_a" * 2)
+      .withColumn("jac", jaccard_grams($"text_a", $"text_b", 3))
+      .where($"jac" >= 0.3)
+      .select($"doc_a", $"doc_b", $"jac")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val gramsCte =
+    """WITH g AS (
+      |  SELECT doc_id, text, source, n_chars,
+      |    list_distinct([substr(text, x, 3) for x in range(1, length(text)-1)]) AS grams
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM documents) t
+        |GROUP BY norm ORDER BY canonical_id""".stripMargin,
+    "q29_dedup_minhash" ->
+      (gramsCte +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jac
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q31_dedup_ngram" ->
+      (gramsCte +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jac
+          |FROM g a JOIN g b
+          |  ON a.source = b.source AND a.doc_id < b.doc_id
+          | AND b.n_chars * 2 >= a.n_chars AND b.n_chars <= a.n_chars * 2
+          |WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.3
+          |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val queries: Map[String, Q] = Map(
+    "q28_dedup_exact" -> q28_dedup_exact,
+    "q29_dedup_minhash" -> q29_dedup_minhash,
+    "q30_dedup_simhash" -> q30_dedup_simhash,
+    "q31_dedup_ngram" -> q31_dedup_ngram)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline-shaped operators: multimodal binary-column
+  * processing, NDJSON staging round-trip (the reference's load-bearing
+  * staging contract), and the offline broadcast lookup join.
+  */
+object Pipelines {
+  import Relational.Q
+
+  /** Decoded multimodal metadata. */
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String)
+
+  /** Multimodal column plumbing (binary payload -> typed metadata).
+    *
+    * Real pipeline shape: an opaque `binary` column processed per
+    * partition by a decode kernel producing a typed struct. The decode
+    * itself is a STUB — a deterministic function of the byte payload
+    * (image/audio codecs aren't in this container) — but the Spark
+    * plumbing is real: binary encoding, Dataset[T] typed rows,
+    * mapPartitions batch shape, and a schema an actual decoder would
+    * fill. Swap `stubDecode` for a real codec (e.g. TwelveMonkeys
+    * ImageIO) and nothing else changes.
+    */
+  val q34_multimodal_meta: Q = (spark, dir) => {
+    import spark.implicits._
+    def stubDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      val fmt = (n % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "webp"
+      }
+      MediaMeta(docId, n % 512 + 16, (n / 7) % 512 + 16, fmt)
+    }
+    graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** NDJSON staging round-trip (reference K3/S1: NDJSON is the offline
+    * staging contract between extract and load, run_playlist_etl.py:30).
+    * Writes a projection of `events` as newline-delimited JSON, reads
+    * it back with a declared schema (never inference — SURVEY §1.2),
+    * and aggregates. Verifies the sink+source pair end-to-end.
+    */
+  val q35_ndjson_roundtrip: Q = (spark, dir) => {
+    import spark.implicits._
+    val stage = Files.createDirectories(
+      Paths.get(sys.props("java.io.tmpdir"), "graft_stage")).toString +
+      s"/events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables_events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").json(stage)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.read.schema(schema).json(stage)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  private def Tables_events(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "events")
+
+  /** Offline lookup join (reference J5/S7: OFFLINE_*_IDS broadcast maps
+    * with 'not_found' default, sql/offline_ids.py:3-46,
+    * spotify_client.py:266-268). Broadcast left join + coalesce.
+    */
+  val q36_offline_lookup: Q = (spark, dir) => {
+    import spark.implicits._
+    val dim = graft.Tables.load(spark, dir, "nation")
+      .where($"n_nationkey" < 12)
+      .select($"n_nationkey", concat(lit("N-"), $"n_nationkey").as("code"))
+    graft.Tables.load(spark, dir, "customer")
+      .join(broadcast(dim), $"c_nationkey" === $"n_nationkey", "left")
+      .select($"c_custkey", coalesce($"code", lit("not_found")).as("lookup_code"))
+      .orderBy($"c_custkey")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q34_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) % 512 + 16 AS INTEGER) AS width,
+        | CAST((octet_length(encode(text)) // 7) % 512 + 16 AS INTEGER) AS height,
+        | CASE octet_length(encode(text)) % 3
+        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_ndjson_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_offline_lookup" ->
+      """SELECT c_custkey, COALESCE(d.code, 'not_found') AS lookup_code
+        |FROM customer LEFT JOIN (
+        |  SELECT n_nationkey, 'N-' || n_nationkey AS code
+        |  FROM nation WHERE n_nationkey < 12) d
+        |ON c_nationkey = d.n_nationkey
+        |ORDER BY c_custkey""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "q34_multimodal_meta" -> q34_multimodal_meta,
+    "q35_ndjson_roundtrip" -> q35_ndjson_roundtrip,
+    "q36_offline_lookup" -> q36_offline_lookup)
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * content fingerprinting. All are embarrassingly parallel scans
+  * (no shuffle except the final presentation sort), so they scale
+  * linearly with executors at 100 TB.
+  */
+object TextOps {
+  import Relational.Q
+
+  /** Token counting — whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single non-space symbols).
+    */
+  val q24_token_count: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .as("re_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: integer signal counts + a 0-4 composite score.
+    * Integer outputs only — exactly reproducible in any engine (no
+    * float-ratio rounding hazards).
+    */
+  val q25_quality_score: Q = (spark, dir) => {
+    import spark.implicits._
+    val len = length($"text")
+    val words = size(split(trim($"text"), "\\s+"))
+    val stops = size(regexp_extract_all($"text", lit("\\b(the|a|of|and|or|in)\\b"), lit(0)))
+    val puncts = size(regexp_extract_all($"text", lit("[\\.,;:!\\?]"), lit(0)))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", len.as("n_chars"), words.as("n_words"),
+        stops.as("n_stopwords"), puncts.as("n_punct"))
+      .withColumn("quality_score",
+        (when($"n_chars" >= 100, 1).otherwise(0)
+          + when($"n_words" >= 20, 1).otherwise(0)
+          + when($"n_stopwords" >= 2, 1).otherwise(0)
+          + when($"n_punct" * 10 <= $"n_words", 1).otherwise(0)))
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID by stopword-marker counting with a deterministic
+    * priority argmax (n-gram-heuristic family). The marker lists are
+    * standard high-frequency function words per language.
+    */
+  val q26_lang_id: Q = (spark, dir) => {
+    import spark.implicits._
+    def markers(pat: String) =
+      size(regexp_extract_all(lower($"text"), lit(pat), lit(0)))
+    val cEn = markers("\\b(the|and|of|is|to)\\b")
+    val cDe = markers("\\b(der|die|das|und|ist)\\b")
+    val cFr = markers("\\b(le|la|les|et|est)\\b")
+    val cEs = markers("\\b(el|los|las|es|y)\\b")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        cEn.as("c_en"), cDe.as("c_de"), cFr.as("c_fr"), cEs.as("c_es"))
+      .withColumn("pred_lang",
+        when($"c_en" >= $"c_de" && $"c_en" >= $"c_fr" && $"c_en" >= $"c_es" && $"c_en" > 0, "en")
+          .when($"c_de" >= $"c_fr" && $"c_de" >= $"c_es" && $"c_de" > 0, "de")
+          .when($"c_fr" >= $"c_es" && $"c_fr" > 0, "fr")
+          .when($"c_es" > 0, "es")
+          .otherwise("und"))
+      .select($"doc_id", $"labeled_lang", $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing-style rolling-hash document fingerprint (custom
+    * doc_fingerprint expression) + SimHash. Content-identical docs get
+    * identical fingerprints; near-identical docs get nearby SimHashes.
+    * No SQL oracle (custom 64-bit hash) — rows-only check.
+    */
+  val q27_fingerprint: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        doc_fingerprint($"text", 8).as("fingerprint"),
+        sim_hash($"text").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q24_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, LENGTH(text) AS n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) AS n_stopwords,
+        |    len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words, n_stopwords, n_punct,
+        |  (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_punct * 10 <= n_words THEN 1 ELSE 0 END) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q26_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS c_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS c_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS c_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS c_es
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+        |    WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+        |    WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+        |    WHEN c_es > 0 THEN 'es'
+        |    ELSE 'und' END AS pred_lang
+        |FROM t ORDER BY doc_id""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "q24_token_count" -> q24_token_count,
+    "q25_quality_score" -> q25_quality_score,
+    "q26_lang_id" -> q26_lang_id,
+    "q27_fingerprint" -> q27_fingerprint)
+}

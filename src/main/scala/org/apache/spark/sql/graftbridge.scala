@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column <-> Expression conversion for the
+  * classic (non-Connect) runtime. Lives in the org.apache.spark.sql
+  * package namespace solely to access package-private API; contains no
+  * Spark-internal logic of its own.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
