@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end checks of every SparkEntry query at sf0.001, plus golden
+  * assertions on a few — the DuckDB hash-compare runs driver-side
+  * (tools/local_verify.py locally); these specs pin structure and
+  * selected values so `sbt test` alone catches regressions.
+  */
+class QuerySuiteSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every declared query has rows and a deterministic first row") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val rows = df.limit(5).collect()
+      // q12/q13 can legitimately be empty (anti-join / except at tiny SF)
+      if (!Set("q12_anti_join", "q13_except").contains(name)) {
+        assert(rows.nonEmpty, s"$name returned no rows")
+      }
+      val again = fn(spark, sf).limit(5).collect()
+      assert(rows.sameElements(again), s"$name is nondeterministic")
+    }
+  }
+
+  test("every oracle key has a matching query (driver contract)") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql without queries: $dangling")
+  }
+
+  test("entry() flagship smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q06 global avg returns one row, positive") {
+    val r = SparkEntry.queries("q06_global_avg")(spark, sf).collect()
+    assert(r.length == 1 && r(0).getDouble(0) > 0)
+  }
+
+  test("q07 topk is 10 rows strictly descending") {
+    val prices = SparkEntry.queries("q07_topk")(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q23 fuzzy matches recover every corrupted nation name") {
+    val rows = SparkEntry.queries("q23_fuzzy_topk")(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val kw = r.getString(0); val matched = r.getString(1)
+      assert(matched.replaceAll("[aeiou]", "") == kw,
+        s"'$kw' matched wrong candidate '$matched'")
+      assert(r.getDouble(2) >= 70.0)
+    }
+  }
+
+  test("q29 minhash-LSH pairs all have jaccard >= 0.8") {
+    val rows = SparkEntry.queries("q29_dedup_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty) // planted near-dups exist at every SF
+    rows.foreach(r => assert(r.getDouble(2) >= 0.8))
+  }
+
+  test("q32 exact knn: 3 neighbors per query, ranks 1..3") {
+    val rows = SparkEntry.queries("q32_knn_exact")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach(g => assert(g.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3))))
+  }
+
+  test("q34 multimodal metadata is fully populated and typed") {
+    val df = SparkEntry.queries("q34_multimodal_meta")(spark, sf)
+    assert(df.schema.fieldNames.sameElements(Array("doc_id", "width", "height", "format")))
+    assert(df.where("width < 16 OR height < 16").count() == 0)
+    assert(df.where("format NOT IN ('png','jpeg','webp')").count() == 0)
+  }
+
+  test("SQL surface: registered custom functions work in spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT fuzz_ratio('abcd','abed') AS f, ascii_fold('Björk') AS a").collect()(0)
+    assert(r.getDouble(0) == 75.0 && r.getString(1) == "Bjork")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextKernels
+
+/** Property + example tests for the scalar kernels backing the custom
+  * Catalyst expressions.
+  */
+class TextKernelsSpec extends AnyFunSuite {
+  private def u(s: String) = UTF8String.fromString(s)
+  private val asciiStr = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  /** Deterministic property loop: 200 samples from a fixed seed
+    * (scalatestplus isn't resolvable offline, so a minimal stand-in).
+    */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to 200).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(i % 40), seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2)) { case (a, b) => f(a, b) }
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  // ---- fuzz_ratio (InDel similarity, rapidfuzz fuzz.ratio semantics)
+  test("fuzz_ratio: identity is 100") {
+    forAll(asciiStr) { s => assert(TextKernels.indelRatio(u(s), u(s)) == 100.0) }
+  }
+  test("fuzz_ratio: symmetric and bounded") {
+    forAll(asciiStr, asciiStr) { (a, b) =>
+      val r = TextKernels.indelRatio(u(a), u(b))
+      assert(r >= 0.0 && r <= 100.0)
+      assert(r == TextKernels.indelRatio(u(b), u(a)))
+    }
+  }
+  test("fuzz_ratio: known values (InDel, not Levenshtein)") {
+    // "abcd" vs "abed": LCS=3, dist=8-6=2, ratio=100*(1-2/8)=75
+    assert(TextKernels.indelRatio(u("abcd"), u("abed")) == 75.0)
+    // disjoint alphabets -> 0
+    assert(TextKernels.indelRatio(u("aaaa"), u("bbbb")) == 0.0)
+    // empty vs empty -> 100; empty vs non-empty -> 0
+    assert(TextKernels.indelRatio(u(""), u("")) == 100.0)
+    assert(TextKernels.indelRatio(u(""), u("xyz")) == 0.0)
+    // reference-style use: vowel-stripped keyword still scores high
+    assert(TextKernels.indelRatio(u("ntn_0"), u("nation_0")) > 70.0)
+  }
+
+  // ---- ascii_fold
+  test("ascii_fold: strips accents, preserves base letters") {
+    assert(TextKernels.asciiFold(u("Björk")).toString == "Bjork")
+    assert(TextKernels.asciiFold(u("café naïve señor")).toString == "cafe naive senor")
+  }
+  test("ascii_fold: ASCII fixpoint and idempotence") {
+    forAll(asciiStr) { s =>
+      assert(TextKernels.asciiFold(u(s)).toString == s)
+    }
+    val tricky = "Björk ≠ café 北京"
+    val once = TextKernels.asciiFold(u(tricky)).toString
+    assert(TextKernels.asciiFold(u(once)).toString == once)
+  }
+
+  // ---- jaccard over char k-grams
+  test("jaccard_grams: bounds, identity, symmetry") {
+    forAll(asciiStr, asciiStr) { (a, b) =>
+      val j = TextKernels.jaccardGrams(u(a), u(b), 3)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == TextKernels.jaccardGrams(u(b), u(a), 3))
+    }
+    forAll(asciiStr) { s => assert(TextKernels.jaccardGrams(u(s), u(s), 3) == 1.0) }
+  }
+  test("jaccard_grams: agrees with a slow set oracle") {
+    def oracle(a: String, b: String, k: Int): Double = {
+      def grams(s: String) =
+        if (s.length < k) Set(s) else s.sliding(k).toSet
+      val (sa, sb) = (grams(a), grams(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
+      whenever(a.length >= 3 && b.length >= 3) {
+        assert(TextKernels.jaccardGrams(u(a), u(b), 3) == oracle(a, b, 3))
+      }
+    }
+  }
+
+  // ---- minhash: signature similarity estimates jaccard
+  test("min_hash: deterministic; near-dup signatures mostly agree") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val sa = TextKernels.minHash(u(a), 3).toLongArray()
+    val sb = TextKernels.minHash(u(b), 3).toLongArray()
+    assert(sa.sameElements(TextKernels.minHash(u(a), 3).toLongArray()))
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    val trueJ = TextKernels.jaccardGrams(u(a), u(b), 3)
+    // 64 permutations: agreement rate within 0.25 of true jaccard whp
+    assert(math.abs(agree / 64.0 - trueJ) < 0.25)
+  }
+
+  // ---- simhash: near-identical docs get near hashes
+  test("sim_hash: hamming distance tracks similarity") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "spark catalyst tungsten codegen shuffle partition broadcast join"
+    val near = base.replace("join", "joins")
+    val far = "completely different words about cooking pasta tonight ok"
+    assert(ham(TextKernels.simHash(u(base)), TextKernels.simHash(u(near))) <
+      ham(TextKernels.simHash(u(base)), TextKernels.simHash(u(far))))
+  }
+
+  // ---- fingerprint
+  test("doc_fingerprint: content-determined, order-sensitive") {
+    val a = "abcdefghijklmnop"
+    assert(TextKernels.docFingerprint(u(a), 8) == TextKernels.docFingerprint(u(a), 8))
+    assert(TextKernels.docFingerprint(u(a), 8) != TextKernels.docFingerprint(u(a.reverse), 8))
+  }
+
+  // ---- cosine
+  test("cosine_sim: unit/orthogonal/antiparallel") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def v(xs: Float*) = new GenericArrayData(xs.toArray)
+    assert(TextKernels.cosineSim(v(1f, 0f), v(1f, 0f)) == 1.0)
+    assert(TextKernels.cosineSim(v(1f, 0f), v(0f, 1f)) == 0.0)
+    assert(TextKernels.cosineSim(v(1f, 0f), v(-1f, 0f)) == -1.0)
+    assert(TextKernels.cosineSim(v(0f, 0f), v(1f, 0f)) == 0.0) // zero-norm guard
+  }
+}
