@@ -147,9 +147,50 @@ object TextKernels {
     set
   }
 
-  /** MinHash signature (64 longs) over char k-gram shingles. */
-  def minHash(s: UTF8String, k: Int): ArrayData = {
-    val grams = gramHashes(s.toString, k)
+  private def minHashSig(str: String, k: Int): Array[Long] =
+    minHashSigOf(gramHashes(str, k))
+
+  /** Distinct w-word shingle hashes (whitespace tokenization, rolling
+    * polynomial over the shingle's chars including separators).
+    */
+  private def wordShingleHashes(str: String, w: Int): java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    // token start/end offsets
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0; val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+        ends += i
+      }
+    }
+    val t = starts.length
+    if (t < w) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) { h = h * 31 + str.charAt(j); j += 1 }
+      set.add(mix64(h)); return set
+    }
+    var s0 = 0
+    while (s0 + w <= t) {
+      var h = 1125899906842597L
+      var wi = 0
+      while (wi < w) {
+        var j = starts(s0 + wi)
+        while (j < ends(s0 + wi)) { h = h * 31 + str.charAt(j); j += 1 }
+        h = h * 31 + ' ' // token separator
+        wi += 1
+      }
+      set.add(mix64(h))
+      s0 += 1
+    }
+    set
+  }
+
+  private def minHashSigOf(grams: java.util.HashSet[Long]): Array[Long] = {
     val sig = Array.fill(MinhashK)(Long.MaxValue)
     val it = grams.iterator()
     while (it.hasNext) {
@@ -161,7 +202,70 @@ object TextKernels {
         i += 1
       }
     }
-    new GenericArrayData(sig)
+    sig
+  }
+
+  /** MinHash signature (64 longs) over char k-gram shingles. */
+  def minHash(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(minHashSig(s.toString, k))
+
+  /** LSH band keys: the 64-perm MinHash signature folded into `bands`
+    * keys of `rowsPerBand` signature slots each (bands*rowsPerBand must
+    * be <= 64). ONE signature computation per row — exploding this
+    * array is the scalable alternative to projecting 16 band columns,
+    * which CollapseProject would rewrite into 16 signature evaluations.
+    */
+  def minHashBands(s: UTF8String, k: Int, bands: Int, rowsPerBand: Int): ArrayData =
+    new GenericArrayData(foldBands(minHashSig(s.toString, k), bands, rowsPerBand))
+
+  /** Word-shingle variant of [[minHashBands]]: candidate generation for
+    * near-dup detection where char-gram background similarity is high
+    * (small vocabularies) — word shingles separate near-dups from
+    * background far more sharply.
+    */
+  def minHashBandsWords(s: UTF8String, w: Int, bands: Int, rowsPerBand: Int): ArrayData =
+    new GenericArrayData(
+      foldBands(minHashSigOf(wordShingleHashes(s.toString, w)), bands, rowsPerBand))
+
+  private def foldBands(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(0xba4d0000L + b)
+      var j = 0
+      while (j < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + j)); j += 1 }
+      keys(b) = h
+      b += 1
+    }
+    keys
+  }
+
+  /** Sorted distinct char-k-gram hashes — precompute once per document,
+    * then intersect pairs with the O(|a|+|b|) merge in jaccardSorted
+    * instead of rebuilding hash sets per pair.
+    */
+  def gramSet(s: UTF8String, k: Int): ArrayData = {
+    val set = gramHashes(s.toString, k)
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  /** Jaccard of two sorted distinct long arrays (see gramSet). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   /** Exact Jaccard similarity of the two strings' char k-gram sets.

