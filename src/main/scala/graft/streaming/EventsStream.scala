@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` shape (SURVEY §2.11: the
+  * reference has no continuous sources — its closest analog is the
+  * paginated incremental pull, spotify_client.py:217-240 — so this is
+  * the engine's extension surface for the `events` fixture).
+  *
+  * Two pipelines:
+  *  - windowed aggregation with a watermark (same semantics as batch
+  *    q17_hourly_window + late-data bound);
+  *  - stateful sessionization via flatMapGroupsWithState (gap-based
+  *    user sessions).
+  *
+  * Scale: state is partitioned by key (user_id) across executors; the
+  * watermark bounds state size; checkpointing makes it exactly-once.
+  */
+object EventsStream {
+
+  /** Schema of the NDJSON/parquet event stream (ts = epoch nanos). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of event JSON under `dir`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Hourly tumbling-window counts/sums per event type, 2h watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, duration_us: Long)
+
+  /** Gap-based sessionization: a session closes after `gapMinutes` of
+    * inactivity (processing-time timeout for the streaming case).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            val us = e.ts / 1000
+            cur match {
+              case Some(s) if us - s.last <= gapUs =>
+                cur = Some(s.copy(last = us, n = s.n + 1))
+              case Some(s) =>
+                closed += UserSession(uid, s.start, s.last, s.n, s.last - s.start)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s); state.setTimeoutDuration(s"$gapMinutes minutes")
+            case None => ()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Convenience: run the hourly agg against files in `srcDir`, collect
+    * synchronously into an in-memory table, return the result.
+    */
+  def runOnce(spark: SparkSession, srcDir: String, name: String = "events_agg"): DataFrame = {
+    val q: StreamingQuery = hourlyAgg(readEvents(spark, srcDir))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

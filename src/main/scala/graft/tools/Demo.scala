@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.{Enrich, Validate, VerticalSplit}
+import graft.query.Engine
+import graft.streaming.EventsStream
+
+/** End-to-end usage demo of the library surface beyond the canned
+  * queries: engine facade, vertical split, fuzzy enrichment, typed
+  * validation, streaming. Run: runMain graft.tools.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    println("== Engine: parameterized SQL over registered views")
+    val eng = new Engine(spark, sfDir)
+    eng.query(
+      """SELECT n_name, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > :minbal GROUP BY n_name ORDER BY n DESC LIMIT 5""".stripMargin,
+      Map("minbal" -> 1000)).show(truncate = false)
+    println(s"catalog tables: ${eng.listTables().mkString(", ")}")
+
+    println("== Engine SQL surface with custom expressions")
+    eng.query(
+      "SELECT fuzz_ratio('spark', 'sprak') AS fuzz, ascii_fold('Björk') AS folded")
+      .show()
+
+    println("== VerticalSplit: orders fan-out + tag")
+    val parts = VerticalSplit.split(Tables.load(spark, sfDir, "orders"), Map(
+      "order_keys" -> Seq("o_orderkey", "o_custkey"),
+      "order_facts" -> Seq("o_orderkey", "o_totalprice", "o_orderdate")))
+    parts("order_facts").show(3)
+    VerticalSplit.withTag(Tables.load(spark, sfDir, "region"),
+      Seq($"r_regionkey"), Seq($"r_name")).show(truncate = false)
+
+    println("== Enrich: fuzzy top-1 against dirty keys")
+    val dirty = Tables.load(spark, sfDir, "nation")
+      .select(regexp_replace(lower($"n_name"), "[aeiou]", "").as("dirty_name"))
+    val cands = Tables.load(spark, sfDir, "nation")
+      .select(lower($"n_name").as("name"), concat(lit("ID-"), $"n_nationkey").as("id"))
+    val fz = Enrich.fuzzyTopOne(dirty, $"dirty_name", cands)
+    fz.matched.orderBy($"key").show(5, truncate = false)
+    println(s"rejected below threshold: ${fz.rejected.count()}")
+
+    println("== Validate: constraint routing on events")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"value", $"event_type")
+    val v = Validate[(Long, Double, String)](ev, Seq(
+      "value_nonneg" -> ($"value" >= 0),
+      "type_enum" -> $"event_type".isin("click", "view", "signup", "purchase", "error")))
+    println(s"valid=${v.valid.count()} rejected=${v.rejected.count()}")
+
+    println("== Streaming: hourly windowed agg over staged event files")
+    val stage = java.nio.file.Files.createTempDirectory("demo_stream").toString
+    Tables.load(spark, sfDir, "events").write.mode("overwrite").json(stage)
+    val agg = EventsStream.runOnce(spark, stage, "demo_agg")
+    println(s"emitted windows: ${agg.count()}")
+    agg.orderBy($"hour_start", $"event_type").show(5)
+
+    spark.stop()
+  }
+}

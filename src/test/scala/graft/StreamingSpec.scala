@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+
+class StreamingSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Stage the events table as NDJSON so the file stream source can
+    * replay it (the parquet fixture is a single file; the JSON stage
+    * also exercises the declared-schema stream read).
+    */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    Tables.load(spark, sf, "events").write.mode("overwrite").json(dir)
+    dir
+  }
+
+  test("streaming hourly agg matches the batch computation (emitted windows)") {
+    import spark.implicits._
+    val streamed = EventsStream.runOnce(spark, stagedDir, "agg_spec")
+      .select($"hour_start", $"event_type", $"n_events", $"sum_value")
+    val batch = graft.operators.Relational.q17_hourly_window(spark, sf)
+    // Append mode emits only windows the watermark has passed; every
+    // emitted row must exactly match its batch counterpart.
+    val b = batch.collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val s = streamed.collect()
+    assert(s.nonEmpty, "no windows emitted")
+    s.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      assert(b.contains(k), s"streamed window $k missing from batch")
+      assert(b(k) == ((r.getLong(2), r.getDouble(3))), s"window $k differs")
+    }
+  }
+
+  test("sessionization: gap splits sessions, counts preserved") {
+    import spark.implicits._
+    // deterministic synthetic events: user 1 has two bursts separated
+    // by 2 hours; user 2 one burst
+    def us(minutes: Long) = minutes * 60 * 1000000000L // nanos
+    val evs = Seq(
+      EventsStream.Event(1, us(0), 1, "click", 1.0),
+      EventsStream.Event(2, us(5), 1, "view", 1.0),
+      EventsStream.Event(3, us(125), 1, "click", 1.0),
+      EventsStream.Event(4, us(130), 1, "click", 1.0),
+      EventsStream.Event(5, us(7), 2, "view", 1.0)).toDS()
+    val sessions = EventsStream.sessionize(evs, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.start_us))
+    // batch Dataset: only CLOSED sessions are returned (state holds the
+    // open tail) — user 1's first burst closed when the second began.
+    assert(sessions.length == 1)
+    val s0 = sessions(0)
+    assert(s0.user_id == 1 && s0.n_events == 2 &&
+      s0.duration_us == 5L * 60 * 1000000)
+  }
+}
