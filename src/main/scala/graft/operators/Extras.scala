@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Additional operator coverage rounding out SURVEY §2: human-readable
+  * size formatting (F13), regex predicates (P6), distinct aggregation,
+  * CUBE grouping sets, URI-style concat (F11), HAVING filters.
+  */
+object Extras {
+  import Relational.Q
+
+  /** Bytes → human-readable size ladder (reference F13
+    * get_readable_size, util/logger.py:11-20). Decimal-typed rounding
+    * so the string render is engine-exact.
+    */
+  val q37_readable_size: Q = (spark, dir) => {
+    import spark.implicits._
+    val b = floor($"l_extendedprice" * 1024).cast(LongType)
+    def fmt(scaled: org.apache.spark.sql.Column, unit: String) =
+      concat(round(scaled, 2).cast(DecimalType(18, 2)).cast(StringType), lit(unit))
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", b.as("bytes"))
+      .withColumn("readable",
+        when($"bytes" < 1024L, concat($"bytes".cast(StringType), lit(" B")))
+          .when($"bytes" < 1024L * 1024, fmt($"bytes" / 1024.0, " KiB"))
+          .when($"bytes" < 1024L * 1024 * 1024, fmt($"bytes" / (1024.0 * 1024), " MiB"))
+          .otherwise(fmt($"bytes" / (1024.0 * 1024 * 1024), " GiB")))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Regex predicate (reference P6: relname !~ '^(pg_|sql_)',
+    * postgres_media.py:76) — negated rlike pushed into the scan filter.
+    */
+  val q38_regex_filter: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .where(!$"p_name".rlike("^(small|large)") && $"p_name".rlike("(bolt|widget)$"))
+      .select($"p_partkey", $"p_name")
+      .orderBy($"p_partkey")
+  }
+
+  /** Exact distinct-count per group (A-family extension; map-side
+    * partial distinct before the shuffle).
+    */
+  val q39_distinct_count: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** CUBE grouping sets over two dimensions. */
+  val q40_cube: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** URI-style composite identifier (reference F11 spotify URI concat,
+    * spotify_client.py:483,502).
+    */
+  val q42_uri_concat: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        concat_ws(":", lit("evt"), $"event_type", $"event_id").as("uri"))
+      .orderBy($"event_id")
+  }
+
+  /** AS-OF JOIN via the custom Catalyst operator (graft.plans.AsOfJoin):
+    * every purchase event joined to that user's most recent click at or
+    * before it. Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    * implementation of the same semantics.
+    */
+  val q41_asof_join: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+      .select($"p_event", $"user_id", $"c_event")
+      .orderBy($"p_event")
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  val q44_having: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("spend"))
+      .where($"n_orders" >= 3)
+      .orderBy($"o_custkey")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q37_readable_size" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(FLOOR(l_extendedprice * 1024) AS BIGINT) AS bytes FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, bytes,
+        |  CASE
+        |    WHEN bytes < 1024 THEN bytes || ' B'
+        |    WHEN bytes < 1048576 THEN
+        |      CAST(CAST(ROUND(bytes / 1024.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || ' KiB'
+        |    WHEN bytes < 1073741824 THEN
+        |      CAST(CAST(ROUND(bytes / 1048576.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || ' MiB'
+        |    ELSE
+        |      CAST(CAST(ROUND(bytes / 1073741824.0, 2) AS DECIMAL(18,2)) AS VARCHAR) || ' GiB'
+        |  END AS readable
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q38_regex_filter" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT regexp_matches(p_name, '^(small|large)')
+        |  AND regexp_matches(p_name, '(bolt|widget)$')
+        |ORDER BY p_partkey""".stripMargin,
+    "q39_distinct_count" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q40_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q41_asof_join" ->
+      """SELECT p.event_id AS p_event, p.user_id, c.event_id AS c_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_event""".stripMargin,
+    "q42_uri_concat" ->
+      """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q44_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+        |ORDER BY o_custkey""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "q37_readable_size" -> q37_readable_size,
+    "q38_regex_filter" -> q38_regex_filter,
+    "q39_distinct_count" -> q39_distinct_count,
+    "q40_cube" -> q40_cube,
+    "q41_asof_join" -> q41_asof_join,
+    "q42_uri_concat" -> q42_uri_concat,
+    "q44_having" -> q44_having)
+}

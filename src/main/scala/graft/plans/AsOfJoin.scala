@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** AS-OF JOIN — a whole-operator semantic Spark lacks (composing it
+  * from window functions requires a union + two windows + a filter and
+  * shuffles the right side twice). For every left row, attach the
+  * single right row with the greatest `rightTime <= leftTime` within
+  * the same key group, or nulls (left outer).
+  *
+  * Implemented the Catalyst-native way (SURVEY §7.3 "stretch"):
+  * logical node -> planner strategy -> physical exec with
+  * ClusteredDistribution + intra-partition (key, time) ordering, so
+  * EnsureRequirements inserts exactly one hash exchange and one sort
+  * per side, and execution is a streaming two-pointer merge per
+  * partition — O(n+m), no state beyond one buffered right row.
+  *
+  * Scale: identical shape to SortMergeJoin — shuffle each side once on
+  * the key, merge sorted runs; skew on the key behaves exactly like a
+  * skewed SMJ (salt the key upstream if a single entity dominates).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys
+    val rk = rightKeys
+    val lt = BindReferences.bindReference(leftTime, lOut)
+    val rt = BindReferences.bindReference(rightTime, rOut)
+    val keyTypes = leftKeys.map(_.dataType)
+    val rWidth = rOut.size
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      def timeOf(e: Expression, row: InternalRow): Long =
+        e.eval(row) match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"as-of time must evaluate to an integral type, got $other")
+        }
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rWidth)
+      // materialize to UnsafeRow: downstream exchanges/aggregates expect
+      // it. Right attributes MUST be re-bound as nullable — the outer
+      // side emits a null row even when the child schema is non-null;
+      // binding the child's non-nullable attrs would skip the null
+      // check and read garbage zeros.
+      val outAttrs = lOut ++ rOut.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        private var lastMatch: InternalRow = _   // copied
+        private var lastMatchKey: UnsafeRow = _  // copied
+        private def advanceRight(): Unit =
+          if (rIt.hasNext) { rHead = rIt.next(); rHeadKey = rKeyProj(rHead) }
+          else { rHead = null; rHeadKey = null }
+        advanceRight()
+
+        override def hasNext: Boolean = lIt.hasNext
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lKey = lKeyProj(l)
+          val lTime = timeOf(lt, l)
+          var cont = rHead != null
+          while (cont) {
+            val c = keyOrd.compare(rHeadKey, lKey)
+            if (c < 0) advanceRight()
+            else if (c == 0 && timeOf(rt, rHead) <= lTime) {
+              lastMatch = rHead.copy()
+              lastMatchKey = rHeadKey.copy()
+              advanceRight()
+            } else cont = false
+            if (rHead == null) cont = false
+          }
+          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
+            resultProj(joined(l, lastMatch))
+          else resultProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public DataFrame-level API. */
+object AsOf {
+
+  /** Left as-of join: for each left row, the latest right row with
+    * `right(timeRight) <= left(timeLeft)` and equal key. Column names
+    * must be disjoint between the two sides (alias beforehand).
+    * Time columns must be integral (epoch numbers); timestamps compare
+    * by their internal micros via cast upstream.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      timeLeft: String, timeRight: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    // Explicit fixed-count pre-partitioning on the key: co-partitions
+    // both sides deterministically (user-numbered repartitions are
+    // exempt from AQE coalescing, which would otherwise break the
+    // 1:1 zipPartitions pairing for a custom binary node).
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val lp = GraftBridge.analyzedPlan(left.repartition(n, col(keyLeft)))
+    val rp = GraftBridge.analyzedPlan(right.repartition(n, col(keyRight)))
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
+    GraftBridge.ofRows(spark, AsOfJoinNode(lp, rp,
+      Seq(attr(lp, keyLeft)), Seq(attr(rp, keyRight)),
+      attr(lp, timeLeft), attr(rp, timeRight)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def asofMap(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    val l = left.toDF("k", "t", "lv")
+    val r = right.toDF("rk", "rt", "rv")
+    AsOf.join(l, r, "k", "rk", "t", "rt")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(5)) null else row.getString(5)))
+      .toMap
+  }
+
+  test("basic: latest right at-or-before each left time, per key") {
+    val m = asofMap(
+      left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c")),
+      right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 11L, "r11")))
+    assert(m((1L, 10L)) == "r10") // inclusive bound
+    assert(m((1L, 20L)) == "r15") // latest <= 20
+    assert(m((2L, 10L)) == null)  // right exists but only later
+  }
+
+  test("no right rows at all -> all null (left outer)") {
+    val m = asofMap(left = Seq((1L, 1L, "x")), right = Seq.empty)
+    assert(m((1L, 1L)) == null)
+  }
+
+  test("keys present only on one side") {
+    val m = asofMap(
+      left = Seq((7L, 100L, "x"), (8L, 100L, "y")),
+      right = Seq((8L, 50L, "r"), (9L, 10L, "z")))
+    assert(m((7L, 100L)) == null && m((8L, 100L)) == "r")
+  }
+
+  test("stale match from earlier key never leaks to a later key") {
+    // key 5 has an early right; key 6 has none — the key-equality check
+    // on the buffered match must reject it
+    val m = asofMap(
+      left = Seq((5L, 10L, "x"), (6L, 10L, "y")),
+      right = Seq((5L, 1L, "r1")))
+    assert(m((5L, 10L)) == "r1" && m((6L, 10L)) == null)
+  }
+
+  test("many keys across partitions agrees with a window-based oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic data, 200 keys x several rows
+    val l = (0 until 2000).map(i => (i.toLong % 200, (i * 37 % 1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = (0 until 3000).map(i => (i.toLong % 200, (i * 61 % 1000).toLong, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select($"k", $"t", $"lid", $"rt", $"rid")
+      .collect().map(x => x.getLong(2) -> (if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    // oracle: composed from built-ins (the expensive way the operator
+    // replaces): join all right rows with rt <= t, keep max (rt, rid)
+    val oracle = l.join(r, $"k" === $"rk" && $"rt" <= $"t", "left")
+      .groupBy($"lid")
+      .agg(max_by(struct($"rt", $"rid"), struct($"rt", $"rid")).as("m"))
+      .select($"lid", $"m.rid")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(got.size == oracle.size)
+    // rid choice on rt ties can differ (as-of keeps the last in sort
+    // order); compare the matched rt instead for tie-robustness
+    val gotRt = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select($"lid", $"rt").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val oracleRt = l.join(r, $"k" === $"rk" && $"rt" <= $"t", "left")
+      .groupBy($"lid").agg(max($"rt").as("rt"))
+      .select($"lid", $"rt").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(gotRt == oracleRt)
+  }
+}
