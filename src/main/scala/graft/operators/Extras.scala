@@ -103,7 +103,44 @@ object Extras {
       .orderBy($"o_custkey")
   }
 
+  /** Paginated-API scan via the DataSourceV2 connector (reference
+    * S4/S5: offset-paged pulls with a planning-time total probe), then
+    * a grouped aggregate. The oracle regenerates the same deterministic
+    * payload with DuckDB's range() — an independent re-derivation of
+    * the source contract.
+    */
+  val q45_paged_source: Q = (spark, dir) => {
+    import spark.implicits._
+    spark.read.format("graft.sources.PagedSourceProvider")
+      .option("total", 5000).option("pageSize", 50).load()
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"), sum($"popularity").as("sum_pop"))
+      .orderBy($"category")
+  }
+
+  /** Batched point-lookup enrichment (reference S6: <= 50 ids per API
+    * call) joined back to the documents table.
+    */
+  val q46_batched_lookup: Q = (spark, dir) => {
+    import spark.implicits._
+    val feats = graft.sources.BatchedLookup.features(
+      Tables.load(spark, dir, "documents"), "doc_id")
+    Tables.load(spark, dir, "documents").select($"doc_id", $"lang")
+      .join(feats, $"doc_id" === $"id")
+      .select($"doc_id", $"lang", $"feature")
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q45_paged_source" ->
+      """SELECT category, COUNT(*) AS n, CAST(SUM(popularity) AS BIGINT) AS sum_pop
+        |FROM (SELECT ['rock','pop','jazz','folk','ska'][(i % 5) + 1] AS category,
+        |             (i * 37) % 101 AS popularity
+        |      FROM range(0, 5000) t(i))
+        |GROUP BY category ORDER BY category""".stripMargin,
+    "q46_batched_lookup" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761 % 1000) / 10.0 AS feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q37_readable_size" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber,
         |  CAST(FLOOR(l_extendedprice * 1024) AS BIGINT) AS bytes FROM lineitem)
@@ -154,5 +191,7 @@ object Extras {
     "q40_cube" -> q40_cube,
     "q41_asof_join" -> q41_asof_join,
     "q42_uri_concat" -> q42_uri_concat,
+    "q45_paged_source" -> q45_paged_source,
+    "q46_batched_lookup" -> q46_batched_lookup,
     "q44_having" -> q44_having)
 }
