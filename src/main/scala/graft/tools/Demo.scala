@@ -63,6 +63,22 @@ object Demo {
       "type_enum" -> $"event_type".isin("click", "view", "signup", "purchase", "error")))
     println(s"valid=${v.valid.count()} rejected=${v.rejected.count()}")
 
+    println("== MediaPipeline: NDJSON -> typed split -> canned queries")
+    val mediaDir = java.nio.file.Files.createTempDirectory("demo_media").toString
+    val lines = (1 to 12).map { i =>
+      s"""{"index":"${f"$i%03d"}","file_size":${1000000 * i},"readable_size":"${i}.0 MiB","file_ext":"${if (i % 3 == 0) ".flac" else ".mp3"}","artist_name":"band_${(i - 1) % 4}","album_title":"album_$i","track_title":"track_$i","track_number":"$i","track_length":"0:0$i:00","music_genre":"g${i % 2}","genre_in_dict":"GENRE_OK","album_art":"ALBUM_ART","year":"${2000 + i}","rating":${i % 5}.0,"encoder":"","composer":"band_${(i - 1) % 4}","conductor":"","comment":"","track_gain":"-${i}.5","album_gain":${if (i == 12) "0.0" else s""""-${i}.25""""},"bitrate":320000,"sampling_rate":44100,"file_name":"f$i.mp3","path_len":"${100 + i}","last_modified":"2020-01-0${i % 9 + 1} 10:00:00.000000","encoding":"ascii","hash":"H$i","artist_id":"art_${(i - 1) % 4}","album_id":"alb_$i","track_id":"trk_$i"}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mediaDir, "local_media_demo.json"), lines.mkString("\n"))
+    val media = new graft.media.MediaPipeline(spark)
+    media.registerViews(media.splitTables(media.load(mediaDir + "/*.json")))
+    val canned = media.cannedQueries(
+      artists = Seq("band_0"), albums = Seq("album_3"), tracks = Seq("track_5"),
+      genres2 = Seq("g0", "g1"), fileExt = ".flac",
+      gainBelow = BigDecimal("-4.0"), joinGenre = Seq("g1"))
+    canned("gain_select").show(5)
+    canned("avg_size_select").show()
+
     println("== Streaming: hourly windowed agg over staged event files")
     val stage = java.nio.file.Files.createTempDirectory("demo_stream").toString
     Tables.load(spark, sfDir, "events").write.mode("overwrite").json(stage)
