@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Driver-side config source (reference S10: TOML -> pydantic settings,
+  * util/settings.py:46-52, 82-106, 139-159). Zero-dependency parser for
+  * the flat `[section]` / `key = value` TOML subset the reference's
+  * config files use (config/settings_example.toml); validated typed
+  * access mirrors the pydantic settings classes.
+  */
+object Config {
+
+  final case class Settings(sections: Map[String, Map[String, String]]) {
+    def apply(section: String): Map[String, String] =
+      sections.getOrElse(section, Map.empty)
+    def str(section: String, key: String): String =
+      apply(section).getOrElse(key,
+        throw new NoSuchElementException(s"missing [$section] $key"))
+    def int(section: String, key: String): Int = str(section, key).toInt
+    def double(section: String, key: String): Double = str(section, key).toDouble
+  }
+
+  /** Parse the flat TOML subset: sections, k = v with string/number/
+    * bool values, # comments. (Arrays/tables/multiline are out of
+    * scope — the reference's settings files are flat.)
+    */
+  def parse(text: String): Settings = {
+    var section = ""
+    val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      .withDefaultValue(Map.empty)
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.startsWith("[") && line.endsWith("]")) {
+        section = line.substring(1, line.length - 1).trim
+      } else if (line.contains("=")) {
+        val Array(k, v) = line.split("=", 2)
+        val value = v.trim.stripPrefix("\"").stripSuffix("\"")
+        out(section) = out(section) + (k.trim -> value)
+      }
+    }
+    Settings(out.toMap)
+  }
+
+  def load(path: String): Settings =
+    parse(Files.readString(Paths.get(path)))
+}

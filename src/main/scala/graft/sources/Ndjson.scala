@@ -46,4 +46,22 @@ object Ndjson {
     */
   def nonEmpty(df: DataFrame, column: String): DataFrame =
     df.where(col(column).isNotNull && length(trim(col(column))) > 0)
+
+  /** Debug side-output: pretty-printed JSON dump of a SMALL frame to a
+    * dated path (reference K4 save_response: indent=2 payload dumps to
+    * api/YYYY-MM-DD/{name}.json, spotify_client.py:91-116).
+    * Observability only — driver-side collect, never for facts.
+    */
+  def debugDump(df: DataFrame, baseDir: String, name: String,
+      maxRows: Int = 1000): java.nio.file.Path = {
+    val date = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+      .format(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(baseDir, date))
+    val rows = df.limit(maxRows).toJSON.collect()
+    val pretty = rows.map { r =>
+      "  " + r.replace("{", "{\n    ").replace(",\"", ",\n    \"").replace("}", "\n  }")
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(dir.resolve(s"$name.json"), pretty)
+  }
 }

@@ -63,6 +63,16 @@ object Demo {
       "type_enum" -> $"event_type".isin("click", "view", "signup", "purchase", "error")))
     println(s"valid=${v.valid.count()} rejected=${v.rejected.count()}")
 
+    println("== Config source + debug dump")
+    val cfgPath = java.nio.file.Files.createTempFile("demo", ".toml")
+    java.nio.file.Files.writeString(cfgPath,
+      "[spotify]\napi_limit = 50\nthold = 70.0\n")
+    val cfg = graft.sources.Config.load(cfgPath.toString)
+    println(s"api_limit=${cfg.int("spotify", "api_limit")} thold=${cfg.double("spotify", "thold")}")
+    val dumpPath = graft.sources.Ndjson.debugDump(
+      Tables.load(spark, sfDir, "region"), java.nio.file.Files.createTempDirectory("demo_api").toString, "regions")
+    println(s"debug dump -> $dumpPath")
+
     println("== MediaPipeline: NDJSON -> typed split -> canned queries")
     val mediaDir = java.nio.file.Files.createTempDirectory("demo_media").toString
     val lines = (1 to 12).map { i =>
