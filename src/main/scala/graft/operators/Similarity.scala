@@ -49,32 +49,122 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** 8-bit sign-pattern LSH bucketing + exact cosine rescoring within
-    * buckets; top-k per query among same-bucket candidates.
+  /** Multi-table random-hyperplane LSH + exact cosine rescoring.
+    *
+    * L=12 tables x 6 sign bits each: a pair at angle θ collides in one
+    * table with p = (1-θ/π)^6, across any of 12 with 1-(1-p)^12.
+    * Measured on this corpus (top-3 neighbor cosine ~0.3 — weakly
+    * clustered, the hard case for sign-LSH): single-table 8-bit ~4%
+    * recall@3; this multi-table config 42%, matching the formula's
+    * prediction, with candidates a small corpus fraction. Driving
+    * recall higher via fewer bits/more tables degenerates toward a
+    * full scan on data like this — IVF with nprobe (q47) is the
+    * better scale path for weakly-clustered embeddings. Candidate
+    * pairs are dedup'd BEFORE rescoring (a pair can collide in
+    * several tables).
     */
   val q33_knn_lsh: Q = (spark, dir) => {
     import spark.implicits._
-    val nPlanes = 8
-    // bucket = sign bits of 8 fixed hyperplane projections
-    def bucketCol(embCol: String) = {
-      val bits = (0 until nPlanes).map { p =>
-        val coefs = array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
+    val nBits = 6
+    val nTables = 12
+    // per-table bucket ids from sign bits of fixed hyperplane projections
+    def bucketCols(embCol: String) = (0 until nTables).map { t =>
+      val bits = (0 until nBits).map { j =>
+        val coefs = array((0 until 64).map(d => lit(planeCoef(t * nBits + j, d))): _*)
         val proj = aggregate(
           zip_with(col(embCol), coefs, (x, c) => x.cast("double") * c),
           lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        when(proj >= 0, lit(1 << j)).otherwise(lit(0))
       }
-      bits.reduce(_ + _)
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket")).as(s"t$t")
     }
     val emb = Tables.load(spark, dir, "embeddings")
-      .withColumn("bucket", bucketCol("embedding"))
+    val corpus = emb
+      .select($"vec_id", $"embedding", explode(array(bucketCols("embedding"): _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.table", $"tb.bucket")
     val queries = emb.where($"vec_id" < 8)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    emb.join(broadcast(queries), "bucket")
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        explode(array(bucketCols("embedding"): _*)).as("tb"))
+      .select($"q_id", $"q_emb", $"tb.table", $"tb.bucket")
+    val cand = corpus.join(broadcast(queries), Seq("table", "bucket"))
       .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_emb", $"vec_id", $"embedding")
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cand
       .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** IVF (inverted-file) ANN: one Lloyd refinement over deterministic
+    * seed centroids builds a 16-cell coarse quantizer; each query probes
+    * its `nprobe`=4 nearest cells and rescores exactly within them.
+    *
+    * The centroid table is tiny (k x dim) and driver-materialized; the
+    * corpus is only ever scanned distributedly — assignment is a
+    * broadcast-centroids argmax per row, and the probe join hits the
+    * cell-partitioned corpus on `cell`. At 100 TB the assignment
+    * becomes a one-off bucketed write (`Scale.writeBucketed` on cell)
+    * that every subsequent query batch reuses without a shuffle.
+    * Approximate -> rows-only check (recall measured in SimilaritySpec).
+    */
+  val q47_knn_ivf: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 16
+    val nprobe = 4
+    val emb = Tables.load(spark, dir, "embeddings")
+
+    def centroidCols(cs: Array[Array[Double]]) =
+      cs.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cell"),
+          array(c.map(lit): _*).as("cvec")).as(s"c$i")
+      }
+    def assign(df: DataFrame, cs: Array[Array[Double]]): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
+      df.select($"vec_id", $"embedding",
+          explode(array(centroidCols(cs): _*)).as("c"))
+        .select($"vec_id", $"embedding", $"c.cell",
+          aggregate(zip_with($"embedding", $"c.cvec", (x, y) => x.cast("double") * y),
+            lit(0.0), (a, v) => a + v).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"vec_id", $"embedding", $"cell")
+    }
+    // deterministic seeds: the k lowest mix64(vec_id) vectors
+    val seeds = emb
+      .select($"vec_id", $"embedding",
+        graft.functions.GraftFunctions.doc_fingerprint(concat(lit("seed"), $"vec_id"), 4).as("h"))
+      .orderBy($"h").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, _) => r.getSeq[Float](1).map(_.toDouble).toArray }
+    // one Lloyd refinement: mean of assigned vectors per cell
+    val assigned0 = assign(emb, seeds)
+    val refined = assigned0
+      .select($"cell", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"cell", $"dim").agg(avg($"v").as("m"))
+      .collect().groupBy(_.getInt(0))
+      .toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)))
+    val corpus = assign(emb, refined)
+    // probe nprobe cells: rank all cells per query, keep top nprobe
+    val probes = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        explode(array(centroidCols(refined): _*)).as("c"))
+      .select($"q_id", $"q_emb", $"c.cell",
+        aggregate(zip_with($"q_emb", $"c.cvec", (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim".desc, $"cell")))
+      .where($"rn" <= nprobe)
+      .select($"q_id", $"q_emb", $"cell")
+    val wr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    corpus.join(broadcast(probes), "cell")
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(wr))
       .where($"rank" <= 3)
       .select($"q_id", $"vec_id".as("neighbor_id"), $"rank")
       .orderBy($"q_id", $"rank")
@@ -100,5 +190,6 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q32_knn_exact" -> q32_knn_exact,
-    "q33_knn_lsh" -> q33_knn_lsh)
+    "q33_knn_lsh" -> q33_knn_lsh,
+    "q47_knn_ivf" -> q47_knn_ivf)
 }

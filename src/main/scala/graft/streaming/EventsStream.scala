@@ -42,6 +42,16 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup bounded by the watermark: duplicate
+    * event_ids arriving within 2 hours of event time are dropped, and
+    * state for old keys is reclaimed once the watermark passes (the
+    * unbounded-state hazard of plain dropDuplicates on a stream).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tstamp", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

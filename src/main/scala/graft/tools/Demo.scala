@@ -96,6 +96,16 @@ object Demo {
     println(s"emitted windows: ${agg.count()}")
     agg.orderBy($"hour_start", $"event_type").show(5)
 
+    println("== Streaming dedup within watermark (replayed files)")
+    Tables.load(spark, sfDir, "events").write.mode("append").json(stage) // duplicate replay
+    val dq = EventsStream.dedupStream(EventsStream.readEvents(spark, stage))
+      .writeStream.outputMode("append").format("memory").queryName("demo_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    dq.awaitTermination()
+    val n = spark.table("demo_dedup").count()
+    val src = Tables.load(spark, sfDir, "events").count()
+    println(s"staged 2x$src rows -> deduped $n")
+
     spark.stop()
   }
 }

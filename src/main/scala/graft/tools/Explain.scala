@@ -17,7 +17,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
+    val mode = if (args.length > 2) args(2) else "formatted"
+    if (mode == "codegen") spark.conf.set("spark.sql.adaptive.enabled", "false")
+    fn(spark, sfDir).explain(mode)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

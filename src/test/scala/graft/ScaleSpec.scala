@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("saltedJoin result equals the plain join (inner + left)") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+      .select($"c_custkey".as("ck"), $"c_name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"o_orderkey", $"c_name").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+        .sorted.toSeq
+    val plain = orders.join(customer, $"o_custkey" === $"ck")
+    val salted = Scale.saltedJoin(orders, customer, "o_custkey", "ck", salt = 7)
+    assert(canon(salted) == canon(plain))
+    val plainLeft = orders.join(customer, $"o_custkey" === $"ck", "left")
+    val saltedLeft = Scale.saltedJoin(orders, customer, "o_custkey", "ck", 7, "left")
+    assert(canon(saltedLeft) == canon(plainLeft))
+  }
+
+  test("bucketed tables join without an exchange") {
+    import spark.implicits._
+    Scale.writeBucketed(
+      Tables.load(spark, sf, "orders"), "orders_b", "o_custkey", 8)
+    Scale.writeBucketed(
+      Tables.load(spark, sf, "customer").select($"c_custkey".as("ck"), $"c_name"),
+      "customer_b", "ck", 8)
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), $"o_custkey" === $"ck")
+    // force SMJ path so the bucketed partitioning matters, then assert
+    // the executed plan needs NO shuffle on either side
+    val smj = joined.hint("merge")
+    smj.count()
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
+  test("GraftExtensions: strategy + functions via withExtensions") {
+    spark.sparkContext // ensure the shared context exists first
+    // getOrCreate only applies extensions when it builds a NEW session,
+    // so clear the default/active session (NOT the context) and restore
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT fuzz_ratio('abcd','abed') AS f, ascii_fold('Björk') AS a").collect()(0)
+      assert(r.getDouble(0) == 75.0 && r.getString(1) == "Bjork")
+      // the planner strategy is installed session-wide
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall of the approximate ANN variants against the exact baseline.
+  * All three run on the same deterministic data, so recall is a fixed
+  * number — the assertions pin a floor, not a flaky estimate.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ANN variants recover most exact neighbors (recall@3)") {
+    val exact = pairs("q32_knn_exact")
+    assert(exact.size == 24)
+    val lsh = pairs("q33_knn_lsh")
+    val ivf = pairs("q47_knn_ivf")
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"recall@3: lsh=$lshRecall ivf=$ivfRecall")
+    // measured on this corpus: lsh = 0.416, ivf = 0.625 (deterministic)
+    assert(ivfRecall >= 0.6, s"IVF recall regressed: $ivfRecall")
+    assert(lshRecall >= 0.4, s"LSH recall regressed: $lshRecall")
+    // every reported neighbor pair must still be a valid (rank<=3) set
+    Seq(lsh, ivf).foreach(s => assert(s.size <= 24))
+  }
+}

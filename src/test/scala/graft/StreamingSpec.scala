@@ -43,6 +43,20 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup within watermark: replayed file drops duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("events_dup").toString
+    val ev = Tables.load(spark, sf, "events")
+    ev.write.mode("overwrite").json(dir)
+    ev.write.mode("append").json(dir) // full duplicate replay
+    val q = EventsStream.dedupStream(EventsStream.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_spec").count()
+    assert(got == ev.count(), s"expected ${ev.count()} deduped rows, got $got")
+  }
+
   test("sessionization: gap splits sessions, counts preserved") {
     import spark.implicits._
     // deterministic synthetic events: user 1 has two bursts separated
