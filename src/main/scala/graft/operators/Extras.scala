@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,7 +132,47 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** Gap-based sessionization as a pure window-function batch plan (the
+    * oracle-checkable twin of streaming/EventsStream.sessionize): a new
+    * session starts after > 30 min of inactivity; sessions are numbered
+    * by a running sum of session-start flags.
+    */
+  val q48_sessionize: Q = (spark, dir) => {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id")
+      .withColumn("new_session",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_id", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"session_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q48_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, us, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q45_paged_source" ->
       """SELECT category, COUNT(*) AS n, CAST(SUM(popularity) AS BIGINT) AS sum_pop
         |FROM (SELECT ['rock','pop','jazz','folk','ska'][(i % 5) + 1] AS category,
@@ -193,5 +234,6 @@ object Extras {
     "q42_uri_concat" -> q42_uri_concat,
     "q45_paged_source" -> q45_paged_source,
     "q46_batched_lookup" -> q46_batched_lookup,
+    "q48_sessionize" -> q48_sessionize,
     "q44_having" -> q44_having)
 }

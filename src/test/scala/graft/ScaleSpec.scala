@@ -37,6 +37,19 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed tables join without an exchange") {
     import spark.implicits._
+    // the suite may share a session whose warehouse dir isn't ours
+    // (getOrCreate ignores configs on an existing session): drop any
+    // prior tables AND their leftover locations before recreating
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Scale.writeBucketed(
       Tables.load(spark, sf, "orders"), "orders_b", "o_custkey", 8)
     Scale.writeBucketed(
