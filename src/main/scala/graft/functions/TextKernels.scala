@@ -20,8 +20,78 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
 
   // ---------------------------------------------------------------- fuzz
-  /** Length of the longest common subsequence, O(m*n) time, O(min) space. */
-  private def lcsLen(a: CharSequence, b: CharSequence): Int = {
+  /** Bit-parallel LCS length (Allison-Dix): O(n * ceil(m/64)) — the DP
+    * recurrence runs 64 cells per machine word. `lcsLenDP` below is the
+    * reference implementation the property tests compare against.
+    */
+  private[graft] def lcsLen(a: CharSequence, b: CharSequence): Int = {
+    // bit vector over the SHORTER string
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    val m = s.length
+    if (m == 0) return 0
+    val words = (m + 63) >>> 6
+    // per-char position masks over s: ascii array + overflow map
+    val asciiPM = new Array[Array[Long]](128)
+    var otherPM: java.util.HashMap[Character, Array[Long]] = null
+    var i = 0
+    while (i < m) {
+      val c = s.charAt(i)
+      val pm =
+        if (c < 128) {
+          if (asciiPM(c) == null) asciiPM(c) = new Array[Long](words)
+          asciiPM(c)
+        } else {
+          if (otherPM == null) otherPM = new java.util.HashMap()
+          var arr = otherPM.get(c)
+          if (arr == null) { arr = new Array[Long](words); otherPM.put(c, arr) }
+          arr
+        }
+      pm(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    val lastMask = if ((m & 63) == 0) -1L else (1L << (m & 63)) - 1
+    val r = Array.fill(words)(-1L)
+    r(words - 1) = lastMask
+    var j = 0
+    while (j < l.length) {
+      val c = l.charAt(j)
+      val pm =
+        if (c < 128) asciiPM(c)
+        else if (otherPM != null) otherPM.get(c)
+        else null
+      if (pm != null) {
+        // R = ((R + (R & PM)) | (R & ~PM)), carry-propagated across words
+        var carry = 0L
+        var w = 0
+        while (w < words) {
+          val x = r(w) & pm(w)
+          val sum = r(w) + x + carry
+          // carry out if the add overflowed (unsigned)
+          carry = if (carry == 0) {
+            if (java.lang.Long.compareUnsigned(sum, r(w)) < 0) 1L else 0L
+          } else {
+            if (java.lang.Long.compareUnsigned(sum, r(w)) <= 0) 1L else 0L
+          }
+          r(w) = sum | (r(w) & ~pm(w))
+          w += 1
+        }
+        r(words - 1) &= lastMask
+      }
+      j += 1
+    }
+    // LCS = count of ZERO bits within the m-bit window
+    var zeros = 0
+    var w = 0
+    while (w < words) {
+      val window = if (w == words - 1) lastMask else -1L
+      zeros += java.lang.Long.bitCount(window & ~r(w))
+      w += 1
+    }
+    zeros
+  }
+
+  /** Scalar-DP LCS — the slow oracle for the bit-parallel version. */
+  private[graft] def lcsLenDP(a: CharSequence, b: CharSequence): Int = {
     // ensure the DP row is over the shorter string
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     val m = s.length

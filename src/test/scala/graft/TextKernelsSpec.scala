@@ -51,6 +51,18 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.indelRatio(u("ntn_0"), u("nation_0")) > 70.0)
   }
 
+  test("bit-parallel LCS agrees with the scalar DP oracle") {
+    forAll(asciiStr, asciiStr) { (a, b) =>
+      assert(TextKernels.lcsLen(a, b) == TextKernels.lcsLenDP(a, b),
+        s"mismatch for '$a' vs '$b'")
+    }
+    // exercise the multi-word (>64 chars) and unicode paths
+    val long1 = "abcdefghij" * 20
+    val long2 = "acegik" * 30 + "北京欢迎你"
+    assert(TextKernels.lcsLen(long1, long2) == TextKernels.lcsLenDP(long1, long2))
+    assert(TextKernels.lcsLen(long2, long2) == long2.length)
+  }
+
   // ---- ascii_fold
   test("ascii_fold: strips accents, preserves base letters") {
     assert(TextKernels.asciiFold(u("Björk")).toString == "Bjork")
