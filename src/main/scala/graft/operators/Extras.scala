@@ -155,7 +155,63 @@ object Extras {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` implement the same linear-interpolation
+    * definition; exactness verified by hash match).
+    */
+  val q49_percentiles: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(percentile($"o_totalprice", lit(0.5)).as("p50"),
+        percentile($"o_totalprice", lit(0.9)).as("p90"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Equi-width histogram: bucketed counts + per-bucket min/max (pure
+    * integer bucketing over an exact double division — engine-exact).
+    */
+  val q50_histogram: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy(floor($"o_totalprice" / 50000.0).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      .orderBy($"bucket")
+  }
+
+  /** Array-column statistics over the embeddings table: dimension
+    * count, element min/max (float-exact), sequential double sum.
+    */
+  val q51_vector_stats: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id",
+        size($"embedding").as("dims"),
+        array_min($"embedding").as("lo"),
+        array_max($"embedding").as("hi"),
+        aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("sum"))
+      .orderBy($"vec_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q50_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q51_vector_stats" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS INTEGER) AS dims,
+        | list_min(embedding) AS lo,
+        | list_max(embedding) AS hi,
+        | list_sum(CAST(embedding AS DOUBLE[])) AS sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q49_percentiles" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q48_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
@@ -235,5 +291,8 @@ object Extras {
     "q45_paged_source" -> q45_paged_source,
     "q46_batched_lookup" -> q46_batched_lookup,
     "q48_sessionize" -> q48_sessionize,
+    "q49_percentiles" -> q49_percentiles,
+    "q50_histogram" -> q50_histogram,
+    "q51_vector_stats" -> q51_vector_stats,
     "q44_having" -> q44_having)
 }
