@@ -88,7 +88,45 @@ object Pipelines {
       .orderBy($"c_custkey")
   }
 
+  /** Multimodal frame sampling: slice each binary payload into 4
+    * fixed-stride "frames" (the video-pipeline shape: one row per
+    * sampled frame with per-frame metadata). Real binary slicing via
+    * substring-on-binary + posexplode; the per-frame decode is the
+    * same deterministic stub policy as q34. At scale this is a
+    * narrow map — one input row fans out to k frame rows with no
+    * shuffle.
+    */
+  val q52_frame_sample: Q = (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val nFrames = 4
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .withColumn("stride", ceil(length($"payload") / lit(nFrames.toDouble)).cast("int"))
+    val frames = (0 until nFrames).map { i =>
+      struct(lit(i).as("frame_id"),
+        length(substring($"payload", $"stride" * i + 1, $"stride")).as("frame_bytes")).as(s"f$i")
+    }
+    docs
+      .select($"doc_id", explode(array(frames: _*)).as("f"))
+      .select($"doc_id", $"f.frame_id", $"f.frame_bytes")
+      .where($"frame_bytes" > 0)
+      .orderBy($"doc_id", $"frame_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q52_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    CAST(CEIL(octet_length(encode(text)) / 4.0) AS INTEGER) AS stride
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, i AS frame_id,
+        |    CAST(LEAST(GREATEST(len - stride * i, 0), stride) AS INTEGER) AS frame_bytes
+        |  FROM d CROSS JOIN range(0, 4) t(i))
+        |SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id, frame_bytes
+        |FROM f WHERE frame_bytes > 0 ORDER BY doc_id, frame_id""".stripMargin,
     "q34_multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) % 512 + 16 AS INTEGER) AS width,
@@ -110,6 +148,7 @@ object Pipelines {
 
   val queries: Map[String, Q] = Map(
     "q34_multimodal_meta" -> q34_multimodal_meta,
+    "q52_frame_sample" -> q52_frame_sample,
     "q35_ndjson_roundtrip" -> q35_ndjson_roundtrip,
     "q36_offline_lookup" -> q36_offline_lookup)
 }
