@@ -195,7 +195,30 @@ object Extras {
       .orderBy($"vec_id")
   }
 
+  /** Top-k per group via the custom TypedImperativeAggregate
+    * (graft.functions.TopKByAgg): only k pairs per group per partition
+    * cross the shuffle, vs a window that moves every row. Oracle: the
+    * window formulation in DuckDB — same rows, independently derived.
+    */
+  val q53_topk_agg: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(graft.functions.TopKByAgg.top_k_by($"c_acctbal", $"c_custkey", 3).as("top"))
+      .select($"c_nationkey", posexplode($"top").as(Seq("pos", "t")))
+      .select($"c_nationkey", ($"pos" + 1).cast(IntegerType).as("rank"),
+        $"t.payload".as("c_custkey"), $"t.value".as("c_acctbal"))
+      .orderBy($"c_nationkey", $"rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q53_topk_agg" ->
+      """SELECT c_nationkey, CAST(rn AS INTEGER) AS rank, c_custkey, c_acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rank""".stripMargin,
     "q50_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         | COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
@@ -294,5 +317,6 @@ object Extras {
     "q49_percentiles" -> q49_percentiles,
     "q50_histogram" -> q50_histogram,
     "q51_vector_stats" -> q51_vector_stats,
+    "q53_topk_agg" -> q53_topk_agg,
     "q44_having" -> q44_having)
 }
