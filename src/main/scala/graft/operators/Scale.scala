@@ -44,4 +44,12 @@ object Scale {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Write hive-style partitioned parquet: predicates on the partition
+    * column prune whole directories at planning time (`PartitionFilters`
+    * in the scan) — the first line of defense at 100 TB, where date/
+    * category partitioning turns full scans into targeted reads.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

@@ -66,6 +66,22 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
   }
 
+  test("partitioned write prunes partitions at the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events_part").toString
+    Scale.writePartitioned(
+      Tables.load(spark, sf, "events").select($"event_id", $"user_id", $"event_type"),
+      dir, "event_type")
+    val pruned = spark.read.parquet(dir).where($"event_type" === "click")
+    pruned.count()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(event_type"), s"no partition pruning:\n$scan")
+    // only the click directory is listed: row count matches the source
+    val exp = Tables.load(spark, sf, "events").where($"event_type" === "click").count()
+    assert(pruned.count() == exp)
+  }
+
   test("GraftExtensions: strategy + functions via withExtensions") {
     spark.sparkContext // ensure the shared context exists first
     // getOrCreate only applies extensions when it builds a NEW session,
