@@ -88,7 +88,29 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus token-frequency top-k (explode -> hash aggregate with
+    * map-side combine -> TakeOrderedAndProject). The classic corpus
+    * statistic; at 100 TB the combine keeps the shuffle at one row per
+    * distinct token per partition.
+    */
+  val q54_word_freq: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .where(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q54_word_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE LENGTH(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q24_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
@@ -128,5 +150,6 @@ object TextOps {
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,
-    "q27_fingerprint" -> q27_fingerprint)
+    "q27_fingerprint" -> q27_fingerprint,
+    "q54_word_freq" -> q54_word_freq)
 }

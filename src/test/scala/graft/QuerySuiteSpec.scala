@@ -35,6 +35,17 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracleSql without queries: $dangling")
   }
 
+  test("query registry is complete (no silent key collisions)") {
+    import graft.operators._
+    val expected = Relational.queries.size + TextOps.queries.size +
+      Dedup.queries.size + Similarity.queries.size +
+      Pipelines.queries.size + Extras.queries.size
+    assert(SparkEntry.queries.size == expected,
+      s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
+    assert(SparkEntry.queries.size == 53)
+    assert(SparkEntry.oracleSql.size == 48) // 5 rows-only by design
+  }
+
   test("entry() flagship smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
