@@ -355,6 +355,40 @@ object TextKernels {
   }
 
   // ------------------------------------------------------------- vectors
+  /** Deterministic pseudo-random hyperplane coefficient for plane p,
+    * dimension d (splitmix-derived, mapped to [-1, 1)).
+    */
+  @inline def planeCoef(p: Int, d: Int): Double = {
+    val h = mix64(p.toLong * 131 + d.toLong * 7919)
+    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Multi-table sign-LSH bucket ids for a float vector: one entry per
+    * table, bucket = sign-bit pattern of `nBits` hyperplane projections.
+    * A single kernel call replaces nTables x nBits x dim literal
+    * expression nodes (which bloat codegen and planning time).
+    */
+  def lshBuckets(a: ArrayData, nBits: Int, nTables: Int): ArrayData = {
+    val dim = a.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nBits) {
+        val plane = t * nBits + j
+        var proj = 0.0
+        var d = 0
+        while (d < dim) { proj += a.getFloat(d).toDouble * planeCoef(plane, d); d += 1 }
+        if (proj >= 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity between two float vectors, accumulated in double
     * in index order (deterministic, matches a sequential oracle).
     */

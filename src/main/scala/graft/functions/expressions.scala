@@ -143,6 +143,18 @@ case class JaccardGramsExpr(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+case class LshBucketsExpr(child: Expression, nBits: Int, nTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.lshBuckets(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nBits, nTables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.lshBuckets($c, $nBits, $nTables)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -176,6 +188,8 @@ object GraftFunctions {
   def jaccard_grams(a: Column, b: Column, k: Int = 3): Column =
     c(JaccardGramsExpr(e(a), e(b), k))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
+  def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
+    c(LshBucketsExpr(e(a), nBits, nTables))
 
   /** Idempotent SQL-surface registration (`SELECT fuzz_ratio(a, b)`). */
   def register(spark: SparkSession): Unit = {

@@ -24,16 +24,6 @@ import graft.functions.GraftFunctions._
 object Similarity {
   import Relational.Q
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d coefficient
-    * derived from a splitmix of (p, d) — reproducible anywhere, no RNG
-    * state (Date/random is unavailable and undesirable in a plan).
-    */
-  private def planeCoef(p: Int, d: Int): Double = {
-    val h = graft.functions.TextKernels.mix64(p.toLong * 131 + d.toLong * 7919)
-    // map to [-1, 1)
-    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
-
   val q32_knn_exact: Q = (spark, dir) => {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
@@ -65,27 +55,16 @@ object Similarity {
     */
   val q33_knn_lsh: Q = (spark, dir) => {
     import spark.implicits._
-    val nBits = 6
-    val nTables = 12
-    // per-table bucket ids from sign bits of fixed hyperplane projections
-    def bucketCols(embCol: String) = (0 until nTables).map { t =>
-      val bits = (0 until nBits).map { j =>
-        val coefs = array((0 until 64).map(d => lit(planeCoef(t * nBits + j, d))): _*)
-        val proj = aggregate(
-          zip_with(col(embCol), coefs, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1 << j)).otherwise(lit(0))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket")).as(s"t$t")
-    }
+    // per-table bucket ids from the lsh_buckets kernel expression: one
+    // call per row instead of nTables x nBits x dim literal nodes
+    // (that formulation spent ~2s in planning + codegen alone)
     val emb = Tables.load(spark, dir, "embeddings")
     val corpus = emb
-      .select($"vec_id", $"embedding", explode(array(bucketCols("embedding"): _*)).as("tb"))
-      .select($"vec_id", $"embedding", $"tb.table", $"tb.bucket")
+      .select($"vec_id", $"embedding",
+        posexplode(lsh_buckets($"embedding", 6, 12)).as(Seq("table", "bucket")))
     val queries = emb.where($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        explode(array(bucketCols("embedding"): _*)).as("tb"))
-      .select($"q_id", $"q_emb", $"tb.table", $"tb.bucket")
+        posexplode(lsh_buckets($"embedding", 6, 12)).as(Seq("table", "bucket")))
     val cand = corpus.join(broadcast(queries), Seq("table", "bucket"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"q_emb", $"vec_id", $"embedding")
