@@ -104,7 +104,25 @@ object TextOps {
       .limit(20)
   }
 
+  /** Top char-trigram frequencies via the custom NGramsGenerate UDTF
+    * (one row per n-gram OCCURRENCE) + map-side-combined count.
+    */
+  val q55_ngram_freq: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(graft.functions.NGramsGenerate.ngrams($"text", 3).as("ngram"))
+      .groupBy($"ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ngram")
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q55_ngram_freq" ->
+      """SELECT ngram, COUNT(*) AS n FROM (
+        |  SELECT unnest([substr(text, x, 3) for x in range(1, length(text) - 1)]) AS ngram
+        |  FROM documents) t
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "q54_word_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
@@ -151,5 +169,6 @@ object TextOps {
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,
     "q27_fingerprint" -> q27_fingerprint,
-    "q54_word_freq" -> q54_word_freq)
+    "q54_word_freq" -> q54_word_freq,
+    "q55_ngram_freq" -> q55_ngram_freq)
 }
