@@ -211,7 +211,47 @@ object Extras {
       .orderBy($"c_nationkey", $"rank")
   }
 
+  /** PIVOT: event counts per user bucket spread across event-type
+    * columns (explicit value list — deterministic output schema; never
+    * let pivot infer values with a distinct scan at 100 TB).
+    */
+  val q56_pivot: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("user_bucket", pmod($"user_id", lit(10L)))
+      .groupBy($"user_bucket")
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
+  /** UNPIVOT/melt: wide numeric columns to (attribute, value) rows. */
+  val q57_unpivot: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_size".cast("double").as("size"),
+        $"p_retailprice".as("retailprice"))
+      .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+        "attribute", "value")
+      .orderBy($"p_partkey", $"attribute")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q56_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
+    "q57_unpivot" ->
+      """SELECT p_partkey, attribute, value FROM (
+        |  SELECT p_partkey, 'size' AS attribute, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS attribute, p_retailprice AS value FROM part) t
+        |ORDER BY p_partkey, attribute""".stripMargin,
     "q53_topk_agg" ->
       """SELECT c_nationkey, CAST(rn AS INTEGER) AS rank, c_custkey, c_acctbal
         |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
@@ -318,5 +358,7 @@ object Extras {
     "q50_histogram" -> q50_histogram,
     "q51_vector_stats" -> q51_vector_stats,
     "q53_topk_agg" -> q53_topk_agg,
+    "q56_pivot" -> q56_pivot,
+    "q57_unpivot" -> q57_unpivot,
     "q44_having" -> q44_having)
 }
