@@ -211,7 +211,9 @@ object TextKernels {
   /** Distinct char k-gram hashes of a string. */
   private def gramHashes(str: String, k: Int): java.util.HashSet[Long] = {
     val set = new java.util.HashSet[Long]()
-    if (str.length < k) { set.add(mix64(str.hashCode.toLong)); return set }
+    // sub-k strings have NO k-grams (the SQL-comprehension oracle's
+    // semantics); a sentinel hash here would diverge from it
+    if (str.length < k) return set
     var i = 0
     while (i + k <= str.length) { set.add(mix64(gramHash(str, i, k))); i += 1 }
     set
@@ -238,17 +240,15 @@ object TextKernels {
       }
     }
     val t = starts.length
-    if (t < w) {
-      var h = 1125899906842597L
-      var j = 0
-      while (j < n) { h = h * 31 + str.charAt(j); j += 1 }
-      set.add(mix64(h)); return set
-    }
+    // hash shingles of min(w, t) tokens with normalized single-space
+    // separators, so whitespace variants of short docs still collide
+    val ww = math.min(math.max(t, 1), w)
+    if (t == 0) return set
     var s0 = 0
-    while (s0 + w <= t) {
+    while (s0 + ww <= t) {
       var h = 1125899906842597L
       var wi = 0
-      while (wi < w) {
+      while (wi < ww) {
         var j = starts(s0 + wi)
         while (j < ends(s0 + wi)) { h = h * 31 + str.charAt(j); j += 1 }
         h = h * 31 + ' ' // token separator
@@ -327,7 +327,7 @@ object TextKernels {
   /** Jaccard of two sorted distinct long arrays (see gramSet). */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
-    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 && nb == 0) return 0.0 // no grams -> no similarity evidence
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
@@ -346,7 +346,7 @@ object TextKernels {
   def jaccardGrams(a: UTF8String, b: UTF8String, k: Int): Double = {
     val sa = gramHashes(a.toString, k)
     val sb = gramHashes(b.toString, k)
-    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty && sb.isEmpty) return 0.0 // no grams -> no similarity evidence
     var inter = 0
     val it = sa.iterator()
     while (it.hasNext) if (sb.contains(it.next())) inter += 1
@@ -360,7 +360,8 @@ object TextKernels {
     */
   @inline def planeCoef(p: Int, d: Int): Double = {
     val h = mix64(p.toLong * 131 + d.toLong * 7919)
-    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    // 53-bit value scaled by 2^53 -> [0,1), mapped to [-1,1)
+    (h >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0
   }
 
   /** Multi-table sign-LSH bucket ids for a float vector: one entry per

@@ -191,20 +191,15 @@ object GraftFunctions {
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
 
-  /** Idempotent SQL-surface registration (`SELECT fuzz_ratio(a, b)`). */
+  /** Idempotent SQL-surface registration (`SELECT fuzz_ratio(a, b)`).
+    * The name -> builder list lives in GraftExtensions.functionSpecs —
+    * ONE source of truth shared with the session-extensions install
+    * path, so both registration routes always expose the same surface.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("fuzz_ratio",
-      xs => FuzzRatioExpr(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("ascii_fold",
-      xs => AsciiFoldExpr(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("sim_hash",
-      xs => SimHashExpr(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("doc_fingerprint",
-      xs => DocFingerprintExpr(xs.head, 8), "scala_udf")
-    reg.createOrReplaceTempFunction("jaccard_grams",
-      xs => JaccardGramsExpr(xs.head, xs(1), 3), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      xs => CosineSimExpr(xs.head, xs(1)), "scala_udf")
+    graft.GraftExtensions.functionSpecs.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

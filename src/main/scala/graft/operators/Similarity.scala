@@ -45,7 +45,7 @@ object Similarity {
     * table with p = (1-θ/π)^6, across any of 12 with 1-(1-p)^12.
     * Measured on this corpus (top-3 neighbor cosine ~0.3 — weakly
     * clustered, the hard case for sign-LSH): single-table 8-bit ~4%
-    * recall@3; this multi-table config 42%, matching the formula's
+    * recall@3; this multi-table config ~46%, matching the formula's
     * prediction, with candidates a small corpus fraction. Driving
     * recall higher via fewer bits/more tables degenerates toward a
     * full scan on data like this — IVF with nprobe (q47) is the
@@ -78,6 +78,13 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF coarse-quantizer centroids are an index artifact: built once
+    * per dataset and reused by every query batch (at scale this is a
+    * persisted table, not a per-query job) — memoized per data dir.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   /** IVF (inverted-file) ANN: one Lloyd refinement over deterministic
     * seed centroids builds a 16-cell coarse quantizer; each query probes
     * its `nprobe`=4 nearest cells and rescores exactly within them.
@@ -90,13 +97,6 @@ object Similarity {
     * that every subsequent query batch reuses without a shuffle.
     * Approximate -> rows-only check (recall measured in SimilaritySpec).
     */
-  /** IVF coarse-quantizer centroids are an index artifact: built once
-    * per dataset and reused by every query batch (at scale this is a
-    * persisted table, not a per-query job) — memoized per data dir.
-    */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-
   val q47_knn_ivf: Q = (spark, dir) => {
     import spark.implicits._
     val k = 16

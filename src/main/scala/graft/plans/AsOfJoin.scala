@@ -112,10 +112,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val l = lIt.next()
           val lKey = lKeyProj(l)
+          // SQL equi-join semantics: NULL keys never match (the natural
+          // row ordering would compare null == null, which would wrongly
+          // pair null-keyed rows and diverge from the SQL/ASOF oracle)
+          if (lKey.anyNull) return resultProj(joined(l, nullRight))
           val lTime = timeOf(lt, l)
           var cont = rHead != null
           while (cont) {
-            val c = keyOrd.compare(rHeadKey, lKey)
+            val c = if (rHeadKey.anyNull) -1 // null right keys: skip past
+              else keyOrd.compare(rHeadKey, lKey)
             if (c < 0) advanceRight()
             else if (c == 0 && timeOf(rt, rHead) <= lTime) {
               lastMatch = rHead.copy()

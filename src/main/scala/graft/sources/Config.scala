@@ -30,13 +30,30 @@ object Config {
     var section = ""
     val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
       .withDefaultValue(Map.empty)
+    // strip a # comment only when it appears OUTSIDE double quotes
+    // (a '#' inside a quoted value is part of the value)
+    def stripComment(line: String): String = {
+      var inQuotes = false
+      var i = 0
+      while (i < line.length) {
+        val ch = line.charAt(i)
+        if (ch == '"') inQuotes = !inQuotes
+        else if (ch == '#' && !inQuotes) return line.substring(0, i)
+        i += 1
+      }
+      line
+    }
     text.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#').trim
+      val line = stripComment(raw).trim
       if (line.startsWith("[") && line.endsWith("]")) {
         section = line.substring(1, line.length - 1).trim
       } else if (line.contains("=")) {
         val Array(k, v) = line.split("=", 2)
-        val value = v.trim.stripPrefix("\"").stripSuffix("\"")
+        val trimmed = v.trim
+        val value =
+          if (trimmed.length >= 2 && trimmed.startsWith("\"") && trimmed.endsWith("\""))
+            trimmed.substring(1, trimmed.length - 1)
+          else trimmed
         out(section) = out(section) + (k.trim -> value)
       }
     }

@@ -67,6 +67,14 @@ object EventsStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) if state.hasTimedOut =>
+          // inactivity timeout: close and emit the open session, free
+          // the state (otherwise per-user state leaks forever and the
+          // re-armed timeout fires no-ops every gap interval)
+          val out = state.getOption.map(s =>
+            UserSession(uid, s.start, s.last, s.n, s.last - s.start))
+          state.remove()
+          out.iterator
         case (uid, it, state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
           var cur = state.getOption

@@ -28,7 +28,7 @@ class SimilaritySpec extends AnyFunSuite {
     val lshRecall = (exact intersect lsh).size.toDouble / exact.size
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
     info(s"recall@3: lsh=$lshRecall ivf=$ivfRecall")
-    // measured on this corpus: lsh = 0.416, ivf = 0.625 (deterministic)
+    // measured on this corpus: lsh = 0.458, ivf = 0.625 (deterministic)
     assert(ivfRecall >= 0.6, s"IVF recall regressed: $ivfRecall")
     assert(lshRecall >= 0.4, s"LSH recall regressed: $lshRecall")
     // every reported neighbor pair must still be a valid (rank<=3) set

@@ -84,14 +84,20 @@ class TextKernelsSpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= 1.0)
       assert(j == TextKernels.jaccardGrams(u(b), u(a), 3))
     }
-    forAll(asciiStr) { s => assert(TextKernels.jaccardGrams(u(s), u(s), 3) == 1.0) }
+    forAll(asciiStr) { s =>
+      // sub-k strings have NO grams (matches the SQL-comprehension
+      // oracle, whose 0/0 is NULL): similarity is 0, even to itself
+      val expected = if (s.length >= 3) 1.0 else 0.0
+      assert(TextKernels.jaccardGrams(u(s), u(s), 3) == expected)
+    }
   }
   test("jaccard_grams: agrees with a slow set oracle") {
     def oracle(a: String, b: String, k: Int): Double = {
       def grams(s: String) =
-        if (s.length < k) Set(s) else s.sliding(k).toSet
+        if (s.length < k) Set.empty[String] else s.sliding(k).toSet
       val (sa, sb) = (grams(a), grams(b))
-      sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
     }
     forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
       whenever(a.length >= 3 && b.length >= 3) {
