@@ -25,10 +25,25 @@ case class NGramsGenerate(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Nil
     else {
+      // slide by CODE POINTS, not UTF-16 units: substring on char
+      // indices would split surrogate pairs (emoji, CJK extensions)
+      // into invalid lone-surrogate grams and diverge from the
+      // codepoint-based SQL oracle
       val s = v.asInstanceOf[UTF8String].toString
-      if (s.length < n) Nil
-      else (0 to s.length - n).map(i =>
-        InternalRow(UTF8String.fromString(s.substring(i, i + n))))
+      val cpCount = s.codePointCount(0, s.length)
+      if (cpCount < n) Nil
+      else {
+        val out = new Array[InternalRow](cpCount - n + 1)
+        var start = 0 // char offset of window start
+        var i = 0
+        while (i <= cpCount - n) {
+          val end = s.offsetByCodePoints(start, n)
+          out(i) = InternalRow(UTF8String.fromString(s.substring(start, end)))
+          start = s.offsetByCodePoints(start, 1)
+          i += 1
+        }
+        out
+      }
     }
   }
 

@@ -208,7 +208,11 @@ object TextKernels {
   private val MinhashSeeds: Array[Long] =
     Array.tabulate(MinhashK)(i => mix64(0x5eed0000L + i) | 1L)
 
-  /** Distinct char k-gram hashes of a string. */
+  /** Distinct char k-gram hashes of a string. Operates on UTF-16 code
+    * units; oracle parity with codepoint-based SQL holds for BMP text
+    * (the fixtures are ASCII). Non-BMP corpora would need the
+    * codepoint-sliding treatment NGramsGenerate uses.
+    */
   private def gramHashes(str: String, k: Int): java.util.HashSet[Long] = {
     val set = new java.util.HashSet[Long]()
     // sub-k strings have NO k-grams (the SQL-comprehension oracle's
@@ -285,17 +289,26 @@ object TextKernels {
     * array is the scalable alternative to projecting 16 band columns,
     * which CollapseProject would rewrite into 16 signature evaluations.
     */
-  def minHashBands(s: UTF8String, k: Int, bands: Int, rowsPerBand: Int): ArrayData =
-    new GenericArrayData(foldBands(minHashSig(s.toString, k), bands, rowsPerBand))
+  def minHashBands(s: UTF8String, k: Int, bands: Int, rowsPerBand: Int): ArrayData = {
+    val grams = gramHashes(s.toString, k)
+    // gram-less docs emit NO bands: they can never be near-dup
+    // candidates (their jaccard is 0 by definition), and a shared
+    // sentinel signature would collide them all into one bucket —
+    // a quadratic band-join blowup on corpora with many blank docs
+    if (grams.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    new GenericArrayData(foldBands(minHashSigOf(grams), bands, rowsPerBand))
+  }
 
   /** Word-shingle variant of [[minHashBands]]: candidate generation for
     * near-dup detection where char-gram background similarity is high
     * (small vocabularies) — word shingles separate near-dups from
     * background far more sharply.
     */
-  def minHashBandsWords(s: UTF8String, w: Int, bands: Int, rowsPerBand: Int): ArrayData =
-    new GenericArrayData(
-      foldBands(minHashSigOf(wordShingleHashes(s.toString, w)), bands, rowsPerBand))
+  def minHashBandsWords(s: UTF8String, w: Int, bands: Int, rowsPerBand: Int): ArrayData = {
+    val shingles = wordShingleHashes(s.toString, w)
+    if (shingles.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    new GenericArrayData(foldBands(minHashSigOf(shingles), bands, rowsPerBand))
+  }
 
   private def foldBands(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
     val keys = new Array[Long](bands)
@@ -364,6 +377,23 @@ object TextKernels {
     (h >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0
   }
 
+  // Memoized hyperplane coefficient matrices (flattened [plane][dim]):
+  // planeCoef is pure, so re-deriving ~4600 mix64 hashes per input ROW
+  // would double the kernel's per-row cost for no reason.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def planeMatrix(nPlanes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, dim), { case (np, d0) =>
+      val m = new Array[Double](np * d0)
+      var p = 0
+      while (p < np) {
+        var d = 0
+        while (d < d0) { m(p * d0 + d) = planeCoef(p, d); d += 1 }
+        p += 1
+      }
+      m
+    })
+
   /** Multi-table sign-LSH bucket ids for a float vector: one entry per
     * table, bucket = sign-bit pattern of `nBits` hyperplane projections.
     * A single kernel call replaces nTables x nBits x dim literal
@@ -371,6 +401,7 @@ object TextKernels {
     */
   def lshBuckets(a: ArrayData, nBits: Int, nTables: Int): ArrayData = {
     val dim = a.numElements()
+    val coefs = planeMatrix(nTables * nBits, dim)
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -380,7 +411,7 @@ object TextKernels {
         val plane = t * nBits + j
         var proj = 0.0
         var d = 0
-        while (d < dim) { proj += a.getFloat(d).toDouble * planeCoef(plane, d); d += 1 }
+        while (d < dim) { proj += a.getFloat(d).toDouble * coefs(plane * dim + d); d += 1 }
         if (proj >= 0) bucket |= 1L << j
         j += 1
       }

@@ -41,11 +41,18 @@ case class TopKByAgg(valueChild: Expression, payloadChild: Expression, k: Int,
 
   override def createAggregationBuffer(): Heap = new Heap(k)
 
+  private def toDouble(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"top_k_by value must be numeric, got ${other.getClass.getName}")
+  }
+
   override def update(buf: Heap, input: InternalRow): Heap = {
     val v = valueChild.eval(input)
     val p = payloadChild.eval(input)
     if (v != null && p != null)
-      buf.offer(v.asInstanceOf[Number].doubleValue(), p.asInstanceOf[Number].longValue())
+      buf.offer(toDouble(v), p.asInstanceOf[Number].longValue())
     buf
   }
 

@@ -81,6 +81,9 @@ object Similarity {
   /** IVF coarse-quantizer centroids are an index artifact: built once
     * per dataset and reused by every query batch (at scale this is a
     * persisted table, not a per-query job) — memoized per data dir.
+    * Assumes datasets are immutable under a dir (true here: the test
+    * fixtures are read-only); a mutable deployment would key on a
+    * dataset version/snapshot id instead.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()

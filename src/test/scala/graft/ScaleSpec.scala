@@ -46,8 +46,10 @@ class ScaleSpec extends AnyFunSuite {
       val loc = java.nio.file.Paths.get(wh, t)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        val stream = java.nio.file.Files.walk(loc)
+        try stream.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
+        finally stream.close()
       }
     }
     Scale.writeBucketed(
