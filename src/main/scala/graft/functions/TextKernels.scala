@@ -421,6 +421,68 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Dot product of a float vector against row `c` of a flattened
+    * [k x dim] double centroid matrix, accumulated in index order —
+    * bit-identical to `aggregate(zip_with(emb, cvec, _*_), 0.0, _+_)`,
+    * the formulation this kernel replaces.
+    */
+  @inline private def dotCentroid(a: ArrayData, cents: Array[Double],
+      c: Int, dim: Int): Double = {
+    var s = 0.0
+    var d = 0
+    val off = c * dim
+    while (d < dim) { s += a.getFloat(d).toDouble * cents(off + d); d += 1 }
+    s
+  }
+
+  /** IVF coarse-quantizer cell assignment: argmax dot-product over the k
+    * centroids (rows of the flattened [k x dim] matrix), ties broken by
+    * lowest cell id — the same ordering as `row_number() OVER (ORDER BY
+    * sim DESC, cell)` picking rn=1. Per-row pure math: replaces the
+    * explode(k) + window-argmax plan, which inflated the corpus k-fold
+    * and shuffled ALL of it on vec_id. This is a map-only scan.
+    */
+  def bestCell(a: ArrayData, cents: Array[Double], k: Int): Int = {
+    val dim = a.numElements()
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val s = dotCentroid(a, cents, c, dim)
+      if (s > bestSim) { bestSim = s; best = c } // strict > keeps lowest cell on ties
+      c += 1
+    }
+    best
+  }
+
+  /** Query-side IVF probe: the `nprobe` nearest cells by (dot desc,
+    * cell asc) — same ordering as the window formulation it replaces.
+    * k is small (16 here), so selection is a simple partial sort.
+    */
+  def topCells(a: ArrayData, cents: Array[Double], k: Int, nprobe: Int): ArrayData = {
+    val dim = a.numElements()
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) { sims(c) = dotCentroid(a, cents, c, dim); c += 1 }
+    val idx = Array.tabulate(k)(identity)
+    // selection sort of the first nprobe positions by (sim desc, cell asc);
+    // the tie-break is explicit because swaps perturb positional order
+    val n = math.min(nprobe, k)
+    var i = 0
+    while (i < n) {
+      var m = i
+      var j = i + 1
+      while (j < k) {
+        val sj = sims(idx(j)); val sm = sims(idx(m))
+        if (sj > sm || (sj == sm && idx(j) < idx(m))) m = j
+        j += 1
+      }
+      val t = idx(i); idx(i) = idx(m); idx(m) = t
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(idx, 0, n))
+  }
+
   /** Cosine similarity between two float vectors, accumulated in double
     * in index order (deterministic, matches a sequential oracle).
     */

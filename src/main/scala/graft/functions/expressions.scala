@@ -155,6 +155,44 @@ case class LshBucketsExpr(child: Expression, nBits: Int, nTables: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF coarse-quantizer cell assignment as a map-only kernel: the
+  * centroid matrix (flattened [k x dim]) rides inside the expression
+  * and ships with the serialized plan to every executor — a broadcast
+  * in all but name, sized k*dim doubles (8 KiB at 16x64). Replaces an
+  * explode(k) + window-argmax plan that shuffled the whole corpus.
+  */
+case class BestCellExpr(child: Expression, cents: Array[Double], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "best_cell"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.bestCell(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bestCell($c, $ref, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Query-side IVF probe ranking: the nprobe nearest cells per vector,
+  * same matrix-in-expression shape as [[BestCellExpr]].
+  */
+case class TopCellsExpr(child: Expression, cents: Array[Double], k: Int, nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.topCells(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, k, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.topCells($c, $ref, $k, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -190,6 +228,10 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
+  def best_cell(a: Column, cents: Array[Double], k: Int): Column =
+    c(BestCellExpr(e(a), cents, k))
+  def top_cells(a: Column, cents: Array[Double], k: Int, nprobe: Int): Column =
+    c(TopCellsExpr(e(a), cents, k, nprobe))
 
   /** Idempotent SQL-surface registration (`SELECT fuzz_ratio(a, b)`).
     * The name -> builder list lives in GraftExtensions.functionSpecs —

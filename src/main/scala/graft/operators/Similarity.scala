@@ -92,13 +92,18 @@ object Similarity {
     * seed centroids builds a 16-cell coarse quantizer; each query probes
     * its `nprobe`=4 nearest cells and rescores exactly within them.
     *
-    * The centroid table is tiny (k x dim) and driver-materialized; the
-    * corpus is only ever scanned distributedly — assignment is a
-    * broadcast-centroids argmax per row, and the probe join hits the
-    * cell-partitioned corpus on `cell`. At 100 TB the assignment
-    * becomes a one-off bucketed write (`Scale.writeBucketed` on cell)
-    * that every subsequent query batch reuses without a shuffle.
-    * Approximate -> rows-only check (recall measured in SimilaritySpec).
+    * The centroid table is tiny (k x dim), driver-materialized, and
+    * rides INSIDE the `best_cell`/`top_cells` kernel expressions, so
+    * cell assignment is a map-only scan — zero shuffle, no row
+    * inflation (the previous explode(k) + window-argmax formulation
+    * shuffled the entire corpus on vec_id, twice). Likewise the Lloyd
+    * mean is 64 per-dim `avg` aggregates over one pass of the assigned
+    * scan (partial-agg: k x (dim+1) values per partition cross the
+    * wire) instead of a posexplode that inflated rows dim-fold. At
+    * 100 TB the assignment becomes a one-off bucketed write
+    * (`Scale.writeBucketed` on cell) that every subsequent query batch
+    * reuses without a shuffle. Approximate -> rows-only check (recall
+    * measured in SimilaritySpec).
     */
   val q47_knn_ivf: Q = (spark, dir) => {
     import spark.implicits._
@@ -106,22 +111,10 @@ object Similarity {
     val nprobe = 4
     val emb = Tables.load(spark, dir, "embeddings")
 
-    def centroidCols(cs: Array[Array[Double]]) =
-      cs.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("cell"),
-          array(c.map(lit): _*).as("cvec")).as(s"c$i")
-      }
-    def assign(df: DataFrame, cs: Array[Array[Double]]): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
+    def assign(df: DataFrame, cs: Array[Array[Double]]): DataFrame =
       df.select($"vec_id", $"embedding",
-          explode(array(centroidCols(cs): _*)).as("c"))
-        .select($"vec_id", $"embedding", $"c.cell",
-          aggregate(zip_with($"embedding", $"c.cvec", (x, y) => x.cast("double") * y),
-            lit(0.0), (a, v) => a + v).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" === 1)
-        .select($"vec_id", $"embedding", $"cell")
-    }
+        best_cell($"embedding", cs.flatten, k).as("cell"))
+
     val refined = centroidCache.computeIfAbsent(dir, _ => {
       // deterministic seeds: the k lowest hashed-vec_id vectors
       val seeds = emb
@@ -130,26 +123,21 @@ object Similarity {
         .orderBy($"h").limit(k)
         .collect()
         .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
-      // one Lloyd refinement: mean of assigned vectors per cell
+      val dim = seeds.head.length
+      // one Lloyd refinement: mean of assigned vectors per cell, one
+      // aggregate per dimension (single corpus pass, map-side partials)
+      val means = (0 until dim).map(d => avg($"embedding".getItem(d)).as(s"m$d"))
       assign(emb, seeds)
-        .select($"cell", posexplode($"embedding").as(Seq("dim", "v")))
-        .groupBy($"cell", $"dim").agg(avg($"v").as("m"))
-        .collect().groupBy(_.getInt(0))
-        .toArray.sortBy(_._1)
-        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)))
+        .groupBy($"cell").agg(means.head, means.tail: _*)
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(r => Array.tabulate(dim)(d => r.getDouble(d + 1)))
     })
     val corpus = assign(emb, refined)
-    // probe nprobe cells: rank all cells per query, keep top nprobe
+    // probe nprobe cells per query: a map-only kernel, no window
     val probes = emb.where($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        explode(array(centroidCols(refined): _*)).as("c"))
-      .select($"q_id", $"q_emb", $"c.cell",
-        aggregate(zip_with($"q_emb", $"c.cvec", (x, y) => x.cast("double") * y),
-          lit(0.0), (a, v) => a + v).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"sim".desc, $"cell")))
-      .where($"rn" <= nprobe)
-      .select($"q_id", $"q_emb", $"cell")
+        explode(top_cells($"embedding", refined.flatten, k, nprobe)).as("cell"))
     val wr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     corpus.join(broadcast(probes), "cell")
       .where($"vec_id" =!= $"q_id")
