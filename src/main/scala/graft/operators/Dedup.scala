@@ -17,8 +17,9 @@ import graft.functions.GraftFunctions._
   *  - SimHash: 64-bit SimHash → 4 × 16-bit bands. Pigeonhole: any pair
   *             at Hamming distance <= 3 shares at least one exact band,
   *             so the band join is a lossless blocking for d <= 3.
-  *  - n-gram:  exact char-3-gram Jaccard within (source, length-ratio)
-  *             blocks — quadratic only inside a block.
+  *  - n-gram:  exact char-3-gram Jaccard within (source, log2-length
+  *             bucket) blocks — the ratio prune is in the join key;
+  *             quadratic only inside a (source, bucket) block.
   */
 object Dedup {
   import Relational.Q
@@ -106,16 +107,41 @@ object Dedup {
   /** Exact n-gram Jaccard similarity pairs within (same source,
     * length-ratio <= 2) blocks at threshold 0.3. The length filter is
     * a standard Jaccard upper-bound prune: j(A,B) <= min/max sizes.
+    *
+    * The ratio prune lives IN the join key, not after the join: each
+    * doc gets a coarse length bucket `floor(log2(n_chars))`, one side
+    * also emits its two neighbor buckets, and the pair join is an
+    * equi-join on (source, bucket). Ratio <= 2 implies the buckets
+    * differ by at most 1 (floor(x)-floor(y) <= x-y+1 < 2 for
+    * |x-y| <= 1), so the blocking is lossless, and each qualifying
+    * pair meets in EXACTLY one bucket of the b-side's three — no
+    * dedup needed. A join keyed on source alone materializes
+    * O(|source-block|^2) pairs before any prune; with a handful of
+    * sources at 100 TB each block is the corpus. The exact ratio
+    * `where` stays as the in-bucket refinement. Unlike q29 (where a
+    * doc's candidate multiplicity is unbounded, forcing grams to join
+    * back by id), here each doc rides the shuffle at most 1x + 3x, so
+    * the gram arrays travel WITH the join sides — bounded payload, no
+    * pair-keyed join-backs (measured faster than a doc_id join-back
+    * formulation at sf0.1, which loses broadcast eligibility once the
+    * gram table passes the 10 MB threshold). Measured trade-off at
+    * sf0.1 (20 sources x 250 docs, lengths within ~4 octaves): the
+    * buckets prune only ~22% of pairs, so this runs ~0.6 s slower
+    * than the source-only join — the regime that matters is few
+    * sources x millions of docs, where source-only blocking is
+    * O(corpus^2) and this stays O(sum of block^2).
     */
   val q31_dedup_ngram: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", gram_set($"text", 3).as("grams"), $"source", $"n_chars")
+      .select($"doc_id", gram_set($"text", 3).as("grams"), $"source",
+        $"n_chars", floor(log2(greatest($"n_chars", lit(1)))).as("bkt"))
     val a = docs.select($"doc_id".as("doc_a"), $"grams".as("grams_a"),
-      $"source", $"n_chars".as("len_a"))
+      $"source", $"n_chars".as("len_a"), $"bkt")
     val b = docs.select($"doc_id".as("doc_b"), $"grams".as("grams_b"),
-      $"source", $"n_chars".as("len_b"))
-    a.join(b, "source")
+      $"source", $"n_chars".as("len_b"),
+      explode(array($"bkt" - 1, $"bkt", $"bkt" + 1)).as("bkt"))
+    a.join(b, Seq("source", "bkt"))
       .where($"doc_a" < $"doc_b" &&
         $"len_b" * 2 >= $"len_a" && $"len_b" <= $"len_a" * 2)
       .withColumn("jac", jaccard_sorted($"grams_a", $"grams_b"))
