@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vertical partitioning of one wide denormalized frame into N narrow
@@ -39,14 +38,30 @@ object VerticalSplit {
   /** Composite formatted natural key with a 1-based zero-padded ordinal
     * (reference F12 track_tag: "{i:03d} | {artist} | {album} |
     * {track#:02d}-{title}", postgres_media.py:256-260). The ordinal is
-    * a row_number over the caller's ordering — the only observable
-    * per-row-loop effect in the reference, reproduced declaratively.
+    * a global row number over the caller's ordering.
+    *
+    * NOT a `Window.orderBy` with no partition key: an unpartitioned
+    * window funnels every row through a single task. Instead the frame
+    * is range-sort-partitioned (parallel), and the contiguous 1-based
+    * index comes from `zipWithIndex` — one extra lightweight job to
+    * count partition sizes, zero single-task walls. The RDD hop drops
+    * out of whole-stage codegen for this one stamping step; that is
+    * the price of a contiguous global ordinal at scale.
     */
   def withTag(df: DataFrame, orderBy: Seq[Column], parts: Seq[Column],
       tagCol: String = "tag"): DataFrame = {
-    val w = Window.orderBy(orderBy: _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.sort(orderBy: _*)
+    val rnField = "__graft_rn"
+    val schema = sorted.schema.add(rnField, LongType, nullable = false)
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
     val fmt = "%03d | " + Seq.fill(parts.size)("%s").mkString(" | ")
-    df.withColumn(tagCol,
-      format_string(fmt, row_number().over(w) +: parts: _*))
+    indexed
+      .withColumn(tagCol, format_string(fmt, col(rnField) +: parts: _*))
+      .drop(rnField)
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -21,26 +19,7 @@ class MediaPipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val fixturePath: String = {
-    val dir = Files.createTempDirectory("media_fixture")
-    val artists = Seq("alpha band", "beta trio", "gamma duo", "delta act")
-    val lines = (1 to 12).map { i =>
-      val artist = artists((i - 1) % 4)
-      val gain = if (i == 12) "0.0" else s""""-${i}.25""""  // mixed type quirk
-      s"""{"index":"${f"$i%03d"}","file_size":${1000000 * i},"readable_size":"${i}.0 MiB",""" +
-        s""""file_ext":"${if (i % 3 == 0) ".flac" else ".mp3"}","artist_name":"$artist",""" +
-        s""""album_title":"album_$i","track_title":"track_$i","track_number":"$i",""" +
-        s""""track_length":"0:0$i:00","music_genre":"${if (i % 2 == 0) "genre_even" else "genre_odd"}",""" +
-        s""""genre_in_dict":"GENRE_OK","album_art":"ALBUM_ART","year":"${2000 + i}","rating":${i % 5}.0,""" +
-        s""""encoder":"","composer":"$artist","conductor":"","comment":"","track_gain":"-${i}.5",""" +
-        s""""album_gain":$gain,"bitrate":320000,"sampling_rate":44100,"file_name":"f$i.mp3",""" +
-        s""""path_len":"${100 + i}","last_modified":"2020-01-0${i % 9 + 1} 10:00:00.000000",""" +
-        s""""encoding":"ascii","hash":"HASH$i","artist_id":"art_${(i - 1) % 4}","album_id":"alb_$i",""" +
-        s""""track_id":"trk_$i"}"""
-    }
-    Files.writeString(Paths.get(dir.toString, "local_media_x.json"), lines.mkString("\n"))
-    dir.toString
-  }
+  private lazy val fixturePath: String = MediaFixture.path
 
   test("load: declared schema + typed casts survive the mixed-type quirk") {
     val wide = new MediaPipeline(spark).load(fixturePath + "/*.json")
