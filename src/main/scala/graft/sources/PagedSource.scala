@@ -25,15 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * budget (reference: 0.5 s sleep between calls — sequential there,
   * budgeted-parallel here).
   *
-  * The remote API is simulated by [[FakeApi]] — a deterministic
-  * in-process endpoint (zero-egress container) producing the same page
-  * payloads for the same (offset, limit) forever; swap it for an HTTP
-  * client and nothing else changes.
+  * The API itself sits behind the [[SpotifyService]] trait; which
+  * implementation to use is an option (`service` = fully-qualified
+  * name, resolved again executor-side since V2 options are strings).
+  * [[FakeApi]] is the default — a deterministic in-process endpoint
+  * (zero-egress container) producing the same page payloads for the
+  * same (offset, limit) forever; an HTTP implementation plugs in via
+  * the same option with no source changes (PagedSourceSpec proves the
+  * swap with a second implementation).
   *
   * Usage:
   * {{{
   * spark.read.format("graft.sources.PagedSourceProvider")
-  *   .option("total", 5000).option("pageSize", 50).load()
+  *   .option("total", 5000).option("pageSize", 50)
+  *   .option("service", "graft.sources.FakeApi").load()
   * }}}
   */
 class PagedSourceProvider extends TableProvider {
@@ -43,8 +48,10 @@ class PagedSourceProvider extends TableProvider {
     new PagedTable(new CaseInsensitiveStringMap(properties))
 }
 
-/** Deterministic in-process stand-in for the remote paginated API. */
-object FakeApi {
+/** Deterministic in-process [[SpotifyService]] stand-in for the remote
+  * paginated API (the offline default — zero-egress container).
+  */
+object FakeApi extends SpotifyService {
   val schema: StructType = StructType(Seq(
     StructField("item_id", LongType, nullable = false),
     StructField("name", StringType, nullable = false),
@@ -56,15 +63,19 @@ object FakeApi {
   /** The reference probes total with a limit=1 request
     * (spotify_client.py:527-529); here the "server" reports it.
     */
-  def probeTotal(configuredTotal: Int): Int = configuredTotal
+  override def probeTotal(configuredTotal: Int): Int = configuredTotal
 
   /** One page of results; empty past the end (the loop-until-empty
     * contract — the reference does not trust `total`, README.md:148-149).
     */
-  def page(offset: Int, limit: Int, total: Int): Seq[(Long, String, String, Int)] =
+  override def page(offset: Int, limit: Int, total: Int): Seq[(Long, String, String, Int)] =
     (offset until math.min(offset + limit, total)).map { i =>
       (i.toLong, s"track_$i", categories(i % categories.length), i * 37 % 101)
     }
+
+  /** Deterministic fake feature endpoint: one "call" per id batch. */
+  override def featureBatch(ids: Seq[Long]): Seq[(Long, Double)] =
+    ids.map(id => id -> (id * 2654435761L % 1000) / 10.0)
 }
 
 class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -80,29 +91,41 @@ class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
 }
 
 class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
-  override def build(): Scan = new PagedScan(
-    total = options.getInt("total", 1000),
-    pageSize = options.getInt("pageSize", 50),
-    rateMs = options.getLong("ratePerPartitionMs", 0L))
+  override def build(): Scan = {
+    import scala.jdk.CollectionConverters._
+    new PagedScan(
+      total = options.getInt("total", 1000),
+      pageSize = options.getInt("pageSize", 50),
+      rateMs = options.getLong("ratePerPartitionMs", 0L),
+      serviceClass = options.getOrDefault("service", "graft.sources.FakeApi"),
+      connectOptions = options.asScala.toMap)
+  }
 }
 
-class PagedScan(total: Int, pageSize: Int, rateMs: Long) extends Scan with Batch {
+class PagedScan(total: Int, pageSize: Int, rateMs: Long,
+    serviceClass: String, connectOptions: Map[String, String])
+  extends Scan with Batch {
   override def readSchema(): StructType = FakeApi.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"PagedScan(total=$total, pageSize=$pageSize, rateMs=$rateMs)"
+    s"PagedScan(total=$total, pageSize=$pageSize, rateMs=$rateMs, service=$serviceClass)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // planning-time probe (the limit=1 total request)
-    val probed = FakeApi.probeTotal(total)
+    // planning-time probe (the limit=1 total request), against the
+    // configured service — the driver-side connect+probe
+    val svc = SpotifyService.resolve(serviceClass)
+    svc.connect(connectOptions)
+    val probed = svc.probeTotal(total)
     val nPages = (probed + pageSize - 1) / pageSize
-    (0 until nPages).map(p => PagePartition(p * pageSize, pageSize, probed, rateMs)
+    (0 until nPages).map(p =>
+      PagePartition(p * pageSize, pageSize, probed, rateMs, serviceClass, connectOptions)
       : InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = PagedReaderFactory
 }
 
-case class PagePartition(offset: Int, limit: Int, total: Int, rateMs: Long)
+case class PagePartition(offset: Int, limit: Int, total: Int, rateMs: Long,
+    serviceClass: String, connectOptions: Map[String, String])
   extends InputPartition
 
 /** Batched point-lookup against the API (reference S6: audio-features
@@ -113,17 +136,14 @@ case class PagePartition(offset: Int, limit: Int, total: Int, rateMs: Long)
   * ids stay distributed (no driver collect).
   */
 object BatchedLookup {
-  import org.apache.spark.sql.{DataFrame, Encoders}
+  import org.apache.spark.sql.DataFrame
 
-  /** Deterministic fake feature endpoint: one "call" per id batch. */
-  def featureBatch(ids: Seq[Long]): Seq[(Long, Double)] =
-    ids.map(id => id -> (id * 2654435761L % 1000) / 10.0)
-
-  def features(df: DataFrame, idCol: String, batchSize: Int = 50): DataFrame = {
+  def features(df: DataFrame, idCol: String, batchSize: Int = 50,
+      service: SpotifyService = FakeApi): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(idCol).as[Long]
-      .mapPartitions(_.grouped(batchSize).flatMap(b => featureBatch(b.toSeq)))
+      .mapPartitions(_.grouped(batchSize).flatMap(b => service.featureBatch(b.toSeq)))
       .toDF("id", "feature")
   }
 }
@@ -132,9 +152,12 @@ object PagedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      // per-partition rate limit before the page "request"
+      // executor-side service resolution (V2 options are strings) +
+      // the per-reader connect (OAuth2 seam), then the rate gate
+      private val svc = SpotifyService.resolve(p.serviceClass)
+      svc.connect(p.connectOptions)
       if (p.rateMs > 0) Thread.sleep(p.rateMs)
-      private val rows = FakeApi.page(p.offset, p.limit, p.total).iterator
+      private val rows = svc.page(p.offset, p.limit, p.total).iterator
       private var cur: (Long, String, String, Int) = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
       override def get(): InternalRow =

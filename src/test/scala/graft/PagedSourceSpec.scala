@@ -3,6 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.SpotifyService
+
+/** A second [[SpotifyService]] implementation proving the seam: caps
+  * the probed total (its "server" has fewer items than configured),
+  * serves differently-named rows, and records the connect() handshake.
+  */
+object ToyApi extends SpotifyService {
+  @volatile var connects: Int = 0
+  @volatile var lastClientId: String = ""
+  override def connect(options: Map[String, String]): Unit = {
+    connects += 1
+    lastClientId = options.getOrElse("clientid", "") // V2 lower-cases keys
+  }
+  override def probeTotal(configuredTotal: Int): Int = math.min(configuredTotal, 60)
+  override def page(offset: Int, limit: Int, total: Int): Seq[(Long, String, String, Int)] =
+    (offset until math.min(offset + limit, total)).map(i => (i.toLong, s"toy_$i", "toy", 1))
+  override def featureBatch(ids: Seq[Long]): Seq[(Long, Double)] =
+    ids.map(_ -> 42.0)
+}
+
 class PagedSourceSpec extends AnyFunSuite {
   private lazy val spark = SparkSession.builder()
     .master("local[8]")
@@ -45,5 +65,31 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(out.count() == 120)
     val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(m(3L) == (3L * 2654435761L % 1000) / 10.0)
+  }
+
+  test("service seam: a second implementation swaps in via the option") {
+    ToyApi.connects = 0
+    val df = spark.read.format("graft.sources.PagedSourceProvider")
+      .option("total", 503).option("pageSize", 25)
+      .option("service", "graft.ToyApi")
+      .option("clientId", "toy-credentials")
+      .load()
+    // the TOY's probe caps total at 60 -> 3 pages of 25, 60 rows
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 60)
+    assert(df.where("name = 'toy_7'").count() == 1)
+    assert(df.where("category = 'toy'").count() == 60)
+    // connect() ran (planning probe + one per reader) with the options
+    assert(ToyApi.connects >= 4)
+    assert(ToyApi.lastClientId == "toy-credentials")
+    // the default path is unchanged by the seam
+    assert(read(total = 60, pageSize = 25).where("name = 'track_7'").count() == 1)
+  }
+
+  test("service seam: batched lookup takes an injected implementation") {
+    import spark.implicits._
+    val out = graft.sources.BatchedLookup.features(
+      (0L until 10L).toDF("id"), "id", batchSize = 4, service = ToyApi)
+    assert(out.collect().forall(_.getDouble(1) == 42.0))
   }
 }
