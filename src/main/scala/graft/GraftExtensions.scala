@@ -31,11 +31,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
+
+  /** Tuning parameters (k, bands, ...) are INT LITERALS in SQL — they
+    * parameterize the kernel, they are not per-row data. Optional with
+    * the same defaults as the Scala column API.
+    */
+  private def intArg(xs: Seq[Expression], i: Int, default: Int, fn: String): Int =
+    if (xs.length <= i) default
+    else xs(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INT literal, got $other")
+    }
+
+  /** The complete SQL surface — every kernel the Scala column API
+    * exposes (q29's whole dedup pipeline runs as pure SQL; see
+    * ScaleSpec). `best_cell`/`top_cells` are deliberately absent: their
+    * centroid matrix is an index artifact bound at plan-build time,
+    * not a SQL-expressible literal.
+    */
   private[graft] val functionSpecs: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fuzz_ratio" -> (xs => FuzzRatioExpr(xs.head, xs(1))),
     "ascii_fold" -> (xs => AsciiFoldExpr(xs.head)),
     "sim_hash" -> (xs => SimHashExpr(xs.head)),
-    "doc_fingerprint" -> (xs => DocFingerprintExpr(xs.head, 8)),
-    "jaccard_grams" -> (xs => JaccardGramsExpr(xs.head, xs(1), 3)),
-    "cosine_sim" -> (xs => CosineSimExpr(xs.head, xs(1))))
+    "doc_fingerprint" -> (xs =>
+      DocFingerprintExpr(xs.head, intArg(xs, 1, 8, "doc_fingerprint"))),
+    "min_hash" -> (xs => MinHashExpr(xs.head, intArg(xs, 1, 3, "min_hash"))),
+    "min_hash_bands" -> (xs => MinHashBandsExpr(xs.head,
+      intArg(xs, 1, 3, "min_hash_bands"),
+      intArg(xs, 2, 16, "min_hash_bands"),
+      intArg(xs, 3, 4, "min_hash_bands"))),
+    "min_hash_bands_words" -> (xs => MinHashBandsWordsExpr(xs.head,
+      intArg(xs, 1, 3, "min_hash_bands_words"),
+      intArg(xs, 2, 16, "min_hash_bands_words"),
+      intArg(xs, 3, 4, "min_hash_bands_words"))),
+    "gram_set" -> (xs => GramSetExpr(xs.head, intArg(xs, 1, 3, "gram_set"))),
+    "jaccard_sorted" -> (xs => JaccardSortedExpr(xs.head, xs(1))),
+    "jaccard_grams" -> (xs =>
+      JaccardGramsExpr(xs.head, xs(1), intArg(xs, 2, 3, "jaccard_grams"))),
+    "cosine_sim" -> (xs => CosineSimExpr(xs.head, xs(1))),
+    "lsh_buckets" -> (xs => LshBucketsExpr(xs.head,
+      intArg(xs, 1, 6, "lsh_buckets"), intArg(xs, 2, 12, "lsh_buckets"))),
+    "top_k_by" -> (xs => TopKByAgg(xs.head, xs(1),
+      intArg(xs, 2, 3, "top_k_by")).toAggregateExpression()),
+    "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))))
 }

@@ -104,6 +104,49 @@ class ScaleSpec extends AnyFunSuite {
       // the planner strategy is installed session-wide
       assert(s2.sessionState.planner.strategies
         .contains(graft.plans.AsOfJoinStrategy))
+
+      // the FULL kernel surface is SQL-exposed: q29's near-dup
+      // pipeline (signature -> bands -> candidate join -> exact
+      // verify) as pure SQL, equal to the DataFrame formulation
+      s2.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+      val sqlPairs = s2.sql(
+        """WITH bands AS (
+          |  SELECT doc_id, b.band, b.key
+          |  FROM documents
+          |  LATERAL VIEW posexplode(min_hash_bands_words(text, 3, 16, 4)) b AS band, key),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          |grams AS (SELECT doc_id, gram_set(text, 3) AS grams FROM documents)
+          |SELECT doc_a, doc_b, jaccard_sorted(ga.grams, gb.grams) AS jac
+          |FROM cand
+          |JOIN grams ga ON ga.doc_id = doc_a
+          |JOIN grams gb ON gb.doc_id = doc_b
+          |WHERE jaccard_sorted(ga.grams, gb.grams) >= 0.8
+          |ORDER BY doc_a, doc_b""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val dfPairs = SparkEntry.queries("q29_dedup_minhash")(s2, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(sqlPairs.nonEmpty && sqlPairs == dfPairs)
+
+      // remaining kernels answer from SQL with literal tuning params
+      val k = s2.sql(
+        """SELECT min_hash('abcdef', 3)[0] AS mh,
+          |       doc_fingerprint('abcdef', 4) AS fp,
+          |       size(lsh_buckets(array(1.0F, 2.0F), 6, 12)) AS nt,
+          |       sum(1) AS one
+          |FROM range(1)""".stripMargin).collect()(0)
+      assert(k.getInt(2) == 12)
+      // top_k_by (aggregate) and ngrams (generator) via SQL
+      val tk = s2.sql(
+        """SELECT top_k_by(CAST(id AS DOUBLE), id, 2) AS top
+          |FROM range(10)""".stripMargin).collect()(0)
+      assert(tk.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(9L, 8L))
+      val ng = s2.sql(
+        "SELECT ngram FROM (SELECT 'abcd' AS s) LATERAL VIEW ngrams(s, 2) g AS ngram")
+        .collect().map(_.getString(0)).toSeq
+      assert(ng == Seq("ab", "bc", "cd"))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
