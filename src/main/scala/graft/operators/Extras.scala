@@ -16,6 +16,13 @@ object Extras {
   /** Bytes → human-readable size ladder (reference F13
     * get_readable_size, util/logger.py:11-20). Decimal-typed rounding
     * so the string render is engine-exact.
+    *
+    * DOCUMENTED DIVERGENCE from the reference: util/logger.py:13-19
+    * divides by 1000 at each rung while labeling the result KiB/MiB/
+    * GiB (binary-unit names on decimal arithmetic). This
+    * implementation uses 1024 divisors to match the binary labels —
+    * a deliberate correction, not an oversight; a bug-compatible
+    * variant would only need the three divisor constants changed.
     */
   val q37_readable_size: Q = (spark, dir) => {
     import spark.implicits._
@@ -91,6 +98,25 @@ object Extras {
     graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
       .select($"p_event", $"user_id", $"c_event")
       .orderBy($"p_event")
+  }
+
+  /** Distribution-ranking windows (§2.7 extension): quartile bucket,
+    * percent_rank, cume_dist per order-priority partition. The
+    * ordering key (o_totalprice, o_orderkey) is a total order, so
+    * ntile's bucket boundaries and the rank fractions are
+    * deterministic; percent_rank/cume_dist are exact integer ratios
+    * computed in double — engine-exact.
+    */
+  val q43_rank_windows: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderkey")
   }
 
   /** Post-aggregation filter (HAVING). */
@@ -338,6 +364,14 @@ object Extras {
     "q42_uri_concat" ->
       """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
         |FROM events ORDER BY event_id""".stripMargin,
+    "q43_rank_windows" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q44_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
@@ -351,6 +385,7 @@ object Extras {
     "q40_cube" -> q40_cube,
     "q41_asof_join" -> q41_asof_join,
     "q42_uri_concat" -> q42_uri_concat,
+    "q43_rank_windows" -> q43_rank_windows,
     "q45_paged_source" -> q45_paged_source,
     "q46_batched_lookup" -> q46_batched_lookup,
     "q48_sessionize" -> q48_sessionize,
