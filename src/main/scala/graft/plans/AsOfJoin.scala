@@ -141,27 +141,54 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** Public DataFrame-level API. */
 object AsOf {
 
+  /** True when [[AsOfJoinStrategy]] is installed session-wide (the
+    * production path: `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  private def viaExtensions(spark: SparkSession): Boolean =
+    spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)
+
   /** Left as-of join: for each left row, the latest right row with
     * `right(timeRight) <= left(timeLeft)` and equal key. Column names
     * must be disjoint between the two sides (alias beforehand).
     * Time columns must be integral (epoch numbers); timestamps compare
     * by their internal micros via cast upstream.
+    *
+    * Sessions built with [[graft.GraftExtensions]] get the AQE-friendly
+    * plan: no user repartition, EnsureRequirements inserts the two
+    * hash exchanges and AQE is free to coalesce them (it coalesces the
+    * sibling stages of a co-partitioning-requiring binary node as one
+    * group — the same guarantee SortMergeJoin leans on, verified in
+    * AsOfJoinSpec). Sessions without extensions self-install via
+    * `experimental.extraStrategies` and pre-partition explicitly.
     */
   def join(left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String,
-      timeLeft: String, timeRight: String): DataFrame = {
+      timeLeft: String, timeRight: String): DataFrame =
+    join(left, right, keyLeft, keyRight, timeLeft, timeRight,
+      preShuffle = !viaExtensions(left.sparkSession))
+
+  /** As [[join]], with the co-partitioning mode explicit:
+    * `preShuffle = true` pins both sides to a fixed-count repartition
+    * on the key (user-numbered repartitions are exempt from AQE
+    * coalescing); `false` leaves the exchanges to EnsureRequirements.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      timeLeft: String, timeRight: String,
+      preShuffle: Boolean): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+    if (!viaExtensions(spark) &&
+        !spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    // Explicit fixed-count pre-partitioning on the key: co-partitions
-    // both sides deterministically (user-numbered repartitions are
-    // exempt from AQE coalescing, which would otherwise break the
-    // 1:1 zipPartitions pairing for a custom binary node).
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val lp = GraftBridge.analyzedPlan(left.repartition(n, col(keyLeft)))
-    val rp = GraftBridge.analyzedPlan(right.repartition(n, col(keyRight)))
+    val (l, r) =
+      if (preShuffle) {
+        val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        (left.repartition(n, col(keyLeft)), right.repartition(n, col(keyRight)))
+      } else (left, right)
+    val lp = GraftBridge.analyzedPlan(l)
+    val rp = GraftBridge.analyzedPlan(r)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))

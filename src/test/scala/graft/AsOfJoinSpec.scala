@@ -84,4 +84,55 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
     assert(gotRt == oracleRt)
   }
+
+  test("extensions session: AQE-coalesced plan (no pre-repartition) stays aligned") {
+    spark.sparkContext // ensure the shared context exists first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // aggressive AQE coalescing + ASYMMETRIC side sizes: if the two
+      // ENSURE_REQUIREMENTS exchanges coalesced independently they
+      // would land on different partition counts/boundaries and the
+      // merge would misalign — this pins the SMJ-style guarantee that
+      // sibling stages of a co-partitioning binary node coalesce as
+      // one group.
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      import s2.implicits._
+      val l = (0 until 5000).map(i => (i.toLong % 500, (i * 37 % 1000).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      val r = (0 until 100000).map(i => (i.toLong % 500, (i * 61 % 1000).toLong, i.toLong))
+        .toDF("rk", "rt", "rid")
+      def rtMap(preShuffle: Boolean) =
+        AsOf.join(l, r, "k", "rk", "t", "rt", preShuffle)
+          .select($"lid", $"rt").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      val oracleRt = l.join(r, $"k" === $"rk" && $"rt" <= $"t", "left")
+        .groupBy($"lid").agg(max($"rt").as("rt"))
+        .select($"lid", $"rt").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      // green BOTH ways: the AQE-friendly default and the pinned path
+      assert(rtMap(preShuffle = false) == oracleRt)
+      assert(rtMap(preShuffle = true) == oracleRt)
+      // the extensions default really drops the user repartition
+      val plan = AsOf.join(l, r, "k", "rk", "t", "rt")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("REPARTITION_BY_NUM"), s"unexpected pinned repartition:\n$plan")
+      assert(plan.contains("ENSURE_REQUIREMENTS"), s"expected planner exchanges:\n$plan")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
