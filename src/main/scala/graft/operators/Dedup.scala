@@ -20,6 +20,9 @@ import graft.functions.GraftFunctions._
   *  - n-gram:  exact char-3-gram Jaccard within (source, log2-length
   *             bucket) blocks — the ratio prune is in the join key;
   *             quadratic only inside a (source, bucket) block.
+  *  - embedding-cosine: exact broadcast all-pairs baseline (q58) and
+  *             the SemDeDup-style IVF-cell-blocked scale path (q59,
+  *             multi-probe blocking + exact rescoring).
   */
 object Dedup {
   import Relational.Q
@@ -150,6 +153,57 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs, EXACT: every pair with
+    * cosine >= 0.45 (the corpus is weakly clustered — max pair cosine
+    * ~0.5 — so the threshold sits just under the top of the real
+    * distribution and the output is small and meaningful).
+    *
+    * Plan shape: broadcast the (id, embedding) pairs once and score
+    * all-pairs map-side — zero shuffle, fully parallel, right for a
+    * corpus that fits a broadcast (2k x 64 floats here). This is the
+    * verification BASELINE: all-pairs work is quadratic however it is
+    * partitioned, so at 100 TB you run q59 (IVF-cell-blocked, linear
+    * in sum-of-cell^2) and audit its recall against this on samples.
+    */
+  val q58_dedup_embedding: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+      .crossJoin(broadcast(b))
+      .where($"vec_a" < $"vec_b")
+      .withColumn("cos", cosine_sim($"emb_a", $"emb_b"))
+      .where($"cos" >= 0.45)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale (SemDeDup shape):
+    * each vector is assigned to its nprobe=2 nearest IVF cells by the
+    * map-only `top_cells` kernel, candidate pairs meet in an equi-join
+    * on the cell id, and exact cosine rescoring keeps pairs >= 0.45.
+    * Work is sum-of-cell-pairs^2 instead of corpus^2; multi-probe
+    * (2 cells/vector) recovers pairs that straddle a cell boundary.
+    * Approximate -> rows-only check; recall vs the exact q58 baseline
+    * is pinned in SimilaritySpec.
+    */
+  val q59_dedup_embedding_ivf: Q = (spark, dir) => {
+    import spark.implicits._
+    val cents = Similarity.centroids(spark, dir)
+    val cells = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        explode(top_cells($"embedding", cents.flatten, cents.length, 2)).as("cell"))
+    val a = cells.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"cell")
+    val b = cells.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"cell")
+    a.join(b, "cell")
+      .where($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", cosine_sim($"emb_a", $"emb_b").as("cos"))
+      .where($"cos" >= 0.45)
+      .dropDuplicates("vec_a", "vec_b") // a pair can share both probed cells
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   private val gramsCte =
     """WITH g AS (
       |  SELECT doc_id, text, source, n_chars,
@@ -183,11 +237,22 @@ object Dedup {
           | AND b.n_chars * 2 >= a.n_chars AND b.n_chars <= a.n_chars * 2
           |WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
           |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.3
-          |ORDER BY doc_a, doc_b""".stripMargin))
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q58_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)
 
   val queries: Map[String, Q] = Map(
     "q28_dedup_exact" -> q28_dedup_exact,
     "q29_dedup_minhash" -> q29_dedup_minhash,
     "q30_dedup_simhash" -> q30_dedup_simhash,
-    "q31_dedup_ngram" -> q31_dedup_ngram)
+    "q31_dedup_ngram" -> q31_dedup_ngram,
+    "q58_dedup_embedding" -> q58_dedup_embedding,
+    "q59_dedup_embedding_ivf" -> q59_dedup_embedding_ivf)
 }

@@ -88,6 +88,35 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** The 16-cell coarse quantizer for a data dir (built once, memoized;
+    * see [[centroidCache]]): deterministic hashed-id seeds + one Lloyd
+    * refinement computed as per-dimension `avg` aggregates in a single
+    * corpus pass. Shared by q47 (ANN probe) and q59 (SemDeDup-style
+    * embedding near-dup blocking).
+    */
+  private[operators] def centroids(spark: SparkSession, dir: String, k: Int = 16): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val emb = Tables.load(spark, dir, "embeddings")
+      // deterministic seeds: the k lowest hashed-vec_id vectors
+      val seeds = emb
+        .select($"vec_id", $"embedding",
+          graft.functions.GraftFunctions.doc_fingerprint(concat(lit("seed"), $"vec_id"), 4).as("h"))
+        .orderBy($"h").limit(k)
+        .collect()
+        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+      val dim = seeds.head.length
+      // one Lloyd refinement: mean of assigned vectors per cell, one
+      // aggregate per dimension (single corpus pass, map-side partials)
+      val means = (0 until dim).map(d => avg($"embedding".getItem(d)).as(s"m$d"))
+      emb.select($"vec_id", $"embedding",
+          best_cell($"embedding", seeds.flatten, k).as("cell"))
+        .groupBy($"cell").agg(means.head, means.tail: _*)
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(r => Array.tabulate(dim)(d => r.getDouble(d + 1)))
+    })
+
   /** IVF (inverted-file) ANN: one Lloyd refinement over deterministic
     * seed centroids builds a 16-cell coarse quantizer; each query probes
     * its `nprobe`=4 nearest cells and rescores exactly within them.
@@ -111,29 +140,9 @@ object Similarity {
     val nprobe = 4
     val emb = Tables.load(spark, dir, "embeddings")
 
-    def assign(df: DataFrame, cs: Array[Array[Double]]): DataFrame =
-      df.select($"vec_id", $"embedding",
-        best_cell($"embedding", cs.flatten, k).as("cell"))
-
-    val refined = centroidCache.computeIfAbsent(dir, _ => {
-      // deterministic seeds: the k lowest hashed-vec_id vectors
-      val seeds = emb
-        .select($"vec_id", $"embedding",
-          graft.functions.GraftFunctions.doc_fingerprint(concat(lit("seed"), $"vec_id"), 4).as("h"))
-        .orderBy($"h").limit(k)
-        .collect()
-        .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
-      val dim = seeds.head.length
-      // one Lloyd refinement: mean of assigned vectors per cell, one
-      // aggregate per dimension (single corpus pass, map-side partials)
-      val means = (0 until dim).map(d => avg($"embedding".getItem(d)).as(s"m$d"))
-      assign(emb, seeds)
-        .groupBy($"cell").agg(means.head, means.tail: _*)
-        .collect()
-        .sortBy(_.getInt(0))
-        .map(r => Array.tabulate(dim)(d => r.getDouble(d + 1)))
-    })
-    val corpus = assign(emb, refined)
+    val refined = centroids(spark, dir, k)
+    val corpus = emb.select($"vec_id", $"embedding",
+      best_cell($"embedding", refined.flatten, k).as("cell"))
     // probe nprobe cells per query: a map-only kernel, no window
     val probes = emb.where($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),

@@ -34,4 +34,20 @@ class SimilaritySpec extends AnyFunSuite {
     // every reported neighbor pair must still be a valid (rank<=3) set
     Seq(lsh, ivf).foreach(s => assert(s.size <= 24))
   }
+
+  test("embedding near-dup: IVF-blocked pairs vs the exact baseline (q58/q59)") {
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("q58_dedup_embedding")
+    val blocked = pairSet("q59_dedup_embedding_ivf")
+    assert(exact.nonEmpty)
+    // the blocked variant reports only true pairs (exact rescoring)...
+    assert(blocked.subsetOf(exact))
+    // ...and multi-probe blocking keeps recall useful on this weakly
+    // clustered corpus (measured, deterministic)
+    val recall = blocked.size.toDouble / exact.size
+    info(s"embedding near-dup recall: $recall (${blocked.size}/${exact.size})")
+    assert(recall >= 0.5, s"IVF-blocked near-dup recall regressed: $recall")
+  }
 }
