@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // the production install path
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: bench only the named queries (iteration aid)

@@ -99,6 +99,47 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream INTERVAL JOIN: every purchase paired with the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the join
+    * state is reclaimable: a buffered click can be dropped once the
+    * purchase-side watermark passes c_time + 1 hour. Without the
+    * interval bound the state would grow without limit — the classic
+    * stream-join hazard. Inner join: late/unmatched rows simply never
+    * emit.
+    */
+  def purchaseClicks(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("tstamp").as("p_time"))
+      .withWatermark("p_time", "2 hours")
+    val c = clicks
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("tstamp").as("c_time"))
+      .withWatermark("c_time", "4 hours")
+    p.join(c, expr(
+      "p_user = c_user AND c_time BETWEEN p_time - INTERVAL 1 HOUR AND p_time"))
+      .select(col("p_event"), col("p_user").as("user_id"), col("c_event"))
+  }
+
+  /** Streaming JDBC load via foreachBatch: each micro-batch appends
+    * through [[graft.sources.JdbcSink]] (the streaming twin of the
+    * reference's terminal Postgres load). foreachBatch + checkpoint is
+    * at-least-once into an append-only table; exactly-once needs an
+    * idempotent key upsert on the DB side — documented, as this sink
+    * shape is exactly what a production loader uses.
+    */
+  def jdbcSink(df: DataFrame, cfg: graft.sources.JdbcSink.Config,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.JdbcSink.write(batch, cfg)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Convenience: run the hourly agg against files in `srcDir`, collect
     * synchronously into an in-memory table, return the result.
     */

@@ -57,6 +57,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == ev.count(), s"expected ${ev.count()} deduped rows, got $got")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = EventsStream.readEvents(spark, stagedDir)
+    val joined = EventsStream.purchaseClicks(
+      src.where($"event_type" === "purchase"),
+      src.where($"event_type" === "click"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssjoin_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // batch twin on the same staged files
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+    val p = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id".as("p_user"), $"tstamp".as("p_time"))
+    val c = ev.where($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"tstamp".as("c_time"))
+    val batch = p.join(c, expr(
+      "p_user = c_user AND c_time BETWEEN p_time - INTERVAL 1 HOUR AND p_time"))
+      .select($"p_event", $"c_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture produced no purchase-click pairs")
+    // AvailableNow drains everything; inner interval join must be exact
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs != batch ${batch.size}")
+  }
+
+  test("foreachBatch JDBC sink: stream lands in Derby exactly as staged") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.JdbcSink
+    System.setProperty("derby.system.home", Files.createTempDirectory("derby_stream").toString)
+    val url = "jdbc:derby:memory:graft_stream;create=true"
+    val cfg = JdbcSink.Config(url, "events_dedup", numPartitions = 2)
+    val q = EventsStream.jdbcSink(
+      EventsStream.dedupStream(EventsStream.readEvents(spark, stagedDir))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      cfg, Files.createTempDirectory("ckpt").toString)
+    q.awaitTermination()
+    val back = JdbcSink.read(spark, cfg)
+    assert(back.count() == Tables.load(spark, sf, "events").count())
+    assert(back.schema("event_id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("sessionization: gap splits sessions, counts preserved") {
     import spark.implicits._
     // deterministic synthetic events: user 1 has two bursts separated
