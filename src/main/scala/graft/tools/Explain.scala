@@ -9,11 +9,15 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_EXTENSIONS=1 -> inspect plans under the production
+    // GraftExtensions install (strategy + SQL functions)
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.withExtensions(new graft.GraftExtensions) else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)

@@ -145,4 +145,29 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.cosineSim(v(1f, 0f), v(-1f, 0f)) == -1.0)
     assert(TextKernels.cosineSim(v(0f, 0f), v(1f, 0f)) == 0.0) // zero-norm guard
   }
+
+  // ---- IVF kernels (best_cell / top_cells): agree with a plain
+  // reference ranking by (dot desc, cell asc), including ties — the
+  // in-kernel selection sort permutes positions, so tie order is the
+  // part most worth pinning.
+  test("best_cell/top_cells: match a reference ranking, ties to lowest cell") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = 8
+    val k = 6
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+    // coarse integer coordinates make exact dot-product TIES common
+    val centsGen = Gen.listOfN(k * dim, Gen.choose(-2, 2)).map(_.map(_.toDouble).toArray)
+    forAll(Gen.zip(vecGen, centsGen)) { case (vec, cents) =>
+      val a = new GenericArrayData(vec)
+      val dots = (0 until k).map { c =>
+        (0 until dim).foldLeft(0.0)((s, d) => s + vec(d).toDouble * cents(c * dim + d))
+      }
+      val ranked = (0 until k).sortBy(c => (-dots(c), c))
+      assert(TextKernels.bestCell(a, cents, k) == ranked.head)
+      (1 to k).foreach { nprobe =>
+        val got = TextKernels.topCells(a, cents, k, nprobe)
+        assert((0 until got.numElements()).map(got.getInt) == ranked.take(nprobe))
+      }
+    }
+  }
 }
