@@ -112,42 +112,50 @@ object Dedup {
     * a standard Jaccard upper-bound prune: j(A,B) <= min/max sizes.
     *
     * The ratio prune lives IN the join key, not after the join: each
-    * doc gets a coarse length bucket `floor(log2(n_chars))`, one side
-    * also emits its two neighbor buckets, and the pair join is an
-    * equi-join on (source, bucket). Ratio <= 2 implies the buckets
-    * differ by at most 1 (floor(x)-floor(y) <= x-y+1 < 2 for
-    * |x-y| <= 1), so the blocking is lossless, and each qualifying
-    * pair meets in EXACTLY one bucket of the b-side's three — no
-    * dedup needed. A join keyed on source alone materializes
-    * O(|source-block|^2) pairs before any prune; with a handful of
-    * sources at 100 TB each block is the corpus. The exact ratio
-    * `where` stays as the in-bucket refinement. Unlike q29 (where a
-    * doc's candidate multiplicity is unbounded, forcing grams to join
-    * back by id), here each doc rides the shuffle at most 1x + 3x, so
-    * the gram arrays travel WITH the join sides — bounded payload, no
-    * pair-keyed join-backs (measured faster than a doc_id join-back
-    * formulation at sf0.1, which loses broadcast eligibility once the
-    * gram table passes the 10 MB threshold). Measured trade-off at
-    * sf0.1 (20 sources x 250 docs, lengths within ~4 octaves): the
-    * buckets prune only ~22% of pairs, so this runs ~0.6 s slower
-    * than the source-only join — the regime that matters is few
-    * sources x millions of docs, where source-only blocking is
-    * O(corpus^2) and this stays O(sum of block^2).
+    * doc gets a coarse length bucket `floor(log2(n_chars))` and the
+    * pair join is an equi-join on (source, bucket). Ratio <= 2
+    * implies the buckets differ by at most 1 (floor(x)-floor(y) <=
+    * x-y+1 < 2 for |x-y| <= 1), so the blocking is lossless. A join
+    * keyed on source alone materializes O(|source-block|^2) pairs
+    * before any prune; with a handful of sources at 100 TB each block
+    * is the corpus. The exact (symmetric) ratio `where` stays as the
+    * in-bucket refinement.
+    *
+    * Pair orientation: each unordered pair meets EXACTLY once —
+    * at the HIGHER doc's bucket (the b side emits {bkt, bkt+1};
+    * bucket-distance-1 pairs match only with the higher-bucket doc in
+    * the a role), with an id tie-break inside equal buckets. That
+    * keeps the b-side emission at 2x (not 3x neighbor emission +
+    * pair-distinct), and ids are canonicalized to (least, greatest)
+    * on output. Unlike q29 (where a doc's candidate multiplicity is
+    * unbounded, forcing grams to join back by id), each doc rides the
+    * shuffle at most 1x + 2x, so the gram arrays travel WITH the join
+    * sides — bounded payload, no pair-keyed join-backs (those lose
+    * broadcast eligibility once the gram table passes 10 MB).
+    * Measured at sf0.1 (20 uniform sources, lengths within ~4
+    * octaves — the WORST case for this blocking): buckets prune only
+    * ~22% of pairs, so wall time is comparable to the source-only
+    * join; the regime that matters is few sources x millions of docs,
+    * where source-only blocking is O(corpus^2) and this stays
+    * O(sum of block^2).
     */
   val q31_dedup_ngram: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", gram_set($"text", 3).as("grams"), $"source",
         $"n_chars", floor(log2(greatest($"n_chars", lit(1)))).as("bkt"))
-    val a = docs.select($"doc_id".as("doc_a"), $"grams".as("grams_a"),
-      $"source", $"n_chars".as("len_a"), $"bkt")
-    val b = docs.select($"doc_id".as("doc_b"), $"grams".as("grams_b"),
-      $"source", $"n_chars".as("len_b"),
-      explode(array($"bkt" - 1, $"bkt", $"bkt" + 1)).as("bkt"))
-    a.join(b, Seq("source", "bkt"))
-      .where($"doc_a" < $"doc_b" &&
-        $"len_b" * 2 >= $"len_a" && $"len_b" <= $"len_a" * 2)
-      .withColumn("jac", jaccard_sorted($"grams_a", $"grams_b"))
+    val a = docs.select($"doc_id".as("id_a"), $"grams".as("grams_a"),
+      $"source", $"n_chars".as("len_a"), $"bkt".as("bkt_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"grams".as("grams_b"),
+      $"source", $"n_chars".as("len_b"), $"bkt".as("bkt_b"))
+      .withColumn("bkt_a", explode(array($"bkt_b", $"bkt_b" + 1)))
+    a.join(b, Seq("source", "bkt_a"))
+      .where(($"bkt_a" === $"bkt_b" && $"id_a" < $"id_b") ||
+        $"bkt_a" === $"bkt_b" + 1)
+      .where(greatest($"len_a", $"len_b") <= least($"len_a", $"len_b") * 2)
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"),
+        jaccard_sorted($"grams_a", $"grams_b").as("jac"))
       .where($"jac" >= 0.3)
       .select($"doc_a", $"doc_b", $"jac")
       .orderBy($"doc_a", $"doc_b")
