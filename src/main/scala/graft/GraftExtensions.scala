@@ -76,5 +76,6 @@ object GraftExtensions {
       intArg(xs, 1, 6, "lsh_buckets"), intArg(xs, 2, 12, "lsh_buckets"))),
     "top_k_by" -> (xs => TopKByAgg(xs.head, xs(1),
       intArg(xs, 2, 3, "top_k_by")).toAggregateExpression()),
-    "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))))
+    "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))),
+    "be_int" -> (xs => BeIntExpr(xs.head, intArg(xs, 1, 0, "be_int"))))
 }

@@ -367,6 +367,20 @@ object TextKernels {
     inter.toDouble / union
   }
 
+  // ------------------------------------------------------------- binary
+  /** Big-endian int32 at byte `off` of a binary payload — the generic
+    * building block for fixed-layout binary headers (PNG IHDR, ISOBMFF
+    * box sizes, WAV chunk lengths are all BE/LE int fields at known
+    * offsets). Returns -1 when fewer than 4 bytes remain (total
+    * function: malformed rows yield a sentinel, not a task failure —
+    * at 100 TB a poison payload must not kill the job).
+    */
+  def beInt(bytes: Array[Byte], off: Int): Int = {
+    if (off < 0 || off + 4 > bytes.length) return -1
+    ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+      ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+  }
+
   // ------------------------------------------------------------- vectors
   /** Deterministic pseudo-random hyperplane coefficient for plane p,
     * dimension d (splitmix-derived, mapped to [-1, 1)).

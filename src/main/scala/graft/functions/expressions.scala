@@ -155,6 +155,21 @@ case class LshBucketsExpr(child: Expression, nBits: Int, nTables: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Big-endian int32 field reader over a binary column (fixed-layout
+  * header parsing — PNG IHDR dims, ISOBMFF box sizes — without any
+  * codec dependency). -1 on out-of-range offsets (total function).
+  */
+case class BeIntExpr(child: Expression, offset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "be_int"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.beInt(v.asInstanceOf[Array[Byte]], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.beInt($c, $offset)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** IVF coarse-quantizer cell assignment as a map-only kernel: the
   * centroid matrix (flattened [k x dim]) rides inside the expression
   * and ships with the serialized plan to every executor — a broadcast
@@ -228,6 +243,7 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
+  def be_int(a: Column, offset: Int): Column = c(BeIntExpr(e(a), offset))
   def best_cell(a: Column, cents: Array[Double], k: Int): Column =
     c(BestCellExpr(e(a), cents, k))
   def top_cells(a: Column, cents: Array[Double], k: Int, nprobe: Int): Column =

@@ -115,7 +115,46 @@ object Pipelines {
       .orderBy($"doc_id", $"frame_id")
   }
 
+  /** REAL byte-level header decode (no codec dependency): each row
+    * carries a spec-valid PNG prefix (8-byte signature + IHDR length/
+    * type + big-endian width/height) synthesized in a mapPartitions
+    * ingest stage — standing in for bytes that arrived opaque — and
+    * the engine parses dimensions back out with the generic `be_int`
+    * field reader and a binary substring for the chunk type. This is
+    * the part of image decode that IS expressible without a codec,
+    * and the same `be_int` kernel reads ISOBMFF/WAV-style layouts.
+    * Narrow map end to end: no shuffle until the presentation sort.
+    */
+  val q60_image_header: Q = (spark, dir) => {
+    import spark.implicits._
+    def pngPrefix(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13)                      // IHDR data length
+      b.put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w).putInt(h)             // big-endian dimensions
+      b.array()
+    }
+    graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        (id, pngPrefix((id % 512 + 16).toInt, (id % 333 + 16).toInt))
+      })
+      .toDF("doc_id", "payload")
+      .select($"doc_id",
+        graft.functions.GraftFunctions.be_int($"payload", 16).as("width"),
+        graft.functions.GraftFunctions.be_int($"payload", 20).as("height"),
+        decode(substring($"payload", 13, 4), "US-ASCII").as("chunk_type"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q60_image_header" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+        | CAST(doc_id % 333 + 16 AS INTEGER) AS height,
+        | 'IHDR' AS chunk_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len,
@@ -150,5 +189,6 @@ object Pipelines {
     "q34_multimodal_meta" -> q34_multimodal_meta,
     "q52_frame_sample" -> q52_frame_sample,
     "q35_ndjson_roundtrip" -> q35_ndjson_roundtrip,
-    "q36_offline_lookup" -> q36_offline_lookup)
+    "q36_offline_lookup" -> q36_offline_lookup,
+    "q60_image_header" -> q60_image_header)
 }

@@ -42,8 +42,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Pipelines.queries.size + Extras.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 59)
-    assert(SparkEntry.oracleSql.size == 53) // 6 rows-only by design
+    assert(SparkEntry.queries.size == 60)
+    assert(SparkEntry.oracleSql.size == 54) // 6 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
