@@ -237,6 +237,41 @@ object Extras {
       .orderBy($"c_nationkey", $"rank")
   }
 
+  /** Sketch aggregates — the 100 TB substitute for q39/q49's exact
+    * forms: HyperLogLog++ distinct counts and quantile-summary
+    * percentiles hold constant memory per group where exact distinct
+    * is O(cardinality) state and exact percentile is a full sort.
+    * Approximate -> rows-only check; relative error vs the exact
+    * answers is pinned in QuerySuiteSpec.
+    */
+  val q61_sketch_stats: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey").as("approx_customers"),
+        approx_percentile($"o_totalprice", lit(0.5), lit(1000)).as("approx_p50"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Deterministic hash sampling (stable train/eval splits): a row is
+    * sampled iff a multiplicative hash of its key lands under the
+    * rate threshold — reproducible across runs, engines, and
+    * partitionings, unlike `TABLESAMPLE`/`rand()`. The key stays
+    * within 63 bits so the arithmetic is engine-exact (no overflow
+    * wrap divergence between Java longs and DuckDB's hugeint
+    * promotion). Emits per-group sampled counts + the achieved rate.
+    */
+  val q62_hash_sample: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .where(($"o_orderkey" * 2654435761L) % 100 < 5)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("sample_spend"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** PIVOT: event counts per user bucket spread across event-type
     * columns (explicit value list — deterministic output schema; never
     * let pivot infer values with a distinct scan at 100 TB).
@@ -364,6 +399,12 @@ object Extras {
     "q42_uri_concat" ->
       """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
         |FROM events ORDER BY event_id""".stripMargin,
+    "q62_hash_sample" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_sampled,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_spend
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 100 < 5
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q43_rank_windows" ->
       """SELECT o_orderkey, o_orderpriority,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
@@ -395,5 +436,7 @@ object Extras {
     "q53_topk_agg" -> q53_topk_agg,
     "q56_pivot" -> q56_pivot,
     "q57_unpivot" -> q57_unpivot,
+    "q61_sketch_stats" -> q61_sketch_stats,
+    "q62_hash_sample" -> q62_hash_sample,
     "q44_having" -> q44_having)
 }

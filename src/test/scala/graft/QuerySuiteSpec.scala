@@ -42,8 +42,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Pipelines.queries.size + Extras.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 60)
-    assert(SparkEntry.oracleSql.size == 54) // 6 rows-only by design
+    assert(SparkEntry.queries.size == 62)
+    assert(SparkEntry.oracleSql.size == 55) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -60,6 +60,24 @@ class QuerySuiteSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(prices.length == 10)
     assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q61 sketches stay within error bounds of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val sk = SparkEntry.queries("q61_sketch_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ex = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("nd"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sk.keySet == ex.keySet && sk.nonEmpty)
+    ex.foreach { case (k, (nd, p50)) =>
+      val (and, ap50) = sk(k)
+      // HLL++ default rsd is 5%; quantile summary accuracy 1/1000
+      assert(math.abs(and - nd).toDouble / nd <= 0.15, s"$k distinct: $and vs $nd")
+      assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
+    }
   }
 
   test("q23 fuzzy matches recover every corrupted nation name") {
