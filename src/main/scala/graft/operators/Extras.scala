@@ -272,6 +272,30 @@ object Extras {
       .orderBy($"o_orderpriority")
   }
 
+  /** Per-group uniform sample WITHOUT replacement via bottom-k hashing
+    * (the classic distributed-sampling sketch): keep the k rows whose
+    * key-hash is smallest in each group. Unlike reservoir sampling the
+    * choice is a pure function of the key, so the sample is identical
+    * across runs, engines, and partitionings — and composable (the
+    * bottom-k of a union is the bottom-k of the per-part bottom-ks).
+    * Rides the `top_k_by` heap aggregate on the negated hash, so only
+    * k ids per group per partition cross the wire; the hash is
+    * injective over the key domain (prime modulus > max key), so the
+    * DuckDB row_number oracle has no tie ambiguity.
+    */
+  val q63_bottomk_sample: Q = (spark, dir) => {
+    import spark.implicits._
+    val hash = ($"o_orderkey" * 2654435761L) % 1000000007L
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(graft.functions.TopKByAgg
+        .top_k_by(-hash.cast("double"), $"o_orderkey", 3).as("picks"))
+      .select($"o_orderpriority", posexplode($"picks").as(Seq("pos", "t")))
+      .select($"o_orderpriority", ($"pos" + 1).cast(IntegerType).as("rank"),
+        $"t.payload".as("o_orderkey"))
+      .orderBy($"o_orderpriority", $"rank")
+  }
+
   /** PIVOT: event counts per user bucket spread across event-type
     * columns (explicit value list — deterministic output schema; never
     * let pivot infer values with a distinct scan at 100 TB).
@@ -405,6 +429,13 @@ object Extras {
         |FROM orders
         |WHERE (o_orderkey * 2654435761) % 100 < 5
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q63_bottomk_sample" ->
+      """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rank, o_orderkey
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q43_rank_windows" ->
       """SELECT o_orderkey, o_orderpriority,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
@@ -438,5 +469,6 @@ object Extras {
     "q57_unpivot" -> q57_unpivot,
     "q61_sketch_stats" -> q61_sketch_stats,
     "q62_hash_sample" -> q62_hash_sample,
+    "q63_bottomk_sample" -> q63_bottomk_sample,
     "q44_having" -> q44_having)
 }

@@ -94,7 +94,7 @@ object Similarity {
     * corpus pass. Shared by q47 (ANN probe) and q59 (SemDeDup-style
     * embedding near-dup blocking).
     */
-  private[operators] def centroids(spark: SparkSession, dir: String, k: Int = 16): Array[Array[Double]] =
+  private[graft] def centroids(spark: SparkSession, dir: String, k: Int = 16): Array[Array[Double]] =
     centroidCache.computeIfAbsent(dir, _ => {
       import spark.implicits._
       val emb = Tables.load(spark, dir, "embeddings")

@@ -84,6 +84,101 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == exp)
   }
 
+  test("AQE splits a skewed sort-merge join partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one hot key (~5 MB of padded rows) vs tiny thresholds: AQE's
+    // OptimizeSkewedJoin must split the hot partition into sub-reads
+    // of the same right side — the automatic complement to saltedJoin
+    // (which handles the one case AQE can't: a single giant key-GROUP).
+    // pad must be incompressible: skew detection reads the COMPRESSED
+    // shuffle partition sizes, and a constant pad would lz4 away
+    val left = spark.range(0, 30000)
+      .select(when($"id" < 25000, 0L).otherwise($"id").as("k"),
+        repeat(md5($"id".cast("string")), 8).as("pad"))
+    val right = spark.range(0, 200).select($"id".as("rk"),
+      lit("y").as("tag"))
+    val knobs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // keep pad in the output: column pruning would otherwise shrink
+      // the hot partition below the skew threshold
+      val joined = left.join(right.hint("merge"), $"k" === $"rk")
+      // run THIS dataset's QueryExecution (count() would plan its own),
+      // so the adaptive plan below is the one that actually executed
+      val n = joined.collect().length
+      assert(n == 25000) // the hot key 0 meets rk=0; tail keys miss
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"skew join did not trigger:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("persisted IVF index: bucketed by cell, probe reads only nprobe buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{best_cell, top_cells}
+    val k = 16
+    val cents = graft.operators.Similarity.centroids(spark, sf, k)
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, "ivf_idx")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(loc)
+      try stream.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally stream.close()
+    }
+    // index build: one map-only pass assigns cells, write bucketed by
+    // cell — the persisted form of q47's transient assignment, so every
+    // later probe pays ZERO assignment/shuffle cost
+    Scale.writeBucketed(
+      Tables.load(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding",
+          best_cell($"embedding", cents.flatten, k).as("cell")),
+      "ivf_idx", "cell", k)
+    // probe: nprobe=4 cells for one query vector -> the scan must list
+    // only those buckets, not the whole index
+    val probeCells = Tables.load(spark, sf, "embeddings")
+      .where($"vec_id" === 0)
+      .select(explode(top_cells($"embedding", cents.flatten, k, 4)))
+      .collect().map(_.getInt(0)).toSeq
+    assert(probeCells.size == 4)
+    // a filter-only probe has no join/agg, so the planner's
+    // auto-bucketed-scan heuristic would fall back to a plain scan;
+    // pin the bucketed read so bucket pruning applies
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val savedAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val probed = spark.table("ivf_idx")
+        .where($"cell".isin(probeCells: _*))
+      val scan = probed.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 4 out of 16"),
+        s"bucket pruning missing:\n$scan")
+      // pruned read returns exactly the rows of those cells
+      val expected = Tables.load(spark, sf, "embeddings")
+        .select(best_cell($"embedding", cents.flatten, k).as("cell"))
+        .where($"cell".isin(probeCells: _*)).count()
+      assert(probed.count() == expected && expected > 0)
+    } finally savedAuto match {
+      case Some(v) => spark.conf.set(autoKey, v)
+      case None => spark.conf.unset(autoKey)
+    }
+  }
+
   test("GraftExtensions: strategy + functions via withExtensions") {
     spark.sparkContext // ensure the shared context exists first
     // getOrCreate only applies extensions when it builds a NEW session,
