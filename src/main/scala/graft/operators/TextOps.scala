@@ -117,7 +117,107 @@ object TextOps {
       .limit(20)
   }
 
+  /** Fixed-window document chunking with overlap (stride 120, window
+    * 160) — the RAG/training prep step that turns documents into
+    * model-sized pieces. Pure per-row explode: no shuffle, scales
+    * linearly. Chunks are emitted as (offset, length, md5) so the
+    * result stays narrow no matter the corpus size; the md5 pins the
+    * exact chunk bytes against the oracle.
+    */
+  val q64_chunking: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(length($"text"), lit(1)), lit(120)))
+          .as("start"))
+      .select($"doc_id", $"start".cast("long").as("start"),
+        expr("substring(text, start, 160)").as("chunk"))
+      .select($"doc_id", $"start",
+        length($"chunk").cast("int").as("chunk_chars"),
+        md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id", $"start")
+  }
+
+  /** Weighted source mixing — the "data mixture" step: each source
+    * contributes at its own rate, rows are picked by deterministic key
+    * hash (reproducible across runs/engines, like q62), and `mix_key`
+    * is a reproducible pseudo-shuffle order (hash injective under a
+    * prime modulus) so downstream training reads an interleaved, not
+    * source-clumped, stream. At scale, repartitionByRange(mix_key)
+    * shards the interleave without a global sort.
+    */
+  val q65_data_mix: Q = (spark, dir) => {
+    import spark.implicits._
+    val pct = when($"source".isin("src0", "src1", "src2", "src3", "src4"), 40)
+      .when($"source".startsWith("src1"), 10)
+      .otherwise(20)
+    Tables.load(spark, dir, "documents")
+      .where(($"doc_id" * 2654435761L) % 100 < pct)
+      .select($"doc_id", $"source",
+        (($"doc_id" * 48271L) % 1000000007L).as("mix_key"))
+      .orderBy($"mix_key")
+  }
+
+  /** Train/eval decontamination by word 5-gram overlap (the method
+    * used for LLM benchmark decontamination): a training doc is
+    * contaminated if it shares ANY word 5-gram with the held-out set
+    * (doc_id % 17 == 0 stands in for the benchmark). Exact-hash
+    * matching misses near-duplicates; n-gram overlap catches them.
+    * Scale shape: held-out grams are the SMALL side (benchmarks are
+    * tiny vs the corpus) and broadcast, so the train-side gram stream
+    * is map-only; the only shuffle is the distinct over contaminated
+    * doc ids.
+    */
+  val q66_decontaminate: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
+    val grams = docs
+      .where(size($"w") >= 5)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 4),
+          i => concat_ws(" ", slice($"w", i, lit(5))))).as("gram"))
+    val testGrams = grams.where($"doc_id" % 17 === 0).select($"gram").distinct()
+    val contaminated = grams.where($"doc_id" % 17 =!= 0)
+      .join(broadcast(testGrams), Seq("gram"), "left_semi")
+      .select($"doc_id").distinct()
+    docs.where($"doc_id" % 17 =!= 0)
+      .join(broadcast(contaminated.withColumn("hit", lit(1))), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_train"), count($"hit").as("n_contaminated"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q64_chunking" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(generate_series(1, greatest(length(text), 1), 120)) AS start, text
+        |  FROM documents)
+        |SELECT doc_id, start,
+        |  CAST(length(substr(text, CAST(start AS INTEGER), 160)) AS INTEGER) AS chunk_chars,
+        |  md5(substr(text, CAST(start AS INTEGER), 160)) AS chunk_md5
+        |FROM c ORDER BY doc_id, start""".stripMargin,
+    "q65_data_mix" ->
+      """SELECT doc_id, source, (doc_id * 48271) % 1000000007 AS mix_key
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 40
+        |       WHEN source LIKE 'src1%' THEN 10 ELSE 20 END
+        |ORDER BY mix_key""".stripMargin,
+    "q66_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(w[x:x+4], ' ') for x in range(1, len(w)-3)]) AS gram
+        |  FROM words WHERE len(w) >= 5),
+        |test AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+        |cont AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN test t ON g.gram = t.gram
+        |  WHERE g.doc_id % 17 <> 0)
+        |SELECT w.source, COUNT(*) AS n_train, COUNT(c.doc_id) AS n_contaminated
+        |FROM words w LEFT JOIN cont c ON w.doc_id = c.doc_id
+        |WHERE w.doc_id % 17 <> 0
+        |GROUP BY w.source ORDER BY w.source""".stripMargin,
     "q55_ngram_freq" ->
       """SELECT ngram, COUNT(*) AS n FROM (
         |  SELECT unnest([substr(text, x, 3) for x in range(1, length(text) - 1)]) AS ngram
@@ -170,5 +270,8 @@ object TextOps {
     "q26_lang_id" -> q26_lang_id,
     "q27_fingerprint" -> q27_fingerprint,
     "q54_word_freq" -> q54_word_freq,
-    "q55_ngram_freq" -> q55_ngram_freq)
+    "q55_ngram_freq" -> q55_ngram_freq,
+    "q64_chunking" -> q64_chunking,
+    "q65_data_mix" -> q65_data_mix,
+    "q66_decontaminate" -> q66_decontaminate)
 }
