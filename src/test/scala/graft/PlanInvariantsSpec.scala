@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PHYSICAL PLAN shapes that make key queries scale — the
+  * properties PLANS.md documents, as executable assertions. Correctness
+  * gates catch wrong answers; these catch a future edit silently
+  * trading a map-only kernel or a pushed filter for a full shuffle,
+  * which stays invisible at test SF and catastrophic at 100 TB.
+  *
+  * Assertions run on the compiled plan string (no execution needed:
+  * pushdown, broadcast choice, and partial aggregation are decided at
+  * planning time; AQE only refines exchanges afterwards).
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q01: aggregation is partial (map-side combine) before its one shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+    // one shuffle for the agg + one for the presentation sort, no more
+    assert(countOf(p, "Exchange ") <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("q04: theta filter reaches the parquet scan; both dims broadcast") {
+    val p = plan("q04_theta_join")
+    assert(p.contains("PushedFilters") && p.contains("LessThan"),
+      s"theta predicate not pushed to scan:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") == 2,
+      s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled for a dim join:\n$p")
+  }
+
+  test("q07: top-k is TakeOrderedAndProject, not sort-then-limit") {
+    val p = plan("q07_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for a top-k:\n$p")
+  }
+
+  test("q47: IVF corpus assignment is map-only (kernel, no row inflation)") {
+    val p = plan("q47_knn_ivf")
+    assert(p.contains("best_cell"), s"assignment kernel missing:\n$p")
+    // corpus path: scan -> project(best_cell) -> broadcast-join probes.
+    // Shuffles allowed only for the per-query top-k ranking + sort.
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"corpus-side shuffle crept into IVF assignment:\n$p")
+  }
+
+  test("q53/q63: heap aggregate runs partial before the exchange") {
+    Seq("q53_topk_agg", "q63_bottomk_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_top_k_by"),
+        s"$q: k-heap not combining map-side:\n$p")
+    }
+  }
+
+  test("q66: corpus gram stream feeds a broadcast semi join, never a shuffle") {
+    val p = plan("q66_decontaminate")
+    assert("""BroadcastHashJoin \[[^\]]*\], \[[^\]]*\], LeftSemi""".r
+      .findFirstIn(p).isDefined, s"semi join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram stream shuffled:\n$p")
+  }
+
+  test("q29: LSH band join moves only (doc_id, band, key) tuples") {
+    val p = plan("q29_dedup_minhash")
+    // the text column must be pruned off the band-join inputs: grams are
+    // re-derived only for the verified candidate pairs
+    assert(p.contains("min_hash_bands"), s"band kernel missing:\n$p")
+  }
+
+  test("q02: IN-list predicate is pushed to the scan") {
+    val p = plan("q02_select_in")
+    assert(p.contains("PushedFilters") && p.contains("In("),
+      s"IN-list not pushed:\n$p")
+  }
+}
