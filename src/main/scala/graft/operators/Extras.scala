@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -163,7 +164,10 @@ object Extras {
     * session starts after > 30 min of inactivity; sessions are numbered
     * by a running sum of session-start flags.
     */
-  val q48_sessionize: Q = (spark, dir) => {
+  /** Shared session builder: one window pass per user (shuffles on
+    * user_id once), gap > 30 min starts a new session.
+    */
+  private def sessionFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
@@ -178,7 +182,44 @@ object Extras {
       .agg(min($"us").as("start_us"), max($"us").as("end_us"),
         count(lit(1)).as("n_events"))
       .select($"user_id", $"session_id", $"start_us", $"end_us", $"n_events")
-      .orderBy($"user_id", $"session_id")
+  }
+
+  val q48_sessionize: Q = (spark, dir) => {
+    import spark.implicits._
+    sessionFrame(spark, dir).orderBy($"user_id", $"session_id")
+  }
+
+  /** Interval-overlap join via time-bucket binning: co-active session
+    * pairs across users. Spark has no native interval join — a naive
+    * `a.start <= b.end AND b.start <= a.end` theta join plans as a
+    * nested-loop over the cross product. Binning makes it an EQUI-join:
+    * each interval emits one row per hour bucket it covers, the join
+    * keys on the bucket, and the exact overlap predicate refines. Each
+    * overlapping pair is emitted exactly once — at the later-starting
+    * side's first bucket, which the earlier side necessarily covers.
+    * Per-bucket work is O(concurrent-sessions²), the problem's inherent
+    * output complexity, and buckets parallelize across executors; the
+    * granularity knob trades emission (long intervals × many buckets)
+    * against per-bucket quadratic refine.
+    */
+  val q67_interval_join: Q = (spark, dir) => {
+    import spark.implicits._
+    val bucketUs = 3600L * 1000000L
+    val binned = sessionFrame(spark, dir)
+      .select($"user_id", $"session_id", $"start_us", $"end_us",
+        explode(sequence(expr(s"start_us DIV $bucketUs"),
+          expr(s"end_us DIV $bucketUs"))).as("bucket"))
+    val a = binned.toDF("user_a", "session_a", "start_a", "end_a", "bucket")
+    val b = binned.toDF("user_b", "session_b", "start_b", "end_b", "bucket")
+    a.join(b, Seq("bucket"))
+      .where($"user_a" < $"user_b" &&
+        $"start_a" <= $"end_b" && $"start_b" <= $"end_a" &&
+        $"bucket" === greatest(expr(s"start_a DIV $bucketUs"),
+          expr(s"start_b DIV $bucketUs")))
+      .select($"user_a", $"session_a", $"user_b", $"session_b",
+        (least($"end_a", $"end_b") - greatest($"start_a", $"start_b"))
+          .as("overlap_us"))
+      .orderBy($"user_a", $"session_a", $"user_b", $"session_b")
   }
 
   /** Exact interpolated percentiles per group (Spark `percentile` and
@@ -377,6 +418,30 @@ object Extras {
         |  MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q67_interval_join" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT a.user_id AS user_a, a.session_id AS session_a,
+        |  b.user_id AS user_b, b.session_id AS session_b,
+        |  least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id
+        | AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+        |ORDER BY user_a, session_a, user_b, session_b""".stripMargin,
     "q45_paged_source" ->
       """SELECT category, COUNT(*) AS n, CAST(SUM(popularity) AS BIGINT) AS sum_pop
         |FROM (SELECT ['rock','pop','jazz','folk','ska'][(i % 5) + 1] AS category,
@@ -470,5 +535,6 @@ object Extras {
     "q61_sketch_stats" -> q61_sketch_stats,
     "q62_hash_sample" -> q62_hash_sample,
     "q63_bottomk_sample" -> q63_bottomk_sample,
+    "q67_interval_join" -> q67_interval_join,
     "q44_having" -> q44_having)
 }
