@@ -81,6 +81,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("min_hash_bands"), s"band kernel missing:\n$p")
   }
 
+  test("q67: interval join is a binned equi-join, not a nested loop") {
+    val p = plan("q67_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval predicate planned as a cross product:\n$p")
+    assert(p.contains("bucket"), s"binning column missing from plan:\n$p")
+  }
+
   test("q02: IN-list predicate is pushed to the scan") {
     val p = plan("q02_select_in")
     assert(p.contains("PushedFilters") && p.contains("In("),

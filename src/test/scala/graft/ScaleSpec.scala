@@ -179,6 +179,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime Bloom filter prunes the big side of a selective join") {
+    import spark.implicits._
+    // a selective dim filter should inject a bloom filter on the fact
+    // side's join key at runtime — rows that can't join die at the
+    // scan instead of riding the shuffle (Spark's runtime row-level
+    // filtering; the 100 TB complement to static partition pruning)
+    val knobs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      // test-SF data sits far below the 10GB production default
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val orders = Tables.load(spark, sf, "orders")
+        .where($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_totalprice")
+      val lineitem = Tables.load(spark, sf, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val joined = lineitem.join(orders.hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it doesn't change the answer
+      val expected = Tables.load(spark, sf, "lineitem").as("l")
+        .join(Tables.load(spark, sf, "orders")
+          .where($"o_orderpriority" === "1-URGENT"), $"l_orderkey" === $"o_orderkey")
+        .count()
+      assert(joined.count() == expected && expected > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions: strategy + functions via withExtensions") {
     spark.sparkContext // ensure the shared context exists first
     // getOrCreate only applies extensions when it builds a NEW session,
