@@ -101,6 +101,26 @@ object Extras {
       .orderBy($"p_event")
   }
 
+  /** AS-OF join with tolerance: the attribution window. A purchase
+    * joins its user's most recent click only if that click is within
+    * 10 minutes; older clicks null-extend (pandas merge_asof
+    * `tolerance` semantics). Oracle: DuckDB ASOF LEFT JOIN with the
+    * out-of-window match nulled by CASE — independently derived.
+    */
+  val q68_asof_tolerance: Q = (spark, dir) => {
+    import spark.implicits._
+    val tolNs = 600L * 1000000000L // 10 min in nanos (ts is epoch-nanos)
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user",
+        "p_ts", "c_ts", tolNs)
+      .select($"p_event", $"user_id", $"c_event")
+      .orderBy($"p_event")
+  }
+
   /** Distribution-ranking windows (§2.7 extension): quartile bucket,
     * percent_rank, cume_dist per order-priority partition. The
     * ordering key (o_totalprice, o_orderkey) is a total order, so
@@ -488,6 +508,14 @@ object Extras {
     "q42_uri_concat" ->
       """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
         |FROM events ORDER BY event_id""".stripMargin,
+    "q68_asof_tolerance" ->
+      """SELECT p.event_id AS p_event, p.user_id,
+        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(c.ts) <= 600000000000
+        |       THEN c.event_id END AS c_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_event""".stripMargin,
     "q62_hash_sample" ->
       """SELECT o_orderpriority, COUNT(*) AS n_sampled,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_spend
@@ -536,5 +564,6 @@ object Extras {
     "q62_hash_sample" -> q62_hash_sample,
     "q63_bottomk_sample" -> q63_bottomk_sample,
     "q67_interval_join" -> q67_interval_join,
+    "q68_asof_tolerance" -> q68_asof_tolerance,
     "q44_having" -> q44_having)
 }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions.col
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -39,15 +40,16 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -77,6 +79,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rt = BindReferences.bindReference(rightTime, rOut)
     val keyTypes = leftKeys.map(_.dataType)
     val rWidth = rOut.size
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -103,6 +106,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rHeadKey: UnsafeRow = _
         private var lastMatch: InternalRow = _   // copied
         private var lastMatchKey: UnsafeRow = _  // copied
+        private var lastMatchTime: Long = _
         private def advanceRight(): Unit =
           if (rIt.hasNext) { rHead = rIt.next(); rHeadKey = rKeyProj(rHead) }
           else { rHead = null; rHeadKey = null }
@@ -125,11 +129,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else if (c == 0 && timeOf(rt, rHead) <= lTime) {
               lastMatch = rHead.copy()
               lastMatchKey = rHeadKey.copy()
+              lastMatchTime = timeOf(rt, lastMatch)
               advanceRight()
             } else cont = false
             if (rHead == null) cont = false
           }
-          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
+          // tolerance (pandas merge_asof semantics): the nearest match
+          // is the ONLY candidate — if it is too old, no older one can
+          // qualify, so the row goes out null-extended
+          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+              tol.forall(t => lTime - lastMatchTime <= t))
             resultProj(joined(l, lastMatch))
           else resultProj(joined(l, nullRight))
         }
@@ -175,7 +184,27 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String,
       timeLeft: String, timeRight: String,
-      preShuffle: Boolean): DataFrame = {
+      preShuffle: Boolean): DataFrame =
+    join(left, right, keyLeft, keyRight, timeLeft, timeRight,
+      preShuffle, tolerance = None)
+
+  /** As [[join]], but a match older than `tolerance` (in the time
+    * columns' own unit) is rejected and the row null-extends — pandas
+    * `merge_asof(tolerance=...)` semantics. The nearest match is the
+    * only candidate, so the check is a per-row comparison in the merge,
+    * not a second pass.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      timeLeft: String, timeRight: String,
+      tolerance: Long): DataFrame =
+    join(left, right, keyLeft, keyRight, timeLeft, timeRight,
+      preShuffle = !viaExtensions(left.sparkSession), tolerance = Some(tolerance))
+
+  private def join(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      timeLeft: String, timeRight: String,
+      preShuffle: Boolean, tolerance: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     if (!viaExtensions(spark) &&
         !spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
@@ -194,6 +223,6 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
     GraftBridge.ofRows(spark, AsOfJoinNode(lp, rp,
       Seq(attr(lp, keyLeft)), Seq(attr(rp, keyRight)),
-      attr(lp, timeLeft), attr(rp, timeRight)))
+      attr(lp, timeLeft), attr(rp, timeRight), tolerance))
   }
 }

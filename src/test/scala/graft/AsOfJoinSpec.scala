@@ -33,6 +33,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(m((2L, 10L)) == null)  // right exists but only later
   }
 
+  test("tolerance: matches older than the window null-extend") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 95L, "r95"), (1L, 110L, "r110"), (2L, 10L, "r10"))
+      .toDF("rk", "rt", "rv")
+    val m = AsOf.join(l, r, "k", "rk", "t", "rt", tolerance = 20L)
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(5)) null else row.getString(5)))
+      .toMap
+    assert(m((1L, 100L)) == "r95")  // age 5 <= 20: kept
+    assert(m((1L, 200L)) == null)   // nearest is r110, age 90: rejected
+    assert(m((2L, 50L)) == null)    // age 40: rejected
+    // tolerance boundary is inclusive
+    val edge = AsOf.join(Seq((1L, 30L, "x")).toDF("k", "t", "lv"),
+        Seq((1L, 10L, "r")).toDF("rk", "rt", "rv"),
+        "k", "rk", "t", "rt", tolerance = 20L)
+      .collect()(0)
+    assert(edge.getString(5) == "r")
+  }
+
   test("no right rows at all -> all null (left outer)") {
     val m = asofMap(left = Seq((1L, 1L, "x")), right = Seq.empty)
     assert(m((1L, 1L)) == null)
