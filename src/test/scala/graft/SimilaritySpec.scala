@@ -28,9 +28,10 @@ class SimilaritySpec extends AnyFunSuite {
     val lshRecall = (exact intersect lsh).size.toDouble / exact.size
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
     info(s"recall@3: lsh=$lshRecall ivf=$ivfRecall")
-    // measured on this corpus: lsh = 0.458, ivf = 0.625 (deterministic)
+    // measured on this corpus: lsh = 1.0 (with Hamming-1 multiprobe;
+    // 0.458 without), ivf = 0.625 (deterministic)
     assert(ivfRecall >= 0.6, s"IVF recall regressed: $ivfRecall")
-    assert(lshRecall >= 0.4, s"LSH recall regressed: $lshRecall")
+    assert(lshRecall >= 0.9, s"LSH recall regressed: $lshRecall")
     // every reported neighbor pair must still be a valid (rank<=3) set
     Seq(lsh, ivf).foreach(s => assert(s.size <= 24))
   }
