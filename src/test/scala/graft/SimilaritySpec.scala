@@ -49,6 +49,7 @@ class SimilaritySpec extends AnyFunSuite {
     // clustered corpus (measured, deterministic)
     val recall = blocked.size.toDouble / exact.size
     info(s"embedding near-dup recall: $recall (${blocked.size}/${exact.size})")
-    assert(recall >= 0.5, s"IVF-blocked near-dup recall regressed: $recall")
+    // nprobe=3 multi-probe blocking, measured 0.857 deterministic
+    assert(recall >= 0.8, s"IVF-blocked near-dup recall regressed: $recall")
   }
 }
