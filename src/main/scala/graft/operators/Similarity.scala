@@ -130,7 +130,9 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: one Lloyd refinement over deterministic
     * seed centroids builds a 16-cell coarse quantizer; each query probes
-    * its `nprobe`=4 nearest cells and rescores exactly within them.
+    * its `nprobe`=6 nearest cells and rescores exactly within them
+    * (probes are on the tiny broadcast side, so nprobe is a nearly
+    * free recall knob: 4 -> 0.625, 6 -> 0.875 measured recall@3).
     *
     * The centroid table is tiny (k x dim), driver-materialized, and
     * rides INSIDE the `best_cell`/`top_cells` kernel expressions, so
@@ -148,7 +150,7 @@ object Similarity {
   val q47_knn_ivf: Q = (spark, dir) => {
     import spark.implicits._
     val k = 16
-    val nprobe = 4
+    val nprobe = 6
     val emb = Tables.load(spark, dir, "embeddings")
 
     val refined = centroids(spark, dir, k)

@@ -29,8 +29,8 @@ class SimilaritySpec extends AnyFunSuite {
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
     info(s"recall@3: lsh=$lshRecall ivf=$ivfRecall")
     // measured on this corpus: lsh = 1.0 (with Hamming-1 multiprobe;
-    // 0.458 without), ivf = 0.625 (deterministic)
-    assert(ivfRecall >= 0.6, s"IVF recall regressed: $ivfRecall")
+    // 0.458 without), ivf = 0.875 at nprobe=6 (deterministic)
+    assert(ivfRecall >= 0.85, s"IVF recall regressed: $ivfRecall")
     assert(lshRecall >= 0.9, s"LSH recall regressed: $lshRecall")
     // every reported neighbor pair must still be a valid (rank<=3) set
     Seq(lsh, ivf).foreach(s => assert(s.size <= 24))
