@@ -121,6 +121,24 @@ object Extras {
       .orderBy($"p_event")
   }
 
+  /** FORWARD as-of join: each click joined to that user's NEXT
+    * purchase at-or-after it (conversion attribution). Runs the same
+    * streaming-merge exec over negated times. Oracle: DuckDB ASOF
+    * with the inequality reversed.
+    */
+  val q69_asof_forward: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id", $"ts".as("c_ts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    graft.plans.AsOf.joinForward(clicks, purchases, "user_id", "p_user",
+        "c_ts", "p_ts")
+      .select($"c_event", $"user_id", $"p_event")
+      .orderBy($"c_event")
+  }
+
   /** Distribution-ranking windows (§2.7 extension): quartile bucket,
     * percent_rank, cume_dist per order-priority partition. The
     * ordering key (o_totalprice, o_orderkey) is a total order, so
@@ -508,6 +526,12 @@ object Extras {
     "q42_uri_concat" ->
       """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
         |FROM events ORDER BY event_id""".stripMargin,
+    "q69_asof_forward" ->
+      """SELECT c.event_id AS c_event, c.user_id, p.event_id AS p_event
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c_event""".stripMargin,
     "q68_asof_tolerance" ->
       """SELECT p.event_id AS p_event, p.user_id,
         |  CASE WHEN epoch_ns(p.ts) - epoch_ns(c.ts) <= 600000000000
@@ -565,5 +589,6 @@ object Extras {
     "q63_bottomk_sample" -> q63_bottomk_sample,
     "q67_interval_join" -> q67_interval_join,
     "q68_asof_tolerance" -> q68_asof_tolerance,
+    "q69_asof_forward" -> q69_asof_forward,
     "q44_having" -> q44_having)
 }

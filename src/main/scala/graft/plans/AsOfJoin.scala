@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, negate}
 
 /** AS-OF JOIN — a whole-operator semantic Spark lacks (composing it
   * from window functions requires a union + two windows + a filter and
@@ -200,6 +200,26 @@ object AsOf {
       tolerance: Long): DataFrame =
     join(left, right, keyLeft, keyRight, timeLeft, timeRight,
       preShuffle = !viaExtensions(left.sparkSession), tolerance = Some(tolerance))
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right(timeRight) >= left(timeLeft)` (pandas merge_asof
+    * direction='forward'). Implemented by running the backward merge
+    * over negated times — "latest at-or-before -t" IS "earliest
+    * at-or-after t" — so the exec stays a single streaming merge and
+    * the negation columns never appear in the output.
+    */
+  def joinForward(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      timeLeft: String, timeRight: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val ln = "__fwd_" + timeLeft
+    val rn = "__fwd_" + timeRight
+    join(left.withColumn(ln, negate(col(timeLeft))),
+        right.withColumn(rn, negate(col(timeRight))),
+        keyLeft, keyRight, ln, rn,
+        preShuffle = !viaExtensions(left.sparkSession), tolerance)
+      .drop(ln, rn)
+  }
 
   private def join(left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String,

@@ -55,6 +55,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(edge.getString(5) == "r")
   }
 
+  test("forward direction: earliest right at-or-after, per key") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 99L, "c"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 50L, "r50"))
+      .toDF("rk", "rt", "rv")
+    val m = AsOf.joinForward(l, r, "k", "rk", "t", "rt")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(5)) null else row.getString(5)))
+      .toMap
+    assert(m((1L, 10L)) == "r10") // inclusive bound
+    assert(m((1L, 20L)) == null)  // nothing at-or-after 20
+    assert(m((2L, 99L)) == null)  // right exists but only earlier
+    // with tolerance: earliest at-or-after, but not further than tol
+    val mt = AsOf.joinForward(l, r, "k", "rk", "t", "rt", Some(3L))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        (if (row.isNullAt(5)) null else row.getString(5)))
+      .toMap
+    assert(mt((1L, 10L)) == "r10") // gap 0 <= 3
+    assert(mt((1L, 20L)) == null)
+  }
+
   test("no right rows at all -> all null (left outer)") {
     val m = asofMap(left = Seq((1L, 1L, "x")), right = Seq.empty)
     assert(m((1L, 1L)) == null)

@@ -42,8 +42,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Pipelines.queries.size + Extras.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 68)
-    assert(SparkEntry.oracleSql.size == 61) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 69)
+    assert(SparkEntry.oracleSql.size == 62) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
