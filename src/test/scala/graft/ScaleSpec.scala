@@ -179,6 +179,60 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted minhash band index: band self-join needs no exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.min_hash_bands_words
+    spark.sql("DROP TABLE IF EXISTS bands_idx")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, "bands_idx")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(loc)
+      try stream.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally stream.close()
+    }
+    // index build: one pass computes band keys, persisted bucketed by
+    // key — the incremental-dedup shape: matching NEW documents against
+    // the indexed corpus re-shuffles neither side on re-runs
+    val bands = Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        posexplode(min_hash_bands_words($"text", 3, 16, 4))
+          .as(Seq("band", "key")))
+    Scale.writeBucketed(bands, "bands_idx", "key", 8)
+    // bucketing on `key` alone co-locates every (band, key) pair, but
+    // since SPARK-35703 co-partitioning DEMANDS the full join-key set
+    // unless requireAllClusterKeysForCoPartition is off — that conf is
+    // precisely the subset-bucketed-index knob, so turn it off here
+    val knobs = Seq(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val idx = spark.table("bands_idx")
+    val a = idx.toDF("doc_a", "band", "key")
+    val b = idx.toDF("doc_b", "band", "key")
+    val joined = a.join(b.hint("merge"), Seq("band", "key"))
+      .where($"doc_a" < $"doc_b")
+    try {
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"band index still shuffles:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // and the candidate pairs equal the unindexed formulation's
+    val direct = bands.toDF("doc_a", "band", "key")
+      .join(bands.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct().count()
+    val viaIndex = joined.select($"doc_a", $"doc_b").distinct().count()
+    assert(viaIndex == direct && direct > 0)
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     import spark.implicits._
     // a selective dim filter should inject a bloom filter on the fact
