@@ -375,6 +375,27 @@ object Extras {
       .orderBy($"o_orderpriority", $"rank")
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg/hll_union_agg): per (event_type, day)
+    * partial sketches union LOSSLESSLY into per-type totals — the
+    * incremental-pipeline pattern where each day is sketched once and
+    * monthly/any-window rollups merge sketches instead of rescanning
+    * raw data. Union is exact at the sketch level, so the merged
+    * estimate EQUALS the direct one (pinned in QuerySuiteSpec); the
+    * estimate itself is approximate -> rows-only check.
+    */
+  val q70_sketch_merge: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .select($"event_type", expr("ts DIV 86400000000000").as("day"), $"user_id")
+      .groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy($"event_type")
+  }
+
   /** PIVOT: event counts per user bucket spread across event-type
     * columns (explicit value list — deterministic output schema; never
     * let pivot infer values with a distinct scan at 100 TB).
@@ -586,6 +607,7 @@ object Extras {
     "q57_unpivot" -> q57_unpivot,
     "q61_sketch_stats" -> q61_sketch_stats,
     "q62_hash_sample" -> q62_hash_sample,
+    "q70_sketch_merge" -> q70_sketch_merge,
     "q63_bottomk_sample" -> q63_bottomk_sample,
     "q67_interval_join" -> q67_interval_join,
     "q68_asof_tolerance" -> q68_asof_tolerance,

@@ -42,8 +42,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Pipelines.queries.size + Extras.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 69)
-    assert(SparkEntry.oracleSql.size == 62) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 70)
+    assert(SparkEntry.oracleSql.size == 62) // 8 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -77,6 +77,29 @@ class QuerySuiteSpec extends AnyFunSuite {
       // HLL++ default rsd is 5%; quantile summary accuracy 1/1000
       assert(math.abs(and - nd).toDouble / nd <= 0.15, s"$k distinct: $and vs $nd")
       assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
+    }
+  }
+
+  test("q70 merged daily sketches equal the direct sketch and track exact") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("q70_sketch_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL union is lossless at the sketch level: merging per-day
+    // sketches must give EXACTLY the estimate of sketching directly
+    val direct = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == direct.keySet && merged.nonEmpty)
+    merged.foreach { case (k, v) => assert(v == direct(k), s"$k: $v != ${direct(k)}") }
+    // and the estimate tracks the exact distinct count
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, nd) =>
+      assert(math.abs(merged(k) - nd).toDouble / nd <= 0.05,
+        s"$k: sketch ${merged(k)} vs exact $nd")
     }
   }
 
