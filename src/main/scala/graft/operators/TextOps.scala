@@ -188,7 +188,62 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Repetition scoring (the Gopher-family quality rules): per doc, the
+    * top single-word share and the duplicate word-3-gram share, plus an
+    * integer repetitive flag (top word >= 20% of words, or >= 50% of
+    * grams duplicated). Two-level aggregation — (doc, word) then doc —
+    * keeps both phases map-side combinable; all outputs integral so the
+    * oracle compare is exact.
+    */
+  val q71_repetition: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+    val top = docs
+      .select($"doc_id", size($"w").as("n_words"), explode($"w").as("word"))
+      .groupBy($"doc_id", $"n_words", $"word").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_words").agg(max($"c").as("top_word_n"))
+    val dup = docs.where(size($"w") >= 3)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - 2),
+        i => concat_ws(" ", slice($"w", i, lit(3))))).as("gram"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("total_grams"),
+        countDistinct($"gram").as("distinct_grams"))
+    top.join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words", $"top_word_n",
+        coalesce($"total_grams", lit(0L)).as("total_grams"),
+        (coalesce($"total_grams", lit(0L)) - coalesce($"distinct_grams", lit(0L)))
+          .as("dup_grams"))
+      .withColumn("is_repetitive",
+        ($"top_word_n" * 5 >= $"n_words" ||
+          ($"total_grams" > 0 && $"dup_grams" * 2 >= $"total_grams")).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q71_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |words AS (
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, unnest(w) AS word FROM w),
+        |top AS (
+        |  SELECT doc_id, n_words, MAX(c) AS top_word_n FROM (
+        |    SELECT doc_id, n_words, word, COUNT(*) AS c FROM words GROUP BY 1, 2, 3) t
+        |  GROUP BY 1, 2),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(w[x:x+2], ' ') for x in range(1, len(w)-1)]) AS gram
+        |  FROM w WHERE len(w) >= 3),
+        |dup AS (
+        |  SELECT doc_id, COUNT(*) AS total_grams, COUNT(DISTINCT gram) AS distinct_grams
+        |  FROM grams GROUP BY 1)
+        |SELECT t.doc_id, t.n_words, t.top_word_n,
+        |  COALESCE(d.total_grams, 0) AS total_grams,
+        |  COALESCE(d.total_grams, 0) - COALESCE(d.distinct_grams, 0) AS dup_grams,
+        |  CAST(CASE WHEN t.top_word_n * 5 >= t.n_words
+        |         OR (COALESCE(d.total_grams, 0) > 0
+        |             AND (COALESCE(d.total_grams, 0) - COALESCE(d.distinct_grams, 0)) * 2 >= d.total_grams)
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+        |FROM top t LEFT JOIN dup d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q64_chunking" ->
       """WITH c AS (
         |  SELECT doc_id, unnest(generate_series(1, greatest(length(text), 1), 120)) AS start, text
@@ -273,5 +328,6 @@ object TextOps {
     "q55_ngram_freq" -> q55_ngram_freq,
     "q64_chunking" -> q64_chunking,
     "q65_data_mix" -> q65_data_mix,
-    "q66_decontaminate" -> q66_decontaminate)
+    "q66_decontaminate" -> q66_decontaminate,
+    "q71_repetition" -> q71_repetition)
 }
