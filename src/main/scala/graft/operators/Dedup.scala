@@ -209,7 +209,7 @@ object Dedup {
       .where($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", cosine_sim($"emb_a", $"emb_b").as("cos"))
       .where($"cos" >= 0.45)
-      .dropDuplicates("vec_a", "vec_b") // a pair can share both probed cells
+      .dropDuplicates("vec_a", "vec_b") // a pair can share several probed cells
       .select($"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")
   }

@@ -69,13 +69,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(m((1L, 10L)) == "r10") // inclusive bound
     assert(m((1L, 20L)) == null)  // nothing at-or-after 20
     assert(m((2L, 99L)) == null)  // right exists but only earlier
-    // with tolerance: earliest at-or-after, but not further than tol
-    val mt = AsOf.joinForward(l, r, "k", "rk", "t", "rt", Some(3L))
+    // with tolerance: earliest at-or-after, but not further than tol —
+    // include a row whose forward match EXISTS but exceeds tol, so a
+    // sign error in the negated-time gap arithmetic cannot pass
+    val lt = Seq((1L, 10L, "a"), (1L, 11L, "near"), (1L, 20L, "b"))
+      .toDF("k", "t", "lv")
+    val mt = AsOf.joinForward(lt, r, "k", "rk", "t", "rt", Some(3L))
       .collect()
       .map(row => (row.getLong(0), row.getLong(1)) ->
         (if (row.isNullAt(5)) null else row.getString(5)))
       .toMap
     assert(mt((1L, 10L)) == "r10") // gap 0 <= 3
+    assert(mt((1L, 11L)) == null)  // nearest forward is r15, gap 4 > 3
     assert(mt((1L, 20L)) == null)
   }
 

@@ -31,8 +31,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("q01: aggregation is partial (map-side combine) before its one shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
-    // one shuffle for the agg + one for the presentation sort, no more
-    assert(countOf(p, "Exchange ") <= 2, s"extra shuffles:\n$p")
+    // one hash shuffle for the agg + one range shuffle for the
+    // presentation sort, no more (broadcast/reused exchanges excluded:
+    // they are not shuffles)
+    assert(countOf(p, "Exchange hashpartitioning") <= 1 &&
+      countOf(p, "Exchange rangepartitioning") <= 1, s"extra shuffles:\n$p")
   }
 
   test("q04: theta filter reaches the parquet scan; both dims broadcast") {

@@ -209,28 +209,28 @@ class ScaleSpec extends AnyFunSuite {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
     val saved = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val idx = spark.table("bands_idx")
-    val a = idx.toDF("doc_a", "band", "key")
-    val b = idx.toDF("doc_b", "band", "key")
-    val joined = a.join(b.hint("merge"), Seq("band", "key"))
-      .where($"doc_a" < $"doc_b")
     try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val idx = spark.table("bands_idx")
+      val a = idx.toDF("doc_a", "band", "key")
+      val b = idx.toDF("doc_b", "band", "key")
+      val joined = a.join(b.hint("merge"), Seq("band", "key"))
+        .where($"doc_a" < $"doc_b")
       joined.count()
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"band index still shuffles:\n$plan")
+      // and the candidate pairs equal the unindexed formulation's
+      val direct = bands.toDF("doc_a", "band", "key")
+        .join(bands.toDF("doc_b", "band", "key"), Seq("band", "key"))
+        .where($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct().count()
+      val viaIndex = joined.select($"doc_a", $"doc_b").distinct().count()
+      assert(viaIndex == direct && direct > 0)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-    // and the candidate pairs equal the unindexed formulation's
-    val direct = bands.toDF("doc_a", "band", "key")
-      .join(bands.toDF("doc_b", "band", "key"), Seq("band", "key"))
-      .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct().count()
-    val viaIndex = joined.select($"doc_a", $"doc_b").distinct().count()
-    assert(viaIndex == direct && direct > 0)
   }
 
   test("runtime Bloom filter prunes the big side of a selective join") {
