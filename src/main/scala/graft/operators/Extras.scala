@@ -139,6 +139,24 @@ object Extras {
       .orderBy($"c_event")
   }
 
+  /** NEAREST as-of join: each purchase joined to that user's closest
+    * click in EITHER direction (ties backward). Oracle: DuckDB chained
+    * backward + forward ASOF joins with a pick-the-closer CASE —
+    * independently derived from our single-merge implementation.
+    */
+  val q72_asof_nearest: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    graft.plans.AsOf.joinNearest(purchases, clicks, "user_id", "c_user",
+        "p_ts", "c_ts")
+      .select($"p_event", $"user_id", $"c_event")
+      .orderBy($"p_event")
+  }
+
   /** Distribution-ranking windows (§2.7 extension): quartile bucket,
     * percent_rank, cume_dist per order-priority partition. The
     * ordering key (o_totalprice, o_orderkey) is a total order, so
@@ -547,6 +565,19 @@ object Extras {
     "q42_uri_concat" ->
       """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
         |FROM events ORDER BY event_id""".stripMargin,
+    "q72_asof_nearest" ->
+      """SELECT p.event_id AS p_event, p.user_id,
+        |  CASE WHEN f.event_id IS NULL THEN b.event_id
+        |       WHEN b.event_id IS NULL THEN f.event_id
+        |       WHEN epoch_ns(p.ts) - epoch_ns(b.ts) <= epoch_ns(f.ts) - epoch_ns(p.ts)
+        |            THEN b.event_id
+        |       ELSE f.event_id END AS c_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+        |  ON p.user_id = f.user_id AND p.ts <= f.ts
+        |ORDER BY p_event""".stripMargin,
     "q69_asof_forward" ->
       """SELECT c.event_id AS c_event, c.user_id, p.event_id AS p_event
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -612,5 +643,6 @@ object Extras {
     "q67_interval_join" -> q67_interval_join,
     "q68_asof_tolerance" -> q68_asof_tolerance,
     "q69_asof_forward" -> q69_asof_forward,
+    "q72_asof_nearest" -> q72_asof_nearest,
     "q44_having" -> q44_having)
 }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions.{col, negate}
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None, nearest: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -40,8 +40,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +49,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None, nearest: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -80,6 +80,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val keyTypes = leftKeys.map(_.dataType)
     val rWidth = rOut.size
     val tol = tolerance
+    val near = nearest
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -137,10 +138,28 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // tolerance (pandas merge_asof semantics): the nearest match
           // is the ONLY candidate — if it is too old, no older one can
           // qualify, so the row goes out null-extended
-          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
-              tol.forall(t => lTime - lastMatchTime <= t))
-            resultProj(joined(l, lastMatch))
-          else resultProj(joined(l, nullRight))
+          val backOk = lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            tol.forall(t => lTime - lastMatchTime <= t)
+          if (!near) {
+            if (backOk) resultProj(joined(l, lastMatch))
+            else resultProj(joined(l, nullRight))
+          } else {
+            // nearest: the merge left rHead at the FIRST right row with
+            // time > lTime (equal times were consumed as the backward
+            // match, where the gap is 0 and backward wins anyway), so
+            // rHead IS the forward candidate when its key matches
+            val fwdGap =
+              if (rHead != null && !rHeadKey.anyNull &&
+                  keyOrd.compare(rHeadKey, lKey) == 0) {
+                val g = timeOf(rt, rHead) - lTime
+                if (tol.forall(g <= _)) g else -1L
+              } else -1L
+            if (backOk && (fwdGap < 0 || lTime - lastMatchTime <= fwdGap))
+              resultProj(joined(l, lastMatch))
+            else if (fwdGap >= 0) resultProj(joined(l, rHead))
+            else resultProj(joined(l, nullRight))
+          }
         }
       }
     }
@@ -221,10 +240,26 @@ object AsOf {
       .drop(ln, rn)
   }
 
+  /** Nearest as-of: for each left row, the closer of its backward and
+    * forward candidates (ties and exact-time matches go backward —
+    * pandas merge_asof direction='nearest'). Single streaming merge:
+    * the forward candidate is simply the right head the merge stopped
+    * at, so nearest costs one extra comparison per left row, not a
+    * second pass or join.
+    */
+  def joinNearest(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      timeLeft: String, timeRight: String,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keyLeft, keyRight, timeLeft, timeRight,
+      preShuffle = !viaExtensions(left.sparkSession), tolerance,
+      nearest = true)
+
   private def join(left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String,
       timeLeft: String, timeRight: String,
-      preShuffle: Boolean, tolerance: Option[Long]): DataFrame = {
+      preShuffle: Boolean, tolerance: Option[Long],
+      nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!viaExtensions(spark) &&
         !spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
@@ -243,6 +278,6 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
     GraftBridge.ofRows(spark, AsOfJoinNode(lp, rp,
       Seq(attr(lp, keyLeft)), Seq(attr(rp, keyRight)),
-      attr(lp, timeLeft), attr(rp, timeRight), tolerance))
+      attr(lp, timeLeft), attr(rp, timeRight), tolerance, nearest))
   }
 }

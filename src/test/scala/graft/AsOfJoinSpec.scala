@@ -84,6 +84,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(mt((1L, 20L)) == null)
   }
 
+  test("nearest direction: closer of backward/forward, ties backward") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "backCloser"), (1L, 18L, "fwdCloser"),
+      (1L, 25L, "tie"), (2L, 5L, "onlyFwd"), (3L, 9L, "none"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 8L, "r8"), (1L, 20L, "r20"), (1L, 30L, "r30"),
+      (2L, 50L, "r50")).toDF("rk", "rt", "rv")
+    def run(tol: Option[Long]) =
+      AsOf.joinNearest(l, r, "k", "rk", "t", "rt", tol)
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1)) ->
+          (if (row.isNullAt(5)) null else row.getString(5)))
+        .toMap
+    val m = run(None)
+    assert(m((1L, 10L)) == "r8")   // back gap 2 < fwd gap 10
+    assert(m((1L, 18L)) == "r20")  // fwd gap 2 < back gap 10
+    assert(m((1L, 25L)) == "r20")  // gaps equal (5): backward wins
+    assert(m((2L, 5L)) == "r50")   // no backward candidate
+    assert(m((3L, 9L)) == null)    // no candidate at all
+    // tolerance cuts the far side: at t=18 fwd r20 (gap 2) stays,
+    // at t=10 back r8 (gap 2) stays, but (2,5)'s fwd gap 45 dies
+    val mt = run(Some(5L))
+    assert(mt((1L, 10L)) == "r8" && mt((1L, 18L)) == "r20")
+    assert(mt((2L, 5L)) == null)
+  }
+
   test("no right rows at all -> all null (left outer)") {
     val m = asofMap(left = Seq((1L, 1L, "x")), right = Seq.empty)
     assert(m((1L, 1L)) == null)
