@@ -414,6 +414,29 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** EXACT-fraction stratified sampling: exactly ceil(2% of n_g) rows
+    * from every stratum g, chosen by deterministic hash order — the
+    * guarantee q62's rate filter cannot give (its per-stratum counts
+    * are only rate in expectation). Costs a per-stratum rank, i.e. one
+    * shuffle of (key, id) pairs — the price of exactness; use q62/q63
+    * when approximate-per-stratum or fixed-k suffices.
+    */
+  val q73_stratified_sample: Q = (spark, dir) => {
+    import spark.implicits._
+    val hash = ($"o_orderkey" * 2654435761L) % 1000000007L
+    val byHash = Window.partitionBy($"o_orderpriority").orderBy(hash, $"o_orderkey")
+    val all = Window.partitionBy($"o_orderpriority")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey")
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("n_g", count(lit(1)).over(all))
+      // ceil(n*2%) in INTEGER arithmetic: double 0.02 vs DuckDB's
+      // decimal literal would diverge on exact multiples
+      .where($"rn" <= expr("(n_g * 2 + 99) DIV 100"))
+      .select($"o_orderpriority", $"o_orderkey", $"rn".cast(IntegerType).as("rn"))
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
   /** PIVOT: event counts per user bucket spread across event-type
     * columns (explicit value list — deterministic output schema; never
     * let pivot infer values with a distinct scan at 100 TB).
@@ -605,6 +628,16 @@ object Extras {
         |          ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q73_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_g
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= (n_g * 2 + 99) // 100
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "q43_rank_windows" ->
       """SELECT o_orderkey, o_orderpriority,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
@@ -640,6 +673,7 @@ object Extras {
     "q62_hash_sample" -> q62_hash_sample,
     "q70_sketch_merge" -> q70_sketch_merge,
     "q63_bottomk_sample" -> q63_bottomk_sample,
+    "q73_stratified_sample" -> q73_stratified_sample,
     "q67_interval_join" -> q67_interval_join,
     "q68_asof_tolerance" -> q68_asof_tolerance,
     "q69_asof_forward" -> q69_asof_forward,

@@ -91,6 +91,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("bucket"), s"binning column missing from plan:\n$p")
   }
 
+  test("scan-family queries stay map-only (presentation sort aside)") {
+    // the per-document text/chunk analyses advertise linear scaling —
+    // hold them to it: no hash shuffle anywhere in the plan
+    Seq("q24_token_count", "q25_quality_score", "q26_lang_id",
+      "q27_fingerprint", "q64_chunking", "q65_data_mix").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q gained a shuffle:\n$p")
+    }
+  }
+
   test("q02: IN-list predicate is pushed to the scan") {
     val p = plan("q02_select_in")
     assert(p.contains("PushedFilters") && p.contains("In("),
