@@ -354,15 +354,16 @@ object Extras {
   /** Deterministic hash sampling (stable train/eval splits): a row is
     * sampled iff a multiplicative hash of its key lands under the
     * rate threshold — reproducible across runs, engines, and
-    * partitionings, unlike `TABLESAMPLE`/`rand()`. The key stays
-    * within 63 bits so the arithmetic is engine-exact (no overflow
-    * wrap divergence between Java longs and DuckDB's hugeint
-    * promotion). Emits per-group sampled counts + the achieved rate.
+    * partitionings, unlike `TABLESAMPLE`/`rand()`. The key is reduced
+    * mod p=1e9+7 BEFORE the multiply, so the product stays under 2^62
+    * for ANY key value (no ANSI-mode overflow at scale, no wrap
+    * divergence between Java longs and DuckDB's hugeint promotion).
+    * Emits per-group sampled counts + the achieved rate.
     */
   val q62_hash_sample: Q = (spark, dir) => {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
-      .where(($"o_orderkey" * 2654435761L) % 100 < 5)
+      .where((($"o_orderkey" % 1000000007L) * 2654435761L) % 100 < 5)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_sampled"),
         sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("sample_spend"))
@@ -382,7 +383,7 @@ object Extras {
     */
   val q63_bottomk_sample: Q = (spark, dir) => {
     import spark.implicits._
-    val hash = ($"o_orderkey" * 2654435761L) % 1000000007L
+    val hash = (($"o_orderkey" % 1000000007L) * 2654435761L) % 1000000007L
     Tables.load(spark, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(graft.functions.TopKByAgg
@@ -423,7 +424,7 @@ object Extras {
     */
   val q73_stratified_sample: Q = (spark, dir) => {
     import spark.implicits._
-    val hash = ($"o_orderkey" * 2654435761L) % 1000000007L
+    val hash = (($"o_orderkey" % 1000000007L) * 2654435761L) % 1000000007L
     val byHash = Window.partitionBy($"o_orderpriority").orderBy(hash, $"o_orderkey")
     val all = Window.partitionBy($"o_orderpriority")
     Tables.load(spark, dir, "orders")
@@ -619,20 +620,20 @@ object Extras {
       """SELECT o_orderpriority, COUNT(*) AS n_sampled,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_spend
         |FROM orders
-        |WHERE (o_orderkey * 2654435761) % 100 < 5
+        |WHERE ((o_orderkey % 1000000007) * 2654435761) % 100 < 5
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q63_bottomk_sample" ->
       """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rank, o_orderkey
         |FROM (SELECT o_orderpriority, o_orderkey,
         |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-        |          ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) AS rn
+        |          ORDER BY ((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q73_stratified_sample" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) AS rn,
+        |      ORDER BY ((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) AS rn,
         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_g
         |  FROM orders)
         |SELECT o_orderpriority, o_orderkey, CAST(rn AS INTEGER) AS rn
