@@ -245,38 +245,117 @@ object Extras {
     sessionFrame(spark, dir).orderBy($"user_id", $"session_id")
   }
 
-  /** Interval-overlap join via time-bucket binning: co-active session
-    * pairs across users. Spark has no native interval join — a naive
-    * `a.start <= b.end AND b.start <= a.end` theta join plans as a
-    * nested-loop over the cross product. Binning makes it an EQUI-join:
-    * each interval emits one row per hour bucket it covers, the join
-    * keys on the bucket, and the exact overlap predicate refines. Each
-    * overlapping pair is emitted exactly once — at the later-starting
-    * side's first bucket, which the earlier side necessarily covers.
-    * Per-bucket work is O(concurrent-sessions²), the problem's inherent
-    * output complexity, and buckets parallelize across executors; the
-    * granularity knob trades emission (long intervals × many buckets)
-    * against per-bucket quadratic refine.
+  /** Interval-overlap join via time-bucket binning + in-bucket
+    * chunking: co-active session pairs across users. Spark has no
+    * native interval join — a naive `a.start <= b.end AND b.start <=
+    * a.end` theta join plans as a nested-loop over the cross product.
+    * Binning makes it an EQUI-join: each interval emits one row per
+    * hour bucket it covers, the join keys on the bucket, and the exact
+    * overlap predicate refines. Each overlapping pair is emitted
+    * exactly once — at the later-starting side's first bucket, which
+    * the earlier side necessarily covers.
+    *
+    * Keying on the bucket ALONE has a skew ceiling: one globally busy
+    * hour is one shuffle key group, and neither AQE skew-split nor
+    * salting can divide a self-join key group that must pair rows of
+    * the same key. So a busy bucket's sessions are further segmented
+    * into chunks and the join keys on the chunk PAIR `(bucket, ca,
+    * cb)` with ca <= cb: the a-side emits its (chunk..C-1) pair keys,
+    * the b-side its (0..chunk) pair keys, so every unordered session
+    * pair meets exactly once for ca < cb (orientation fixed by the
+    * chunks) and twice for ca == cb (deduped by `user_a < user_b`,
+    * which also drops self-pairs). The chunk count is ADAPTIVE per
+    * bucket — C = ceil(events_in_bucket / chunkRows) — so a cold
+    * bucket keeps C = 1 (zero replication, the common case) while a
+    * hot one becomes C(C+1)/2 independent key groups: per-task refine
+    * work is bounded by chunkRows² REGARDLESS of how busy the hour is,
+    * total candidate work is unchanged, and the replication factor
+    * (C+1 ≈ n/chunkRows) is paid only where the quadratic pair work it
+    * divides actually exists (emission ≈ pairs/chunkRows — sublinear
+    * in the output). The sizing count deliberately comes from the RAW
+    * event stream, not the sessionized one: within-session gaps are
+    * ≤ 30 min < the 60-min bucket width, so every bucket a session
+    * covers contains at least one of its events, making events-per-
+    * bucket a true upper bound on sessions-per-bucket — and the count
+    * is then a map-side-combinable scan aggregate (no third
+    * sessionize pass, no window). Because the chunk orientation (not
+    * the user ordering) decides which side a session lands on for
+    * ca < cb, output columns are canonicalized to user-ascending
+    * afterwards. The result set is independent of the chunking, so
+    * chunkRows is a pure performance knob.
+    *
+    * Per-bucket work is O(concurrent-sessions²), the problem's
+    * inherent output complexity; buckets × chunk-pairs parallelize
+    * across executors. Two granularity knobs: bucket width trades
+    * emission (long intervals × many buckets) against per-bucket
+    * refine; chunkRows trades replication against per-task work.
     */
-  val q67_interval_join: Q = (spark, dir) => {
+  /** The keyed sides of the chunked interval self-join — exposed so
+    * ScaleSpec can prove the per-key-group bound on a synthetic hot
+    * hour with a small chunkRows. See [[q67_interval_join]].
+    */
+  private[graft] def intervalJoinSides(spark: SparkSession, dir: String,
+      bucketUs: Long, chunkRows: Long): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val bucketUs = 3600L * 1000000L
     val binned = sessionFrame(spark, dir)
       .select($"user_id", $"session_id", $"start_us", $"end_us",
         explode(sequence(expr(s"start_us DIV $bucketUs"),
           expr(s"end_us DIV $bucketUs"))).as("bucket"))
-    val a = binned.toDF("user_a", "session_a", "start_a", "end_a", "bucket")
-    val b = binned.toDF("user_b", "session_b", "start_b", "end_b", "bucket")
-    a.join(b, Seq("bucket"))
-      .where($"user_a" < $"user_b" &&
+    // per-bucket sizing from the raw event stream (sessions-per-bucket
+    // <= events-per-bucket, see scaladoc): map-side-combined count to
+    // one tiny row per bucket, broadcast back. Left join + coalesce is
+    // belt-and-braces for the (impossible) covered-bucket-without-
+    // events case — dropping rows would be silent wrongness.
+    val chunkCounts = Tables.load(spark, dir, "events")
+      .select(expr(s"(ts DIV 1000) DIV $bucketUs").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .select($"bucket",
+        expr(s"(n + ${chunkRows - 1}) DIV $chunkRows").cast("int").as("nc"))
+    val seg = binned.join(broadcast(chunkCounts), Seq("bucket"), "left")
+      .withColumn("nc", coalesce($"nc", lit(1)))
+      .withColumn("chunk", pmod(hash($"user_id", $"session_id"), $"nc"))
+    val a = seg
+      .select($"user_id".as("user_a"), $"session_id".as("session_a"),
+        $"start_us".as("start_a"), $"end_us".as("end_a"), $"bucket",
+        $"chunk".as("ca"), explode(sequence($"chunk", $"nc" - 1)).as("cb"))
+    val b = seg
+      .select($"user_id".as("user_b"), $"session_id".as("session_b"),
+        $"start_us".as("start_b"), $"end_us".as("end_b"), $"bucket",
+        explode(sequence(lit(0), $"chunk")).as("ca"), $"chunk".as("cb"))
+    (a, b)
+  }
+
+  /** Joins [[intervalJoinSides]] on the compound key, refines with the
+    * exact overlap predicate, dedups to one emission per pair, and
+    * canonicalizes output columns to user-ascending.
+    */
+  private[graft] def intervalJoinOn(spark: SparkSession, dir: String,
+      bucketUs: Long, chunkRows: Long): DataFrame = {
+    import spark.implicits._
+    val (a, b) = intervalJoinSides(spark, dir, bucketUs, chunkRows)
+    a.join(b, Seq("bucket", "ca", "cb"))
+      .where(($"ca" < $"cb" || $"user_a" < $"user_b") &&
+        $"user_a" =!= $"user_b" &&
         $"start_a" <= $"end_b" && $"start_b" <= $"end_a" &&
         $"bucket" === greatest(expr(s"start_a DIV $bucketUs"),
           expr(s"start_b DIV $bucketUs")))
-      .select($"user_a", $"session_a", $"user_b", $"session_b",
+      .select(
+        when($"user_a" < $"user_b",
+          struct($"user_a".as("u1"), $"session_a".as("s1"),
+            $"user_b".as("u2"), $"session_b".as("s2")))
+          .otherwise(
+            struct($"user_b".as("u1"), $"session_b".as("s1"),
+              $"user_a".as("u2"), $"session_a".as("s2"))).as("p"),
         (least($"end_a", $"end_b") - greatest($"start_a", $"start_b"))
           .as("overlap_us"))
+      .select($"p.u1".as("user_a"), $"p.s1".as("session_a"),
+        $"p.u2".as("user_b"), $"p.s2".as("session_b"), $"overlap_us")
       .orderBy($"user_a", $"session_a", $"user_b", $"session_b")
   }
+
+  val q67_interval_join: Q = (spark, dir) =>
+    // per-task refine bound = 1024² comparisons
+    intervalJoinOn(spark, dir, bucketUs = 3600L * 1000000L, chunkRows = 1024L)
 
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` implement the same linear-interpolation

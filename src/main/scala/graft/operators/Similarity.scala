@@ -99,14 +99,18 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  /** The 16-cell coarse quantizer for a data dir (built once, memoized;
-    * see [[centroidCache]]): deterministic hashed-id seeds + one Lloyd
-    * refinement computed as per-dimension `avg` aggregates in a single
-    * corpus pass. Shared by q47 (ANN probe) and q59 (SemDeDup-style
-    * embedding near-dup blocking).
+  /** The k-cell coarse quantizer for a data dir (built once, memoized
+    * per (dir, k); see [[centroidCache]]): deterministic hashed-id seeds
+    * + one Lloyd refinement computed as per-dimension `avg` aggregates
+    * in a single corpus pass. A seed cell that captures no vectors in
+    * the refinement keeps its seed centroid, so the result ALWAYS has
+    * exactly k rows — callers pass `refined.flatten` into
+    * `best_cell`/`top_cells` with the same k, and a short matrix would
+    * read out of bounds inside the kernel. Shared by q47 (ANN probe)
+    * and q59 (SemDeDup-style embedding near-dup blocking).
     */
   private[graft] def centroids(spark: SparkSession, dir: String, k: Int = 16): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(dir, _ => {
+    centroidCache.computeIfAbsent(s"$dir#$k", _ => {
       import spark.implicits._
       val emb = Tables.load(spark, dir, "embeddings")
       // deterministic seeds: the k lowest hashed-vec_id vectors
@@ -120,12 +124,14 @@ object Similarity {
       // one Lloyd refinement: mean of assigned vectors per cell, one
       // aggregate per dimension (single corpus pass, map-side partials)
       val means = (0 until dim).map(d => avg($"embedding".getItem(d)).as(s"m$d"))
-      emb.select($"vec_id", $"embedding",
+      val refined = emb.select($"vec_id", $"embedding",
           best_cell($"embedding", seeds.flatten, k).as("cell"))
         .groupBy($"cell").agg(means.head, means.tail: _*)
         .collect()
-        .sortBy(_.getInt(0))
-        .map(r => Array.tabulate(dim)(d => r.getDouble(d + 1)))
+        .map(r => r.getInt(0) -> Array.tabulate(dim)(d => r.getDouble(d + 1)))
+        .toMap
+      // empty cells (possible on small/skewed corpora) keep their seed
+      Array.tabulate(k)(c => refined.getOrElse(c, seeds(c)))
     })
 
   /** IVF (inverted-file) ANN: one Lloyd refinement over deterministic

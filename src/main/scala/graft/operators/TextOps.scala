@@ -145,6 +145,12 @@ object TextOps {
     * prime modulus) so downstream training reads an interleaved, not
     * source-clumped, stream. At scale, repartitionByRange(mix_key)
     * shards the interleave without a global sort.
+    *
+    * Both hashes reduce doc_id mod p=1e9+7 BEFORE multiplying (same
+    * rule as q62/q63/q73): identity for ids < p, and the product stays
+    * < 2^62 for ANY id, so a corpus-scale id (>= ~3.5e9) can't wrap a
+    * signed long into an always-sampled negative remainder, and
+    * mix_key stays injective per residue class.
     */
   val q65_data_mix: Q = (spark, dir) => {
     import spark.implicits._
@@ -152,9 +158,9 @@ object TextOps {
       .when($"source".startsWith("src1"), 10)
       .otherwise(20)
     Tables.load(spark, dir, "documents")
-      .where(($"doc_id" * 2654435761L) % 100 < pct)
+      .where((($"doc_id" % 1000000007L) * 2654435761L) % 100 < pct)
       .select($"doc_id", $"source",
-        (($"doc_id" * 48271L) % 1000000007L).as("mix_key"))
+        ((($"doc_id" % 1000000007L) * 48271L) % 1000000007L).as("mix_key"))
       .orderBy($"mix_key")
   }
 
@@ -253,9 +259,9 @@ object TextOps {
         |  md5(substr(text, CAST(start AS INTEGER), 160)) AS chunk_md5
         |FROM c ORDER BY doc_id, start""".stripMargin,
     "q65_data_mix" ->
-      """SELECT doc_id, source, (doc_id * 48271) % 1000000007 AS mix_key
+      """SELECT doc_id, source, ((doc_id % 1000000007) * 48271) % 1000000007 AS mix_key
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 40
         |       WHEN source LIKE 'src1%' THEN 10 ELSE 20 END
         |ORDER BY mix_key""".stripMargin,

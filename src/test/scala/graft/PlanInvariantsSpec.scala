@@ -84,11 +84,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("min_hash_bands"), s"band kernel missing:\n$p")
   }
 
-  test("q67: interval join is a binned equi-join, not a nested loop") {
+  test("q67: interval join is a binned equi-join on chunk-pair keys, not a nested loop") {
     val p = plan("q67_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"interval predicate planned as a cross product:\n$p")
-    assert(p.contains("bucket"), s"binning column missing from plan:\n$p")
+    // the self-join must key on the COMPOUND (bucket, ca, cb) — keying
+    // on the bucket alone makes one globally busy hour one unsplittable
+    // key group (ScaleSpec proves the per-group bound on a hot fixture)
+    assert("""Join \[bucket#\d+L?, ca#\d+, cb#\d+\]""".r.findFirstIn(p).isDefined,
+      s"chunk-pair keys missing from the self-join:\n$p")
   }
 
   test("scan-family queries stay map-only (presentation sort aside)") {

@@ -233,6 +233,54 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q67 chunking: a hot hour splits into bounded key groups; result is chunking-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("hot_events").toString
+    val hourUs = 3600L * 1000000L
+    // hour 0 is globally hot: 120 users x 25 events at 2-min spacing
+    // (one 48-min session each, all mutually overlapping) -> 3000
+    // events, ~120 concurrent sessions in ONE bucket. Hour 48 is cold:
+    // 10 users with one point-session each (no overlaps).
+    val hot = spark.range(0, 120).select($"id".as("user_id"))
+      .crossJoin(spark.range(0, 25).toDF("i"))
+      .select(($"user_id" * 25 + $"i").as("event_id"),
+        ($"i" * 120000000L + $"user_id" * 1000L).as("us"),
+        $"user_id")
+    val cold = spark.range(0, 10)
+      .select(($"id" + 100000L).as("event_id"),
+        (lit(48L) * hourUs + $"id" * 60000000L).as("us"),
+        ($"id" + 1000L).as("user_id"))
+    hot.unionByName(cold)
+      .select($"event_id", ($"us" * 1000L).as("ts"), $"user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // chunkRows=256 -> hot bucket nc = ceil(3000/256) = 12, cold nc = 1
+    val (a, b) = graft.operators.Extras.intervalJoinSides(spark, dir, hourUs, 256L)
+    val maxCb = a.agg(max($"cb")).collect()(0).getInt(0)
+    assert(maxCb == 11, s"hot hour not segmented into 12 chunks (max cb = $maxCb)")
+    // per-key-group input = one chunk's sessions, NOT the bucket's 120:
+    // E[|chunk|] = 10; allow hash-variance slack but stay far under the
+    // unsegmented ceiling — this is the bound that keeps one busy hour
+    // from becoming one unsplittable task at 100 TB
+    val maxA = a.groupBy($"bucket", $"ca", $"cb").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    val maxB = b.groupBy($"bucket", $"ca", $"cb").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(maxA <= 40 && maxB <= 40,
+      s"key-group input not bounded by the chunking: a=$maxA b=$maxB")
+    // the pair set is independent of the chunking: chunked == unchunked
+    // (huge chunkRows -> nc=1 everywhere, the pure bucket join), and
+    // equals the closed form 120*119/2 (every hot pair overlaps; the
+    // cold point-sessions never do)
+    def rows(chunkRows: Long) =
+      graft.operators.Extras.intervalJoinOn(spark, dir, hourUs, chunkRows)
+        .collect().map(_.toSeq).toSeq
+    val chunked = rows(256L)
+    assert(chunked.size == 120 * 119 / 2, s"expected 7140 pairs, got ${chunked.size}")
+    assert(chunked == rows(1000000L), "chunked result differs from unchunked")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     import spark.implicits._
     // a selective dim filter should inject a bloom filter on the fact
