@@ -86,6 +86,73 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(read(total = 60, pageSize = 25).where("name = 'track_7'").count() == 1)
   }
 
+  test("OAuth2 lifecycle: tokens expiring mid-scan refresh transparently; rows identical") {
+    import graft.sources.FakeTokenEndpoint
+    // tokens die every 3 API calls and a refresh lineage is revoked
+    // after 2 refreshes: a 21-page scan MUST refresh repeatedly and
+    // re-exchange at least once, all invisibly to the query
+    FakeTokenEndpoint.reset(ttlCalls = 3, maxRefreshes = 2)
+    try {
+      val df = spark.read.format("graft.sources.PagedSourceProvider")
+        .option("total", 503).option("pageSize", 25)
+        .option("service", "graft.sources.TokenIssuingFakeApi")
+        .option("client_id", "demo-client")
+        .option("client_secret", "demo-secret")
+        .load()
+      val got = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val base = read(503, 25).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.length == 503 && got.toSeq == base.toSeq,
+        "authenticated scan's rows differ from the unauthenticated API's")
+      assert(FakeTokenEndpoint.refreshes.get() > 0,
+        "no token refresh happened mid-scan")
+      assert(FakeTokenEndpoint.exchanges.get() > 1,
+        "revoked refresh token never forced a full re-exchange")
+    } finally FakeTokenEndpoint.reset()
+  }
+
+  test("OAuth2 lifecycle: bad credentials fail the handshake; cache spares re-exchanges") {
+    import graft.sources.FakeTokenEndpoint
+    FakeTokenEndpoint.reset() // eternal tokens
+    try {
+      val bad = intercept[Exception] {
+        spark.read.format("graft.sources.PagedSourceProvider")
+          .option("total", 50).option("pageSize", 25)
+          .option("service", "graft.sources.TokenIssuingFakeApi")
+          .option("client_id", "demo-client")
+          .option("client_secret", "wrong-secret")
+          .load().collect()
+      }
+      assert(bad.getMessage.contains("invalid_client") ||
+        Option(bad.getCause).exists(_.getMessage.contains("invalid_client")),
+        s"expected invalid_client, got: $bad")
+      // good credentials: every reader connect()s, but the token cache
+      // (the reference's config/.cache) keeps it at ONE exchange total
+      FakeTokenEndpoint.reset()
+      val n = spark.read.format("graft.sources.PagedSourceProvider")
+        .option("total", 503).option("pageSize", 25)
+        .option("service", "graft.sources.TokenIssuingFakeApi")
+        .load().count()
+      assert(n == 503)
+      assert(FakeTokenEndpoint.exchanges.get() == 1,
+        s"token cache not shared across readers: ${FakeTokenEndpoint.exchanges.get()} exchanges")
+    } finally FakeTokenEndpoint.reset()
+  }
+
+  test("OAuth2 lifecycle: batched feature lookup authenticates through the same session") {
+    import spark.implicits._
+    import graft.sources.FakeTokenEndpoint
+    FakeTokenEndpoint.reset(ttlCalls = 2)
+    try {
+      graft.sources.TokenIssuingFakeApi.connect(Map.empty)
+      val out = graft.sources.BatchedLookup.features(
+        (0L until 120L).toDF("id"), "id", batchSize = 10,
+        service = graft.sources.TokenIssuingFakeApi)
+      val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m.size == 120 && m(3L) == (3L * 2654435761L % 1000) / 10.0)
+      assert(FakeTokenEndpoint.refreshes.get() > 0, "batched path never refreshed")
+    } finally FakeTokenEndpoint.reset()
+  }
+
   test("service seam: batched lookup takes an injected implementation") {
     import spark.implicits._
     val out = graft.sources.BatchedLookup.features(
