@@ -77,5 +77,7 @@ object GraftExtensions {
     "top_k_by" -> (xs => TopKByAgg(xs.head, xs(1),
       intArg(xs, 2, 3, "top_k_by")).toAggregateExpression()),
     "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))),
-    "be_int" -> (xs => BeIntExpr(xs.head, intArg(xs, 1, 0, "be_int"))))
+    "be_int" -> (xs => BeIntExpr(xs.head, intArg(xs, 1, 0, "be_int"))),
+    "le_int" -> (xs => LeIntExpr(xs.head, intArg(xs, 1, 0, "le_int"))),
+    "le_short" -> (xs => LeShortExpr(xs.head, intArg(xs, 1, 0, "le_short"))))
 }

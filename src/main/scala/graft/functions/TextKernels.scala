@@ -381,6 +381,25 @@ object TextKernels {
       ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
   }
 
+  /** Little-endian int32 twin of [[beInt]] — RIFF/WAV chunk sizes and
+    * fmt fields, BMP headers, and most ISOBMFF-sibling consumer-audio
+    * layouts are little-endian. Same -1 out-of-range sentinel.
+    */
+  def leInt(bytes: Array[Byte], off: Int): Int = {
+    if (off < 0 || off + 4 > bytes.length) return -1
+    (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+      ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+  }
+
+  /** Little-endian uint16 field reader (WAV `fmt ` is full of 16-bit
+    * fields: audio format, channel count, block align, bits/sample).
+    * Widened to Int so the unsigned range survives. -1 sentinel.
+    */
+  def leShort(bytes: Array[Byte], off: Int): Int = {
+    if (off < 0 || off + 2 > bytes.length) return -1
+    (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+  }
+
   // ------------------------------------------------------------- vectors
   /** Deterministic pseudo-random hyperplane coefficient for plane p,
     * dimension d (splitmix-derived, mapped to [-1, 1)).

@@ -170,6 +170,34 @@ case class BeIntExpr(child: Expression, offset: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Little-endian int32 twin of [[BeIntExpr]] (RIFF/WAV, BMP — the
+  * other half of real multimodal header layouts).
+  */
+case class LeIntExpr(child: Expression, offset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "le_int"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.leInt(v.asInstanceOf[Array[Byte]], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.leInt($c, $offset)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Little-endian uint16 field reader (the WAV `fmt ` chunk's format /
+  * channels / block-align / bits-per-sample fields).
+  */
+case class LeShortExpr(child: Expression, offset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "le_short"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.leShort(v.asInstanceOf[Array[Byte]], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.leShort($c, $offset)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** IVF coarse-quantizer cell assignment as a map-only kernel: the
   * centroid matrix (flattened [k x dim]) rides inside the expression
   * and ships with the serialized plan to every executor — a broadcast
@@ -244,6 +272,8 @@ object GraftFunctions {
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
   def be_int(a: Column, offset: Int): Column = c(BeIntExpr(e(a), offset))
+  def le_int(a: Column, offset: Int): Column = c(LeIntExpr(e(a), offset))
+  def le_short(a: Column, offset: Int): Column = c(LeShortExpr(e(a), offset))
   def best_cell(a: Column, cents: Array[Double], k: Int): Column =
     c(BestCellExpr(e(a), cents, k))
   def top_cells(a: Column, cents: Array[Double], k: Int, nprobe: Int): Column =

@@ -148,7 +148,70 @@ object Pipelines {
       .orderBy($"doc_id")
   }
 
+  /** REAL little-endian header decode — the WAV/RIFF twin of q60 (PNG
+    * is big-endian; consumer-audio RIFF layouts are little-endian, the
+    * other half of real multimodal metadata; reference analog: the
+    * binary `album_art` field of data/local_media_extract.json). Each
+    * row carries a spec-valid 44-byte canonical PCM WAV header
+    * synthesized in a mapPartitions ingest stage, and the engine
+    * parses the fmt/data fields back out with the generic `le_int` /
+    * `le_short` readers plus a binary substring for the RIFF tag;
+    * duration is then derived in integer arithmetic (engine-exact).
+    * Narrow map end to end: no shuffle until the presentation sort.
+    */
+  val q74_wav_header: Q = (spark, dir) => {
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    def wavHeader(id: Long): Array[Byte] = {
+      val sampleRate = rates((id % 5).toInt)
+      val channels = 1 + (id % 2).toInt
+      val bits = 16
+      val byteRate = sampleRate * channels * bits / 8
+      val dataBytes = ((id % 1000) + 1).toInt * 1024
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1.toShort)                      // PCM
+      b.putShort(channels.toShort)
+      b.putInt(sampleRate)
+      b.putInt(byteRate)
+      b.putShort((channels * bits / 8).toShort)  // block align
+      b.putShort(bits.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      b.array()
+    }
+    import graft.functions.GraftFunctions.{le_int, le_short}
+    graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, wavHeader(id))))
+      .toDF("doc_id", "payload")
+      .select($"doc_id",
+        decode(substring($"payload", 1, 4), "US-ASCII").as("riff_tag"),
+        le_short($"payload", 22).as("channels"),
+        le_int($"payload", 24).as("sample_rate"),
+        le_int($"payload", 28).as("byte_rate"),
+        le_int($"payload", 40).as("data_bytes"))
+      .withColumn("duration_ms",
+        expr("(CAST(data_bytes AS BIGINT) * 1000) DIV byte_rate"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q74_wav_header" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INTEGER) + 1] AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST((doc_id % 1000 + 1) * 1024 AS INTEGER) AS data_bytes
+        |  FROM documents)
+        |SELECT doc_id, 'RIFF' AS riff_tag, channels,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(sample_rate * channels * 2 AS INTEGER) AS byte_rate,
+        |  data_bytes,
+        |  CAST(data_bytes AS BIGINT) * 1000 // (sample_rate * channels * 2) AS duration_ms
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q60_image_header" ->
       """SELECT doc_id,
         | CAST(doc_id % 512 + 16 AS INTEGER) AS width,
@@ -190,5 +253,6 @@ object Pipelines {
     "q52_frame_sample" -> q52_frame_sample,
     "q35_ndjson_roundtrip" -> q35_ndjson_roundtrip,
     "q36_offline_lookup" -> q36_offline_lookup,
-    "q60_image_header" -> q60_image_header)
+    "q60_image_header" -> q60_image_header,
+    "q74_wav_header" -> q74_wav_header)
 }

@@ -381,6 +381,13 @@ class ScaleSpec extends AnyFunSuite {
         "SELECT ngram FROM (SELECT 'abcd' AS s) LATERAL VIEW ngrams(s, 2) g AS ngram")
         .collect().map(_.getString(0)).toSeq
       assert(ng == Seq("ab", "bc", "cd"))
+      // binary field readers: both endiannesses + the 16-bit LE field
+      val bin = s2.sql(
+        """SELECT be_int(X'12345678', 0) AS be, le_int(X'78563412', 0) AS le,
+          |       le_short(X'3412', 0) AS ls, le_int(X'00', 0) AS oob
+          |FROM range(1)""".stripMargin).collect()(0)
+      assert(bin.getInt(0) == 0x12345678 && bin.getInt(1) == 0x12345678 &&
+        bin.getInt(2) == 0x1234 && bin.getInt(3) == -1)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
