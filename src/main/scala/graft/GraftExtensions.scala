@@ -23,6 +23,11 @@ import graft.plans.AsOfJoinStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // ASOF JOIN SQL dialect: keyword sugar in the parser, semantics in
+    // the asof_* ON-clause markers, conversion in the post-hoc rule
+    // (graft.plans.AsOfSql)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    e.injectPostHocResolutionRule(_ => graft.plans.AsOfSqlRule)
     GraftExtensions.functionSpecs.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.package", name), builder))
@@ -79,5 +84,8 @@ object GraftExtensions {
     "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))),
     "be_int" -> (xs => BeIntExpr(xs.head, intArg(xs, 1, 0, "be_int"))),
     "le_int" -> (xs => LeIntExpr(xs.head, intArg(xs, 1, 0, "le_int"))),
-    "le_short" -> (xs => LeShortExpr(xs.head, intArg(xs, 1, 0, "le_short"))))
+    "le_short" -> (xs => LeShortExpr(xs.head, intArg(xs, 1, 0, "le_short"))),
+    "asof_backward" -> graft.plans.AsOfMatch.builder("backward") _,
+    "asof_forward" -> graft.plans.AsOfMatch.builder("forward") _,
+    "asof_nearest" -> graft.plans.AsOfMatch.builder("nearest") _)
 }

@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StructType}
+
+/** SQL surface for the AS-OF join (the engine's flagship custom
+  * operator — [[AsOfJoinNode]]): a tiny dialect extension installed by
+  * [[graft.GraftExtensions]].
+  *
+  * {{{
+  * SELECT ... FROM purchases p
+  * ASOF JOIN clicks c
+  *   ON p.user_id = c.user_id AND asof_backward(p.ts, c.ts)
+  * }}}
+  *
+  * Two cooperating pieces, neither of which re-implements SQL parsing:
+  *
+  *  1. [[GraftSqlParser]] — a delegating parser that rewrites the
+  *     `ASOF JOIN` keyword pair to `LEFT JOIN` (quote-aware, so string
+  *     literals are never touched) and hands everything else to
+  *     Spark's own parser. The keyword is declarative sugar; the MATCH
+  *     SEMANTICS ride in the ON clause as a marker function, which
+  *     also makes plain `LEFT JOIN ... AND asof_backward(...)` an
+  *     accepted spelling.
+  *  2. [[AsOfSqlRule]] — a post-hoc resolution rule that finds a left
+  *     join whose condition carries exactly one [[AsOfMatch]] marker,
+  *     splits the remaining conjuncts into equi-keys, and replaces the
+  *     join with [[AsOfJoinNode]] (attribute ids preserved — a left
+  *     outer join has the identical output schema, so references above
+  *     the join are untouched).
+  *
+  * Markers (match the pandas merge_asof directions the DataFrame API
+  * exposes; `tol` is an optional integer literal in the time column's
+  * own unit):
+  *
+  *  - `asof_backward(l_time, r_time [, tol])` — latest right row with
+  *    `r_time <= l_time`
+  *  - `asof_forward(l_time, r_time [, tol])` — earliest right row with
+  *    `r_time >= l_time` (negated times over the same backward merge,
+  *    exactly like [[AsOf.joinForward]])
+  *  - `asof_nearest(l_time, r_time [, tol])` — the closer of the two,
+  *    ties backward
+  *
+  * A marker that survives to execution (used outside a join's ON
+  * clause) is [[Unevaluable]] and fails with its pretty name — it
+  * cannot silently evaluate to a boolean.
+  */
+case class AsOfMatch(children: Seq[Expression], direction: String)
+    extends Expression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = s"asof_$direction"
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(children = c)
+}
+
+object AsOfMatch {
+  /** Function builder for [[graft.GraftExtensions]] registration. */
+  def builder(direction: String)(xs: Seq[Expression]): Expression = {
+    if (xs.length < 2 || xs.length > 3)
+      throw new IllegalArgumentException(
+        s"asof_$direction(l_time, r_time[, tolerance]) takes 2 or 3 arguments, got ${xs.length}")
+    AsOfMatch(xs, direction)
+  }
+}
+
+/** Rewrites a resolved `LEFT JOIN` carrying one [[AsOfMatch]] marker
+  * into [[AsOfJoinNode]]. Runs as a post-hoc resolution rule: after
+  * the condition's attributes are resolved, before CheckAnalysis.
+  */
+object AsOfSqlRule extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case j @ Join(l, r, LeftOuter, Some(cond), _)
+        if j.resolved && cond.exists(_.isInstanceOf[AsOfMatch]) =>
+      convert(l, r, cond)
+    case j: Join if j.resolved && j.condition.exists(_.exists(_.isInstanceOf[AsOfMatch])) =>
+      throw new IllegalArgumentException(
+        "asof_* match conditions require ASOF JOIN (or LEFT JOIN), got " + j.joinType)
+  }
+
+  private def convert(l: LogicalPlan, r: LogicalPlan, cond: Expression): LogicalPlan = {
+    val (markers, rest) =
+      splitConjunctivePredicates(cond).partition(_.isInstanceOf[AsOfMatch])
+    if (markers.size != 1)
+      throw new IllegalArgumentException(
+        s"ASOF JOIN needs exactly one asof_* match condition, found ${markers.size}")
+    val m = markers.head.asInstanceOf[AsOfMatch]
+    def fromLeft(e: Expression) = e.references.subsetOf(l.outputSet)
+    def fromRight(e: Expression) = e.references.subsetOf(r.outputSet)
+    val (leftKeys, rightKeys) = rest.map {
+      case EqualTo(a, b) if fromLeft(a) && fromRight(b) => (a, b)
+      case EqualTo(a, b) if fromLeft(b) && fromRight(a) => (b, a)
+      case other => throw new IllegalArgumentException(
+        "ASOF JOIN ON supports equi-key conjuncts plus one asof_* condition; " +
+          s"cannot use: ${other.sql}")
+    }.unzip
+    if (leftKeys.isEmpty)
+      throw new IllegalArgumentException("ASOF JOIN needs at least one equi-key conjunct")
+    val (lt, rt) = (m.children(0), m.children(1)) match {
+      case (a, b) if fromLeft(a) && fromRight(b) => (a, b)
+      case (a, b) if fromLeft(b) && fromRight(a) => (b, a)
+      case _ => throw new IllegalArgumentException(
+        s"${m.prettyName}: one time expression must come from each join side")
+    }
+    val tolerance = m.children.drop(2).headOption.map {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"${m.prettyName}: tolerance must be an integer literal, got ${other.sql}")
+    }
+    m.direction match {
+      case "backward" =>
+        AsOfJoinNode(l, r, leftKeys, rightKeys, lt, rt, tolerance)
+      case "forward" => // latest at-or-before -t IS earliest at-or-after t
+        AsOfJoinNode(l, r, leftKeys, rightKeys,
+          UnaryMinus(lt, failOnError = false), UnaryMinus(rt, failOnError = false),
+          tolerance)
+      case "nearest" =>
+        AsOfJoinNode(l, r, leftKeys, rightKeys, lt, rt, tolerance, nearest = true)
+      case other =>
+        throw new IllegalArgumentException(s"unknown as-of direction: $other")
+    }
+  }
+}
+
+/** Delegating parser: rewrites the `ASOF JOIN` keyword pair to
+  * `LEFT JOIN` outside string literals and defers everything to the
+  * session's stock parser. See [[AsOfSqlRule]] for why this is safe:
+  * the keyword is sugar, the semantics live in the marker function.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser.rewriteAsOf
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(rewriteAsOf(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(rewriteAsOf(sqlText))
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}
+
+object GraftSqlParser {
+  /** `ASOF JOIN` -> `LEFT JOIN`, skipping single-quoted string
+    * literals ('' escapes fall out naturally: the closing quote flips
+    * state and the next immediately reopens it).
+    */
+  private[graft] def rewriteAsOf(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inQuote = false
+    def wordAt(pos: Int, w: String): Boolean =
+      pos + w.length <= sql.length && sql.regionMatches(true, pos, w, 0, w.length) &&
+        (pos + w.length == sql.length || !isWordChar(sql.charAt(pos + w.length)))
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        sb.append(c); if (c == '\'') inQuote = false; i += 1
+      } else if (c == '\'') {
+        sb.append(c); inQuote = true; i += 1
+      } else if (wordAt(i, "ASOF") && (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (wordAt(j, "JOIN")) { sb.append("LEFT JOIN"); i = j + 4 }
+        else { sb.append(c); i += 1 }
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+}
