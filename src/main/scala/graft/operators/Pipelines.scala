@@ -13,36 +13,59 @@ import org.apache.spark.sql.types._
 object Pipelines {
   import Relational.Q
 
-  /** Decoded multimodal metadata. */
-  final case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String)
-
-  /** Multimodal column plumbing (binary payload -> typed metadata).
+  /** Multimodal column plumbing (binary payload -> typed metadata)
+    * with a REAL codec decode: each row carries a complete, spec-valid
+    * PNG (written by the JDK's own ImageIO encoder in the ingest
+    * stage, standing in for image bytes that arrived opaque — the
+    * container has no image fixtures), and the decode stage runs the
+    * actual `javax.imageio` PNG reader over the binary column — no
+    * external dependency, no stub. The ingest synthesizes a solid
+    * gray w x h image deterministically from doc_id, so every decoded
+    * field has a closed-form oracle; `be_int` additionally parses the
+    * IHDR width/height straight off the encoder's bytes, so the
+    * codec's answer and the byte-level header parse cross-check each
+    * other inside one hash-compared result.
     *
-    * Real pipeline shape: an opaque `binary` column processed per
-    * partition by a decode kernel producing a typed struct. The decode
-    * itself is a STUB — a deterministic function of the byte payload
-    * (image/audio codecs aren't in this container) — but the Spark
-    * plumbing is real: binary encoding, Dataset[T] typed rows,
-    * mapPartitions batch shape, and a schema an actual decoder would
-    * fill. Swap `stubDecode` for a real codec (e.g. TwelveMonkeys
-    * ImageIO) and nothing else changes.
+    * Scale shape: narrow map end to end (encode+decode per row inside
+    * one mapPartitions, header fields as codegen'd expressions), no
+    * shuffle until the presentation sort — decode throughput scales
+    * linearly with executors.
     */
   val q34_multimodal_meta: Q = (spark, dir) => {
     import spark.implicits._
-    def stubDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val n = payload.length
-      val fmt = (n % 3) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case _ => "webp"
-      }
-      MediaMeta(docId, n % 512 + 16, (n / 7) % 512 + 16, fmt)
-    }
     graft.Tables.load(spark, dir, "documents")
-      .select($"doc_id", encode($"text", "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
-      .toDF()
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file churn
+        it.map { id =>
+          // ingest: a real PNG, deterministic from doc_id
+          val w = (id % 48 + 1).toInt
+          val h = (id % 29 + 1).toInt
+          val gray = (id % 256).toInt
+          val rgb = (gray << 16) | (gray << 8) | gray
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          // decode: the real codec reads the opaque bytes back
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          (id, bytes, decoded.getWidth, decoded.getHeight,
+            decoded.getRGB(0, 0) & 0xFF)
+        }
+      }
+      .toDF("doc_id", "payload", "width", "height", "gray")
+      .select($"doc_id", $"width", $"height", $"gray",
+        graft.functions.GraftFunctions.be_int($"payload", 16).as("header_width"),
+        graft.functions.GraftFunctions.be_int($"payload", 20).as("header_height"),
+        lit("png").as("format"))
       .orderBy($"doc_id")
   }
 
@@ -231,10 +254,12 @@ object Pipelines {
         |FROM f WHERE frame_bytes > 0 ORDER BY doc_id, frame_id""".stripMargin,
     "q34_multimodal_meta" ->
       """SELECT doc_id,
-        | CAST(octet_length(encode(text)) % 512 + 16 AS INTEGER) AS width,
-        | CAST((octet_length(encode(text)) // 7) % 512 + 16 AS INTEGER) AS height,
-        | CASE octet_length(encode(text)) % 3
-        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        | CAST(doc_id % 48 + 1 AS INTEGER) AS width,
+        | CAST(doc_id % 29 + 1 AS INTEGER) AS height,
+        | CAST(doc_id % 256 AS INTEGER) AS gray,
+        | CAST(doc_id % 48 + 1 AS INTEGER) AS header_width,
+        | CAST(doc_id % 29 + 1 AS INTEGER) AS header_height,
+        | 'png' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q35_ndjson_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,

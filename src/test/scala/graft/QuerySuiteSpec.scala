@@ -127,11 +127,14 @@ class QuerySuiteSpec extends AnyFunSuite {
     byQ.values.foreach(g => assert(g.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3))))
   }
 
-  test("q34 multimodal metadata is fully populated and typed") {
+  test("q34 real PNG decode agrees with the byte-level header parse on every row") {
     val df = SparkEntry.queries("q34_multimodal_meta")(spark, sf)
-    assert(df.schema.fieldNames.sameElements(Array("doc_id", "width", "height", "format")))
-    assert(df.where("width < 16 OR height < 16").count() == 0)
-    assert(df.where("format NOT IN ('png','jpeg','webp')").count() == 0)
+    assert(df.schema.fieldNames.sameElements(Array(
+      "doc_id", "width", "height", "gray", "header_width", "header_height", "format")))
+    // the javax.imageio decode and the be_int IHDR parse must agree
+    assert(df.where("width <> header_width OR height <> header_height").count() == 0)
+    assert(df.where("width < 1 OR height < 1 OR gray < 0 OR gray > 255").count() == 0)
+    assert(df.where("format <> 'png'").count() == 0)
   }
 
   test("SQL surface: registered custom functions work in spark.sql") {
