@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling audit for the three blocked quadratic operators
+  * (q29 minhash bands, q31 length-bucketed n-gram Jaccard, q67 chunked
+  * interval join): build a `mult`x fixture DERIVED from a driver
+  * tables dir, run each operator at 1x and at `mult`x, and print
+  * wall times plus the size drivers (candidate/pair counts, bucket
+  * populations) so PLANS.md can cite measured points instead of
+  * asymptotic claims.
+  *
+  * Fixture derivation (deliberately models the growth regime each
+  * blocking targets):
+  *  - documents: `mult` copies; every word gets a per-copy suffix and
+  *    the source is renamed per copy — growth adds NEW domains/content
+  *    (the 100 TB regime: more crawl, not the same page over and
+  *    over), so copies share no shingles/grams and block COUNT grows
+  *    while block SIZE stays put. Near-dup pairs should scale ~
+  *    linearly; a quadratic blow-up would falsify the blocking.
+  *  - events: `mult` copies with disjoint user ranges and UNCHANGED
+  *    timestamps — the same wall-clock hours get `mult`x busier (the
+  *    hot-hour regime q67's chunking exists for), so events-per-bucket
+  *    grows and the adaptive chunk count must engage.
+  *
+  * Usage: runMain graft.tools.ScaleAudit [baseDir] [mult] [workDir]
+  */
+object ScaleAudit {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 8
+    val work = if (args.length > 2) args(2) else "/tmp/graft_scale_audit"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- derive the mult-x fixture ------------------------------------
+    val docs = graft.Tables.load(spark, base, "documents")
+    val copies = (0 until mult).map { c =>
+      docs.select(
+        ($"doc_id" + lit(c.toLong * 10000000L)).as("doc_id"),
+        concat_ws(" ",
+          transform(split($"text", " "), w => concat(w, lit(s"_$c")))).as("text"),
+        $"lang",
+        concat($"source", lit(s"_$c")).as("source"),
+        $"n_chars")
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val ev = graft.Tables.load(spark, base, "events")
+    (0 until mult).map { c =>
+      ev.select(
+        ($"event_id" + lit(c.toLong * 100000000L)).as("event_id"),
+        $"ts",
+        ($"user_id" + lit(c.toLong * 100000000L)).as("user_id"),
+        $"event_type", $"value")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    // steady-state: run twice, report the second
+    def bench(name: String, dir: String, q: (SparkSession, String) => DataFrame): Unit = {
+      time(q(spark, dir).count())
+      val (t, n) = time(q(spark, dir).count())
+      println(f"[audit] $name dir=$dir rows=$n time=$t%.2f s")
+    }
+
+    for (dir <- Seq(base, work)) {
+      println(s"[audit] ==== $dir ====")
+      val d = graft.Tables.load(spark, dir, "documents")
+      println(s"[audit] documents=${d.count()} sources=${d.select($"source").distinct().count()}")
+      val buckets = graft.Tables.load(spark, dir, "events")
+        .select(expr("(ts DIV 1000) DIV 3600000000").as("b"))
+        .groupBy($"b").count()
+      val mx = buckets.agg(max($"count")).collect()(0).getLong(0)
+      println(s"[audit] event buckets=${buckets.count()} max_events_per_bucket=$mx " +
+        s"-> q67 max chunk count nc=${(mx + 1023) / 1024}")
+      bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
+      bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
+      bench("q67_interval_join", dir, graft.SparkEntry.queries("q67_interval_join"))
+      // q67 chunked vs unchunked: identical pair sets, bounded tasks
+      val (tc, nc) = time(graft.operators.Extras
+        .intervalJoinOn(spark, dir, 3600L * 1000000L, 1024L).count())
+      val (tu, nu) = time(graft.operators.Extras
+        .intervalJoinOn(spark, dir, 3600L * 1000000L, Long.MaxValue / 4).count())
+      println(f"[audit] q67 chunked=$tc%.2f s ($nc pairs) unchunked=$tu%.2f s ($nu pairs)")
+    }
+    spark.stop()
+  }
+}
