@@ -85,6 +85,8 @@ object GraftExtensions {
     "be_int" -> (xs => BeIntExpr(xs.head, intArg(xs, 1, 0, "be_int"))),
     "le_int" -> (xs => LeIntExpr(xs.head, intArg(xs, 1, 0, "le_int"))),
     "le_short" -> (xs => LeShortExpr(xs.head, intArg(xs, 1, 0, "le_short"))),
+    "heavy_hitters" -> (xs => HeavyHittersAgg(xs.head,
+      intArg(xs, 1, 64, "heavy_hitters")).toAggregateExpression()),
     "asof_backward" -> graft.plans.AsOfMatch.builder("backward") _,
     "asof_forward" -> graft.plans.AsOfMatch.builder("forward") _,
     "asof_nearest" -> graft.plans.AsOfMatch.builder("nearest") _)

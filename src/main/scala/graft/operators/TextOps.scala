@@ -225,7 +225,94 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Unigram-LM quality scoring (the CCNet-style language-model
+    * filter family): score each document by how common its words are
+    * in the corpus itself. Per word, the "commonness bits" are
+    * floor(log2(corpus count)) — computed EXACTLY in integer space as
+    * `length(bin(n)) - 1`, so the cross-engine compare never touches
+    * a float log. Per doc: word count, total and minimum bits (a doc
+    * full of rare words scores low — the wrong-language/gibberish
+    * signal the reference family thresholds on).
+    *
+    * Scale shape: the vocabulary aggregate is map-side combinable and
+    * its result is the BROADCAST side of the scoring join (at 100 TB:
+    * broadcast the top-K vocabulary and default out-of-vocab words to
+    * 0 bits — rare-word handling is then a coalesce, not a shuffle),
+    * so the corpus-side word stream joins map-only; the only wide
+    * operations are the two aggregates, both partial-combined.
+    */
+  val q75_unigram_quality: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+    val vocabBits = words.groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .select($"word", (length(bin($"n")) - 1).cast("long").as("b"))
+    words.join(broadcast(vocabBits), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"b").as("sum_common_bits"),
+        min($"b").as("min_common_bits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact heavy hitters at 100 TB scale: the two-pass sketch-then-
+    * verify pattern. Pass 1 runs the Misra-Gries summary (constant
+    * memory, mergeable map-side — [[graft.functions.HeavyHittersAgg]])
+    * to produce a <= capacity candidate superset that PROVABLY
+    * contains every token above the support threshold (no false
+    * negatives above the accumulated error). Pass 2 exact-counts only
+    * those candidates via a broadcast semi join and applies the true
+    * threshold (count * capacity > corpus size, integer-exact). The
+    * output is therefore EXACT and deterministic — the sketch's
+    * merge-order wobble is confined to the candidate set, which the
+    * second pass corrects — so a plain GROUP BY/HAVING oracle
+    * hash-matches, while the full vocabulary is never materialized
+    * (q54 builds it; this query must not).
+    */
+  val q76_heavy_hitters: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .where(length($"token") > 0)
+    val sketch = words
+      .agg(graft.functions.HeavyHittersAgg.heavy_hitters($"token", 64).as("s"))
+      .select($"s.total".as("total"), explode($"s.items").as("h"))
+      .select($"total", $"h.item".as("token"))
+    words.join(broadcast(sketch.select($"token")), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch.select($"total").limit(1)))
+      .where($"n" * 64 > $"total")
+      .select($"token", $"n")
+      .orderBy($"n".desc, $"token")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q76_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT token
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE LENGTH(token) > 0)
+        |SELECT token, COUNT(*) AS n FROM w GROUP BY token
+        |HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM w)
+        |ORDER BY n DESC, token""".stripMargin,
+    "q75_unigram_quality" ->
+      """WITH words AS (
+        |  SELECT doc_id, word
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |v AS (
+        |  SELECT word, LENGTH(bin(COUNT(*))) - 1 AS b
+        |  FROM words GROUP BY word)
+        |SELECT w.doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(v.b) AS BIGINT) AS sum_common_bits,
+        |  CAST(MIN(v.b) AS BIGINT) AS min_common_bits
+        |FROM words w JOIN v ON w.word = v.word
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "q71_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -335,5 +422,7 @@ object TextOps {
     "q64_chunking" -> q64_chunking,
     "q65_data_mix" -> q65_data_mix,
     "q66_decontaminate" -> q66_decontaminate,
-    "q71_repetition" -> q71_repetition)
+    "q71_repetition" -> q71_repetition,
+    "q75_unigram_quality" -> q75_unigram_quality,
+    "q76_heavy_hitters" -> q76_heavy_hitters)
 }

@@ -42,8 +42,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Pipelines.queries.size + Extras.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 74)
-    assert(SparkEntry.oracleSql.size == 66) // 8 rows-only by design
+    assert(SparkEntry.queries.size == 76)
+    assert(SparkEntry.oracleSql.size == 68) // 8 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
