@@ -95,6 +95,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"chunk-pair keys missing from the self-join:\n$p")
   }
 
+  test("q75: vocabulary is the broadcast side; the word stream is never sort-merge joined") {
+    val p = plan("q75_unigram_quality")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus word stream shuffled for the scoring join:\n$p")
+  }
+
+  test("q76: sketch candidates feed a broadcast semi join; no full-vocab shuffle before it") {
+    val p = plan("q76_heavy_hitters")
+    assert(p.contains("heavy_hitters"), s"MG aggregate missing:\n$p")
+    assert("""BroadcastHashJoin \[[^\]]*\], \[[^\]]*\], LeftSemi""".r
+      .findFirstIn(p).isDefined, s"candidate set not broadcast-semi joined:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for a join:\n$p")
+  }
+
   test("scan-family queries stay map-only (presentation sort aside)") {
     // the per-document text/chunk analyses advertise linear scaling —
     // hold them to it: no hash shuffle anywhere in the plan
