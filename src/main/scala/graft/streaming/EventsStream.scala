@@ -99,6 +99,44 @@ object EventsStream {
       }
   }
 
+  final case class AsOfState(c_event: Long, c_ts: Long)
+  final case class Enriched(p_event: Long, user_id: Long, c_event: Option[Long])
+
+  /** Streaming AS-OF enrichment — the streaming twin of q41's custom
+    * batch operator: every purchase is joined to that user's latest
+    * click at-or-before it, as events flow. State per user is ONE
+    * (click id, ts) pair — constant, no watermark needed to bound it —
+    * updated by clicks and read by purchases; within a micro-batch the
+    * group sorts by (ts, click-before-purchase, event_id) so an
+    * equal-timestamp click is visible to its purchase exactly like the
+    * batch exec's `rt <= lt`. Append-mode caveat, inherent to
+    * streaming as-of: a click arriving in a LATER micro-batch than a
+    * purchase it precedes in event time cannot retro-match the
+    * already-emitted purchase (the batch operator, which sees all
+    * data, is the backfill truth — run both, as this module's tests
+    * do).
+    */
+  def asOfEnrich(events: Dataset[Event]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state: GroupState[AsOfState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (e.ts, if (e.event_type == "click") 0 else 1, e.event_id))
+          var latest = state.getOption
+          val out = Seq.newBuilder[Enriched]
+          sorted.foreach { e =>
+            if (e.event_type == "click") latest = Some(AsOfState(e.event_id, e.ts))
+            else out += Enriched(e.event_id, uid, latest.map(_.c_event))
+          }
+          latest.foreach(state.update) // the latest click survives batches
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream INTERVAL JOIN: every purchase paired with the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the join

@@ -88,6 +88,27 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} pairs != batch ${batch.size}")
   }
 
+  test("streaming as-of enrichment matches the batch as-of join (q41)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = spark.readStream.schema(EventsStream.eventSchema).json(stagedDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event]
+    val q = EventsStream.asOfEnrich(src)
+      .writeStream.outputMode("append").format("memory").queryName("asof_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("asof_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // the custom batch operator is the ground truth on the same data
+    val batch = SparkEntry.queries("q41_asof_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} enriched purchases != batch ${batch.size}")
+  }
+
   test("foreachBatch JDBC sink: stream lands in Derby exactly as staged") {
     import org.apache.spark.sql.functions._
     import graft.sources.JdbcSink
