@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.AsOfSql)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     e.injectPostHocResolutionRule(_ => graft.plans.AsOfSqlRule)
+    e.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
     GraftExtensions.functionSpecs.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.package", name), builder))

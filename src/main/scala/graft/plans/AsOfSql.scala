@@ -128,6 +128,54 @@ object AsOfSqlRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Filter pushdown through [[AsOfJoinNode]]: Catalyst's own
+  * PushDownPredicates cannot see through an unknown binary node, so
+  * without this rule every predicate written above an ASOF JOIN scans
+  * both sides in full — at 100 TB, the difference between a pruned
+  * parquet read and a full one.
+  *
+  * Safe moves for the left-outer as-of semantics:
+  *  - a deterministic conjunct referencing only LEFT columns pushes to
+  *    the left child (each left row's match depends only on the right
+  *    side, so pre-filtering left rows equals post-filtering);
+  *  - a conjunct referencing only left JOIN KEYS additionally
+  *    propagates to the right child rewritten over the right keys
+  *    (a right row whose key fails the predicate could only have
+  *    matched left rows that the push already removed);
+  *  - anything touching right-side outputs stays put (null-extension
+  *    would change its meaning).
+  *
+  * Once pushed below the node, Spark's stock rules carry the filter
+  * the rest of the way into the scan (PushedFilters) — this rule only
+  * bridges the custom-node gap.
+  */
+object AsOfFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case f @ Filter(cond, a: AsOfJoinNode) =>
+      val (pushable, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        // key-only predicates also mirror to the right side over the
+        // corresponding right keys
+        val keyMap = a.leftKeys.zip(a.rightKeys).collect {
+          case (lk: Attribute, rk) => (lk: Expression) -> rk
+        }.toMap
+        val leftKeyAttrs = keyMap.keySet.map(_.references.head)
+        val mirrored = pushable
+          .filter(_.references.subsetOf(AttributeSet(leftKeyAttrs.toSeq)))
+          .map(_.transform { case at: Attribute if keyMap.contains(at) => keyMap(at) })
+        val newLeft = Filter(pushable.reduce(And), a.left)
+        val newRight = mirrored.reduceOption(And)
+          .map(Filter(_, a.right)).getOrElse(a.right)
+        val pushed = a.copy(left = newLeft, right = newRight)
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Delegating parser: rewrites the `ASOF JOIN` keyword pair to
   * `LEFT JOIN` outside string literals and defers everything to the
   * session's stock parser. See [[AsOfSqlRule]] for why this is safe:

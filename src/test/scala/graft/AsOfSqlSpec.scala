@@ -94,6 +94,36 @@ class AsOfSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("filters above an ASOF JOIN push into both sides' scans") {
+    withExtSession { s =>
+      import s.implicits._
+      Tables.registerAll(s, sf)
+      val sql = s.sql(
+        """WITH p AS (SELECT event_id AS p_event, user_id, ts AS p_ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |     c AS (SELECT event_id AS c_event, user_id AS c_user, ts AS c_ts
+          |           FROM events WHERE event_type = 'click')
+          |SELECT p_event, user_id, c_event
+          |FROM p ASOF JOIN c
+          |  ON user_id = c_user AND asof_backward(p_ts, c_ts)
+          |WHERE user_id < 40
+          |ORDER BY p_event""".stripMargin)
+      // the key predicate lands UNDER the as-of node on BOTH sides —
+      // visible as pushed scan filters (user_id on the left, the
+      // mirrored c_user on the right)
+      val physical = sql.queryExecution.executedPlan.toString
+      assert(physical.contains("AsOfJoin"), s"custom exec missing:\n$physical")
+      val pushed = "PushedFilters: \\[[^\\]]*LessThan\\(user_id,40\\)[^\\]]*\\]".r
+        .findAllIn(physical).size
+      assert(pushed == 2,
+        s"expected the key filter pushed to both scans, found $pushed:\n$physical")
+      // and the answer equals filter-after-join on the DataFrame API
+      val expected = SparkEntry.queries("q41_asof_join")(s, sf)
+        .where($"user_id" < 40).collect().map(_.toSeq).toSeq
+      assert(expected.nonEmpty && sql.collect().map(_.toSeq).toSeq == expected)
+    }
+  }
+
   test("misuse fails loudly: non-left join, missing equi keys, bad tolerance") {
     withExtSession { s =>
       import s.implicits._
