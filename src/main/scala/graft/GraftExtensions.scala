@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     e.injectPostHocResolutionRule(_ => graft.plans.AsOfSqlRule)
     e.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
+    e.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
     GraftExtensions.functionSpecs.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.package", name), builder))

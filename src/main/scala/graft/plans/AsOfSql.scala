@@ -176,6 +176,36 @@ object AsOfFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Column pruning through [[AsOfJoinNode]] — the projection sibling of
+  * [[AsOfFilterPushdown]]: Catalyst's ColumnPruning cannot narrow the
+  * children of an unknown binary node, so `SELECT three, columns FROM
+  * wide ASOF JOIN wide` would read every column of both sides. When a
+  * Project above the node references only a subset of a child's
+  * output, a Project over (referenced ∪ join keys ∪ time) is inserted
+  * on that child; the node's own output shrinks with its children
+  * (it is derived from them), and the stock rules then push the
+  * child Projects into the scans (ReadSchema). Fires only when it
+  * actually narrows something, so it is fixed-point-safe.
+  */
+object AsOfColumnPruning extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case p @ Project(_, a: AsOfJoinNode) =>
+      val needed = AttributeSet(p.references.toSeq) ++
+        AttributeSet(a.leftKeys.flatMap(_.references) ++
+          a.rightKeys.flatMap(_.references) ++
+          a.leftTime.references ++ a.rightTime.references)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.size < child.output.size) Project(keep, child) else child
+      }
+      val (nl, nr) = (prune(a.left), prune(a.right))
+      if (nl.eq(a.left) && nr.eq(a.right)) p
+      else p.copy(child = a.copy(left = nl, right = nr))
+  }
+}
+
 /** Delegating parser: rewrites the `ASOF JOIN` keyword pair to
   * `LEFT JOIN` outside string literals and defers everything to the
   * session's stock parser. See [[AsOfSqlRule]] for why this is safe:

@@ -124,6 +124,28 @@ class AsOfSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("projection above an ASOF JOIN prunes the unprojected wide columns at the scan") {
+    withExtSession { s =>
+      Tables.registerAll(s, sf)
+      // left side is the RAW six-column events table; only event_id is
+      // selected, so the scan must read (event_id, ts, user_id) — the
+      // join key/time — and drop event_type/value/props
+      val sql = s.sql(
+        """SELECT a.event_id AS p_event
+          |FROM events a ASOF JOIN
+          |  (SELECT user_id AS c_user, ts AS c_ts FROM events) c
+          |  ON a.user_id = c.c_user AND asof_backward(a.ts, c.c_ts)
+          |ORDER BY p_event""".stripMargin)
+      val physical = sql.queryExecution.executedPlan.toString
+      assert(physical.contains("AsOfJoin"), s"custom exec missing:\n$physical")
+      assert(physical.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>"),
+        s"left scan not pruned to key/time/projected columns:\n$physical")
+      assert(!physical.contains("props"), s"wide column survived pruning:\n$physical")
+      // one output row per left row (left-outer as-of)
+      assert(sql.count() == Tables.load(s, sf, "events").count())
+    }
+  }
+
   test("misuse fails loudly: non-left join, missing equi keys, bad tolerance") {
     withExtSession { s =>
       import s.implicits._
