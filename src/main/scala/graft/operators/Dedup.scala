@@ -49,6 +49,14 @@ object Dedup {
     * histogram is empty in (0.75, 0.85), so LSH + exact verification
     * equals the brute-force oracle. At 100 TB the band join shuffles
     * only (doc_id, band_key) tuples, never text x text.
+    *
+    * Skew note: a band key's group size equals its near-dup cluster
+    * size, so a corpus with a million identical documents would put
+    * one million-row key group on one task. The standard pipeline
+    * ordering is the cure: run EXACT dedup (q28, one hash shuffle)
+    * first — it collapses identical copies, and the residual near-dup
+    * clusters are small; q59 shows the chunk-pair segmentation to
+    * apply here too if residual clusters were ever measured hot.
     */
   val q29_dedup_minhash: Q = (spark, dir) => {
     import spark.implicits._
@@ -194,23 +202,52 @@ object Dedup {
     * (3 cells/vector) recovers pairs that straddle a cell boundary —
     * the recall/emission knob (measured here: nprobe 2 -> 0.71,
     * 3 -> 0.857 vs the exact q58 baseline).
+    *
+    * The cell self-join has the same unsplittable-key-group hazard the
+    * interval join had (one DENSE embedding cluster — the very thing
+    * SemDeDup exists to find — is one cell, and AQE skew-split cannot
+    * divide a self-join key group), so it uses the same cure: each
+    * (vector, cell) row gets a chunk in [0, nc) with nc adaptive per
+    * cell (ceil(cell population / chunkRows), from a map-side-combined
+    * count broadcast back), and the join keys on `(cell, ca, cb)` with
+    * ca <= cb. Cold cells keep nc = 1 (zero replication); a dense cell
+    * becomes nc(nc+1)/2 key groups with per-task rescoring bounded by
+    * chunkRows². The pair set is chunking-independent (for ca < cb the
+    * chunk orientation fixes which side a vector lands on, so ids are
+    * canonicalized to ascending afterwards; ca == cb dedups on
+    * vec_a < vec_b as before).
+    *
     * Approximate -> rows-only check; recall vs the exact q58 baseline
     * is pinned in SimilaritySpec.
     */
   val q59_dedup_embedding_ivf: Q = (spark, dir) => {
     import spark.implicits._
+    val chunkRows = 512L // per-task rescore bound = chunkRows² comparisons
     val cents = Similarity.centroids(spark, dir)
     val cells = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
         explode(top_cells($"embedding", cents.flatten, cents.length, 3)).as("cell"))
-    val a = cells.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"cell")
-    val b = cells.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"cell")
-    a.join(b, "cell")
-      .where($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", cosine_sim($"emb_a", $"emb_b").as("cos"))
+    // chunk counts come from the memoized per-cell loads (an index
+    // artifact, like the centroids themselves) as a LITERAL map — the
+    // per-query plan stays map-only, no counting join
+    val nc = Similarity.cellLoads(spark, dir, cents.length, 3)
+      .map { case (c, n) => c -> ((n + chunkRows - 1) / chunkRows).toInt }
+    val seg = cells
+      .withColumn("nc", coalesce(
+        element_at(typedLit(nc), $"cell"), lit(1)))
+      .withColumn("chunk", pmod(hash($"vec_id"), $"nc"))
+    val a = seg.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"cell",
+      $"chunk".as("ca"), explode(sequence($"chunk", $"nc" - 1)).as("cb"))
+    val b = seg.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"cell",
+      explode(sequence(lit(0), $"chunk")).as("ca"), $"chunk".as("cb"))
+    a.join(b, Seq("cell", "ca", "cb"))
+      .where(($"ca" < $"cb" || $"vec_a" < $"vec_b") && $"vec_a" =!= $"vec_b")
+      .select(least($"vec_a", $"vec_b").as("va"),
+        greatest($"vec_a", $"vec_b").as("vb"),
+        cosine_sim($"emb_a", $"emb_b").as("cos"))
       .where($"cos" >= 0.45)
-      .dropDuplicates("vec_a", "vec_b") // a pair can share several probed cells
-      .select($"vec_a", $"vec_b", $"cos")
+      .dropDuplicates("va", "vb") // a pair can share several probed cells
+      .select($"va".as("vec_a"), $"vb".as("vec_b"), $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -134,6 +134,28 @@ object Similarity {
       Array.tabulate(k)(c => refined.getOrElse(c, seeds(c)))
     })
 
+  /** Per-cell assignment loads under nprobe multi-probe — like the
+    * centroids, an INDEX ARTIFACT (one counting pass per dataset,
+    * memoized) rather than per-query work: q59 sizes its chunk-pair
+    * segmentation from these, and at scale they'd be persisted next to
+    * the bucketed cell index.
+    */
+  private val cellLoadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+  private[graft] def cellLoads(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 3): Map[Int, Long] =
+    cellLoadCache.computeIfAbsent(s"$dir#$k#$nprobe", _ => {
+      import spark.implicits._
+      val cents = centroids(spark, dir, k)
+      Tables.load(spark, dir, "embeddings")
+        .select(explode(top_cells($"embedding", cents.flatten, k, nprobe)).as("cell"))
+        .groupBy($"cell").count()
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+    })
+
   /** IVF (inverted-file) ANN: one Lloyd refinement over deterministic
     * seed centroids builds a 16-cell coarse quantizer; each query probes
     * its `nprobe`=6 nearest cells and rescores exactly within them
