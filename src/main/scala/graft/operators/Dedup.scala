@@ -92,7 +92,9 @@ object Dedup {
 
   /** SimHash near-duplicate pairs at Hamming distance <= 3 (lossless
     * 4-band blocking; see object doc). No SQL oracle for the custom
-    * 64-bit hash — rows-only check.
+    * 64-bit hash — rows-only check. Band-key skew: same family and
+    * same cure as q29's note (exact-dedup first; chunk-pair keys à la
+    * q59/q67 if residual clusters measure hot).
     */
   val q30_dedup_simhash: Q = (spark, dir) => {
     import spark.implicits._

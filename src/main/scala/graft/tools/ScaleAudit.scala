@@ -62,6 +62,19 @@ object ScaleAudit {
         $"event_type", $"value")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$work/events.parquet")
+    // embeddings: each copy ROTATES the vector by c dimensions — exact
+    // intra-copy geometry (norms, pairwise cosines, planted near-dups
+    // all preserved), decorrelated across copies, so near-dup pairs
+    // grow ~linearly while cells/centroids see a mult-x corpus
+    val emb = graft.Tables.load(spark, base, "embeddings")
+    (0 until mult).map { c =>
+      val dim = 64
+      val rot = if (c == 0) $"embedding"
+        else concat(slice($"embedding", c + 1, dim - c), slice($"embedding", 1, c))
+      emb.select(($"vec_id" + lit(c.toLong * 10000000L)).as("vec_id"),
+        rot.as("embedding"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
     def time[T](f: => T): (Double, T) = {
       val t0 = System.nanoTime()
@@ -85,8 +98,12 @@ object ScaleAudit {
       val mx = buckets.agg(max($"count")).collect()(0).getLong(0)
       println(s"[audit] event buckets=${buckets.count()} max_events_per_bucket=$mx " +
         s"-> q67 max chunk count nc=${(mx + 1023) / 1024}")
+      val loads = graft.operators.Similarity.cellLoads(spark, dir)
+      println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
+        s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
       bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
       bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
+      bench("q59_dedup_embedding_ivf", dir, graft.SparkEntry.queries("q59_dedup_embedding_ivf"))
       bench("q67_interval_join", dir, graft.SparkEntry.queries("q67_interval_join"))
       // q67 chunked vs unchunked: identical pair sets, bounded tasks
       val (tc, nc) = time(graft.operators.Extras
