@@ -76,6 +76,19 @@ object FakeApi extends SpotifyService {
   /** Deterministic fake feature endpoint: one "call" per id batch. */
   override def featureBatch(ids: Seq[Long]): Seq[(Long, Double)] =
     ids.map(id => id -> (id * 2654435761L % 1000) / 10.0)
+
+  /** "Server-side" filtered page: only matching rows are constructed —
+    * the in-process stand-in for a filter term inside the API request.
+    */
+  override def pageFiltered(offset: Int, limit: Int, total: Int,
+      category: Option[String]): Seq[(Long, String, String, Int)] =
+    category match {
+      case Some(c) =>
+        (offset until math.min(offset + limit, total))
+          .filter(i => categories(i % categories.length) == c)
+          .map(i => (i.toLong, s"track_$i", c, i * 37 % 101))
+      case None => page(offset, limit, total)
+    }
 }
 
 class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {

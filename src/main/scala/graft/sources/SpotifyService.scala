@@ -31,6 +31,21 @@ trait SpotifyService extends Serializable {
   def probeTotal(configuredTotal: Int): Int
   def page(offset: Int, limit: Int, total: Int): Seq[(Long, String, String, Int)]
   def featureBatch(ids: Seq[Long]): Seq[(Long, Double)]
+
+  /** One search page with a server-side category filter — the analog
+    * of passing the filter term inside the API request (the reference
+    * builds search query strings the same way, spotify_client.py:
+    * 204-245), which is what Spark's V2 filter pushdown hands the
+    * source. Default: client-side post-filter, so existing
+    * implementations stay correct; a real API impl overrides to put
+    * the term in the request and ship fewer bytes.
+    */
+  def pageFiltered(offset: Int, limit: Int, total: Int,
+      category: Option[String]): Seq[(Long, String, String, Int)] =
+    category match {
+      case Some(c) => page(offset, limit, total).filter(_._3 == c)
+      case None => page(offset, limit, total)
+    }
 }
 
 object SpotifyService {
