@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Extras, Pipelines, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Extras, Pipelines, Relational, Similarity, TextOps, Training}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ Pipelines.queries ++ Extras.queries
+      Similarity.queries ++ Pipelines.queries ++ Extras.queries ++
+      Training.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Pipelines.oracles ++ Extras.oracles
+      Similarity.oracles ++ Pipelines.oracles ++ Extras.oracles ++
+      Training.oracles
 }

@@ -1,0 +1,521 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Training-data pipeline operators beyond the per-document scans in
+  * [[TextOps]] and the pair generators in [[Dedup]]: the CLUSTER and
+  * CORPUS-LEVEL stages a 100 TB pretraining pipeline runs after (or
+  * instead of) pairwise similarity —
+  *
+  *  - q77 connected components over the near-dup pair graph (pairs
+  *    alone don't dedup anything: A~B and B~C must collapse to ONE
+  *    canonical doc, which needs the transitive closure),
+  *  - q78 exact substring (span) dedup — remove word-5-gram spans that
+  *    appear in more than one document (the Lee et al. 2022
+  *    "Deduplicating Training Data" family: near-dup removal keeps
+  *    whole docs, span dedup cuts the boilerplate INSIDE kept docs),
+  *  - q79 Bloom-prefiltered decontamination (q66 at benchmark scale:
+  *    the held-out gram SET is too big to broadcast, a fixed-size bit
+  *    array is not),
+  *  - q80 model-based quality filtering (fastText-style linear
+  *    classifier inference: weights as a broadcast table, map-only
+  *    sparse dot product),
+  *  - q81 int8 embedding quantization (the storage/bandwidth knob for
+  *    corpus-scale embedding tables),
+  *  - q82 CSV source round-trip (declared schema, header),
+  *  - q83 TF-IDF top terms per document,
+  *  - q84 deterministic span masking (T5-style corruption, pinned by
+  *    position so the oracle can replay it),
+  *  - q85 incremental near-dup check of a NEW batch against the
+  *    existing corpus (the steady-state form of q29: new data arrives,
+  *    the old band index is already built).
+  *
+  * All oracles are integer/md5-exact (no float-rounding hazards) except
+  * the Jaccard values q85 shares with q29's verified formulation.
+  */
+object Training {
+  import Relational.Q
+
+  /** Connected components over the MinHash-verified near-duplicate pair
+    * graph (q29), by hash-min label propagation: every doc starts
+    * labeled with its own id, and each round every node takes the min
+    * label among itself and its neighbors. Converges in
+    * graph-diameter rounds; near-dup components are shallow (they are
+    * similarity cliques plus a few bridges), so the loop is short in
+    * practice. Each round is ONE shuffle keyed on the same `id`, so
+    * all rounds reuse one co-partitioning; `localCheckpoint` truncates
+    * the lineage per round (the iterative-algorithm must-do on Spark —
+    * an unbounded plan tree re-executes every prior round). For
+    * adversarially deep graphs the two-phase large-star/small-star
+    * contraction (Kiveris et al.) drops rounds to O(log n); the hash-min
+    * kernel below is its inner step.
+    *
+    * Output: one row per clustered doc with its component id (= min
+    * doc_id in the component — the canonical representative a dedup
+    * pass would keep) and the component size.
+    */
+  /** Hash-min connected components over an undirected pair list (first
+    * two columns = the two endpoint ids). Returns (id, component) with
+    * component = the minimum id reachable from `id`. See
+    * [[q77_dedup_clusters]] for the scale notes.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = pairs.columns.take(2)
+    val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+    val edges = p.select($"a".as("src"), $"b".as("dst"))
+      .union(p.select($"b".as("src"), $"a".as("dst")))
+      .persist()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("lbl")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"lbl")
+      val next = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.withColumnRenamed("lbl", "nl").join(labels, "id")
+        .where($"nl" =!= $"lbl").count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"id", $"lbl".as("component"))
+  }
+
+  val q77_dedup_clusters: Q = (spark, dir) => {
+    import spark.implicits._
+    val comp = connectedComponents(
+      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b"))
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "component")
+      .select($"id".as("doc_id"), $"component", $"n_members")
+      .orderBy($"doc_id")
+  }
+
+  private def docWords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
+  }
+
+  /** Word 5-grams with their 1-based start position. */
+  private def posGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docWords(spark, dir)
+      .where(size($"w") >= 5)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - 4),
+        i => struct(i.as("start"),
+          concat_ws(" ", slice($"w", i, lit(5))).as("gram")))).as("g"))
+      .select($"doc_id", $"g.start".as("start"), $"g.gram".as("gram"))
+  }
+
+  /** Exact substring (span) dedup: every word position covered by a
+    * word-5-gram that occurs in >= 2 DISTINCT documents is removed;
+    * the output pins the surviving text by md5. Near-dup doc removal
+    * (q77) keeps one copy per cluster; this pass instead cuts repeated
+    * boilerplate spans inside otherwise-unique documents — both are
+    * standard, complementary passes over a pretraining corpus.
+    *
+    * Scale shape: gram emission is a map-only explode; the duplicated-
+    * gram set comes from one map-side-combinable aggregate; coverage
+    * expansion (start -> start..start+4) is another map-only explode.
+    * The only wide ops are the gram count and the per-doc reassembly
+    * (one shuffle each). The reassembly keys on doc_id — bounded by
+    * document length, no skew hazard.
+    */
+  val q78_span_dedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val grams = posGrams(spark, dir)
+    val dup = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2).select($"gram")
+    val covered = grams.join(dup, "gram")
+      .select($"doc_id", explode(sequence($"start", $"start" + 4)).as("pos"))
+      .distinct()
+      .withColumn("c", lit(1))
+    docWords(spark, dir)
+      .select($"doc_id", size($"w").cast("long").as("n_words"),
+        posexplode($"w").as(Seq("p0", "word")))
+      .withColumn("pos", $"p0" + 1)
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(first($"n_words").as("n_words"),
+        count($"c").as("n_covered"),
+        sort_array(collect_list(when($"c".isNull, struct($"pos", $"word"))))
+          .as("kept"))
+      .select($"doc_id", $"n_words", $"n_covered",
+        md5(concat_ws(" ", transform($"kept", x => x.getField("word"))))
+          .as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-decontamination bitmap: the held-out word-5-gram set
+    * folded into a 2^20-bit Bloom filter (k = 3 via seeded xxhash64).
+    * Built once per dataset like the IVF centroids — an index
+    * artifact — and memoized; 16 K longs = 128 KB however large the
+    * held-out set grows.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val BloomBits = 1 << 20
+
+  /** Fold a one-string-column DataFrame into the k=3 Bloom bitmap.
+    * Map-side combinable: each partition contributes its OR'd words,
+    * the driver receives at most bits/64 rows however large the input.
+    */
+  private[graft] def buildBloom(grams: DataFrame): Array[Long] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val gcol = grams.columns.head
+    val words = new Array[Long](BloomBits / 64)
+    grams.select(col(gcol).as("gram"))
+      .select(explode(array((0 until 3).map(i =>
+        pmod(xxhash64(lit(i), $"gram"), lit(BloomBits.toLong))): _*)).as("pos"))
+      .select(shiftrightunsigned($"pos", 6).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), ($"pos" % 64).cast("int")).as("mask"))
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Membership test for hash i of `gram` against a bitmap literal. */
+  private[graft] def bloomHit(bm: org.apache.spark.sql.Column,
+      gram: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+    val pos = pmod(xxhash64(lit(i), gram), lit(BloomBits.toLong))
+    element_at(bm, shiftrightunsigned(pos, 6).cast("int") + 1)
+      .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+  }
+
+  private def heldoutBloom(spark: SparkSession, dir: String): Array[Long] =
+    bloomCache.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      buildBloom(posGrams(spark, dir).where($"doc_id" % 17 === 0)
+        .select($"gram").distinct())
+    })
+
+  /** Decontamination against a held-out set too large to broadcast as
+    * a SET (q66's shape stops working when the benchmark suite is
+    * 100 M grams): broadcast a FIXED-SIZE Bloom bitmap instead, prune
+    * the corpus gram stream map-side (no false negatives — every
+    * held-out gram's bits are set by construction), then exact-verify
+    * only the rare survivors with a shuffle join, which removes the
+    * Bloom's false positives. The output is therefore EXACT and
+    * deterministic — the Bloom parameters affect only how much work
+    * the verify join sees — so a plain SQL oracle hash-matches.
+    *
+    * Output: the contaminated training docs themselves (id + source),
+    * the actionable artifact (q66 reports per-source counts).
+    */
+  val q79_bloom_decontaminate: Q = (spark, dir) => {
+    import spark.implicits._
+    val bm = typedLit(heldoutBloom(spark, dir))
+    def hit(i: Int) = bloomHit(bm, $"gram", i)
+    val grams = posGrams(spark, dir)
+    val heldout = grams.where($"doc_id" % 17 === 0).select($"gram").distinct()
+    val contaminated = grams.where($"doc_id" % 17 =!= 0)
+      .where(hit(0) && hit(1) && hit(2))
+      .join(heldout, Seq("gram"), "left_semi")
+      .select($"doc_id").distinct()
+    docWords(spark, dir).where($"doc_id" % 17 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Model-based quality filtering: a linear text classifier scored
+    * map-only (the fastText-inference shape used for CommonCrawl
+    * quality filters). The "model" is a (word -> integer milli-weight)
+    * table — here derived deterministically from corpus statistics so
+    * the oracle can rebuild it; in production it is a trained
+    * artifact loaded like any dimension table. Weights BROADCAST, the
+    * corpus-side word stream joins map-only, out-of-vocabulary words
+    * get a fixed penalty via coalesce, and the per-doc score is one
+    * map-side-combinable aggregate. Label thresholds on score
+    * relative to doc length (score > 81 * n_words), all integer.
+    */
+  val q80_quality_classifier: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = docWords(spark, dir)
+      .select($"doc_id", explode($"w").as("word"))
+      .where(length($"word") > 0)
+    val vocab = words.groupBy($"word").agg(count(lit(1)).as("n"))
+      .where($"n" >= 5)
+      .select($"word",
+        ((length(bin($"n")) - 1) * 11 - length($"word") * 7 + 13)
+          .cast("long").as("wt"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        (lit(40L) + sum(coalesce($"wt", lit(-25L)))).cast("long").as("score"))
+      .withColumn("label", ($"score" > $"n_words" * 81).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  /** Symmetric int8 quantization of the embedding column — the
+    * compression step a 100 TB embedding store runs before ANN
+    * serving (4x over float32; IVF lists of int8 codes). Entirely
+    * higher-order array functions over the vector — zero shuffle,
+    * zero explode — so it scales as a pure scan. Quantized values are
+    * floor(v / max|v| * 127 + 0.5): exact IEEE double ops in the same
+    * order in Spark and DuckDB, so the integer outputs hash-match.
+    */
+  val q81_embedding_quantize: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("ma", array_max(transform($"v", x => abs(x))))
+      .withColumn("q",
+        when($"ma" === 0, transform($"v", _ => lit(0)))
+          .otherwise(transform($"v",
+            x => floor(x / $"ma" * 127 + lit(0.5)).cast("int"))))
+      .select($"vec_id", size($"q").cast("long").as("n_dims"),
+        aggregate($"q", lit(0L), (acc, x) => acc + x).as("sum_q"),
+        aggregate($"q", lit(0L), (acc, x) => acc + abs(x)).as("l1_q"),
+        array_max($"q").as("max_q"), array_min($"q").as("min_q"))
+      .orderBy($"vec_id")
+  }
+
+  /** CSV source round-trip with declared schema + header (the third
+    * staging format next to parquet and NDJSON/q35): write the
+    * customer dimension to CSV, read it back with an explicit DDL
+    * schema (never inferred — a 2-pass inference over 100 TB is a
+    * non-starter, same rule as [[graft.sources.Ndjson]]), and return
+    * the rows. Doubles survive exactly: Spark writes
+    * shortest-round-trip decimal strings.
+    */
+  val q82_csv_roundtrip: Q = (spark, dir) => {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_stage")).toString +
+      s"/customer_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.load(spark, dir, "customer")
+      .write.mode("overwrite").option("header", "true").csv(stage)
+    spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .option("header", "true").csv(stage)
+      .orderBy($"c_custkey")
+  }
+
+  /** TF-IDF top-3 terms per document with an integer-exact IDF:
+    * idf_bits = floor(log2(N / df)) computed as length(bin(N div df))-1
+    * (the q75 trick — no float log crosses the engine boundary).
+    * The document-frequency table is the BROADCAST side of the scoring
+    * join; the rank is a per-doc window (bounded by vocabulary-per-doc,
+    * no skew), pruned to top-3 by WindowGroupLimit before any sort.
+    */
+  val q83_tfidf: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = docWords(spark, dir)
+      .select($"doc_id", explode($"w").as("word"))
+      .where(length($"word") > 0)
+    val nDocs = words.agg(countDistinct($"doc_id").as("n_docs"))
+    val dfreq = words.groupBy($"word").agg(countDistinct($"doc_id").as("df"))
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        ($"tf" * (length(bin(expr("n_docs DIV df"))) - 1)).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
+      .where($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"word", $"tf", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Deterministic span masking (T5-style corruption, training prep):
+    * every word at 1-based position p with p % 7 == 3 becomes the
+    * sentinel token. Pinning the mask by position (not RNG) is what
+    * makes the step replayable — and lets the oracle recompute it.
+    * Pure per-row array transform: no shuffle, scales as a scan.
+    */
+  val q84_mask_spans: Q = (spark, dir) => {
+    import spark.implicits._
+    docWords(spark, dir)
+      .withColumn("m", transform($"w",
+        (x, i) => when(pmod(i + 1, lit(7)) === 3, lit("<extra_id>")).otherwise(x)))
+      .select($"doc_id", size($"m").cast("long").as("n_words"),
+        size(filter($"m", x => x === "<extra_id>")).cast("long").as("n_masked"),
+        md5(concat_ws(" ", $"m")).as("masked_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental near-duplicate check: a NEW batch (doc_id % 10 == 9
+    * stands in for today's crawl) against the EXISTING corpus — the
+    * steady-state dedup shape, where the old side's band index is a
+    * persisted artifact (built once; ScaleSpec demonstrates the
+    * zero-exchange incremental band join against a bucketed index)
+    * and per-batch cost is proportional to the BATCH, not the corpus.
+    * Same MinHash banding + exact-Jaccard verification as q29, so the
+    * brute-force SQL oracle hash-matches for the same reason q29's
+    * does (word shingles separate near-dups >= 0.9 from background
+    * <= 0.07; band recall at 0.9 is 1 - 4e-8).
+    */
+  val q85_incremental_dedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    def bands(d: DataFrame, idName: String) = d
+      .select($"doc_id",
+        posexplode(min_hash_bands_words($"text", 3, 16, 4)).as(Seq("band", "key")))
+      .select($"doc_id".as(idName), $"band", $"key")
+    val cand = bands(docs.where($"doc_id" % 10 === 9), "new_doc")
+      .join(bands(docs.where($"doc_id" % 10 =!= 9), "old_doc"), Seq("band", "key"))
+      .select($"new_doc", $"old_doc").distinct()
+    val grams = docs.select($"doc_id", gram_set($"text", 3).as("g"))
+    cand
+      .join(grams.toDF("new_doc", "g_n"), "new_doc")
+      .join(grams.toDF("old_doc", "g_o"), "old_doc")
+      .withColumn("jac", jaccard_sorted($"g_n", $"g_o"))
+      .where($"jac" >= 0.8)
+      .select($"new_doc", $"old_doc", $"jac")
+      .orderBy($"new_doc", $"old_doc")
+  }
+
+  private val pairsCte =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct([substr(text, x, 3) for x in range(1, length(text)-1)]) AS grams
+      |  FROM documents)""".stripMargin
+
+  private val wordGramsCte =
+    """w AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, x AS start, array_to_string(w[x:x+4], ' ') AS gram
+      |  FROM w, unnest(range(1, len(w)-3)) AS t(x) WHERE len(w) >= 5)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q77_dedup_clusters" ->
+      ("WITH RECURSIVE " + pairsCte.stripPrefix("WITH ") +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, lbl) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          |comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id)
+          |SELECT c.doc_id, c.component, s.n_members
+          |FROM comp c JOIN (
+          |  SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1) s
+          |  USING (component)
+          |ORDER BY doc_id""".stripMargin),
+    "q78_span_dedup" ->
+      ("WITH " + wordGramsCte +
+        """,
+          |dup AS (
+          |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+          |covered AS (
+          |  SELECT DISTINCT g.doc_id, p AS pos
+          |  FROM grams g JOIN dup d USING (gram), unnest(range(g.start, g.start + 5)) AS t(p)),
+          |words AS (
+          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, unnest(w) AS word,
+          |         unnest(range(1, len(w) + 1)) AS pos
+          |  FROM w)
+          |SELECT wo.doc_id, ANY_VALUE(wo.n_words) AS n_words,
+          |  COUNT(c.pos) AS n_covered,
+          |  md5(COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN wo.word END, ' ' ORDER BY wo.pos), ''))
+          |    AS kept_md5
+          |FROM words wo LEFT JOIN covered c ON wo.doc_id = c.doc_id AND wo.pos = c.pos
+          |GROUP BY wo.doc_id ORDER BY wo.doc_id""".stripMargin),
+    "q79_bloom_decontaminate" ->
+      ("WITH " + wordGramsCte +
+        """,
+          |test AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+          |cont AS (
+          |  SELECT DISTINCT g.doc_id FROM grams g JOIN test t USING (gram)
+          |  WHERE g.doc_id % 17 <> 0)
+          |SELECT w.doc_id, w.source
+          |FROM w JOIN cont c USING (doc_id)
+          |WHERE w.doc_id % 17 <> 0
+          |ORDER BY w.doc_id""".stripMargin),
+    "q80_quality_classifier" ->
+      """WITH words AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |vocab AS (
+        |  SELECT word, (LENGTH(bin(COUNT(*))) - 1) * 11 - LENGTH(word) * 7 + 13 AS wt
+        |  FROM words GROUP BY word HAVING COUNT(*) >= 5)
+        |SELECT w.doc_id, COUNT(*) AS n_words,
+        |  CAST(40 + SUM(COALESCE(v.wt, -25)) AS BIGINT) AS score,
+        |  CAST(CASE WHEN 40 + SUM(COALESCE(v.wt, -25)) > COUNT(*) * 81
+        |       THEN 1 ELSE 0 END AS INTEGER) AS label
+        |FROM words w LEFT JOIN vocab v USING (word)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "q81_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        |m AS (SELECT vec_id, MAX(abs(v)) AS ma FROM e GROUP BY vec_id)
+        |SELECT e.vec_id, COUNT(*) AS n_dims,
+        |  CAST(SUM(CAST(floor(v / ma * 127 + 0.5) AS INTEGER)) AS BIGINT) AS sum_q,
+        |  CAST(SUM(abs(CAST(floor(v / ma * 127 + 0.5) AS INTEGER))) AS BIGINT) AS l1_q,
+        |  MAX(CAST(floor(v / ma * 127 + 0.5) AS INTEGER)) AS max_q,
+        |  MIN(CAST(floor(v / ma * 127 + 0.5) AS INTEGER)) AS min_q
+        |FROM e JOIN m USING (vec_id)
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    "q82_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q83_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM words),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+        |ranked AS (
+        |  SELECT t.doc_id, t.word, t.tf,
+        |    CAST(t.tf * (LENGTH(bin((SELECT n_docs FROM n) // d.df)) - 1) AS BIGINT) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf * (LENGTH(bin((SELECT n_docs FROM n) // d.df)) - 1) DESC, t.word) AS rnk
+        |  FROM tf t JOIN df d USING (word))
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tf, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q84_mask_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    (x, i) -> CASE WHEN i % 7 = 3 THEN '<extra_id>' ELSE x END) AS m
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(m) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(m, x -> x = '<extra_id>')) AS BIGINT) AS n_masked,
+        |  md5(array_to_string(m, ' ')) AS masked_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q85_incremental_dedup" ->
+      (pairsCte +
+        """
+          |SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+          |  len(list_intersect(n.grams, o.grams)) * 1.0 /
+          |    (len(n.grams) + len(o.grams) - len(list_intersect(n.grams, o.grams))) AS jac
+          |FROM g n JOIN g o ON n.doc_id % 10 = 9 AND o.doc_id % 10 <> 9
+          |WHERE len(list_intersect(n.grams, o.grams)) * 1.0 /
+          |    (len(n.grams) + len(o.grams) - len(list_intersect(n.grams, o.grams))) >= 0.8
+          |ORDER BY new_doc, old_doc""".stripMargin))
+
+  val queries: Map[String, Q] = Map(
+    "q77_dedup_clusters" -> q77_dedup_clusters,
+    "q78_span_dedup" -> q78_span_dedup,
+    "q79_bloom_decontaminate" -> q79_bloom_decontaminate,
+    "q80_quality_classifier" -> q80_quality_classifier,
+    "q81_embedding_quantize" -> q81_embedding_quantize,
+    "q82_csv_roundtrip" -> q82_csv_roundtrip,
+    "q83_tfidf" -> q83_tfidf,
+    "q84_mask_spans" -> q84_mask_spans,
+    "q85_incremental_dedup" -> q85_incremental_dedup)
+}

@@ -39,11 +39,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     import graft.operators._
     val expected = Relational.queries.size + TextOps.queries.size +
       Dedup.queries.size + Similarity.queries.size +
-      Pipelines.queries.size + Extras.queries.size
+      Pipelines.queries.size + Extras.queries.size + Training.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 76)
-    assert(SparkEntry.oracleSql.size == 68) // 8 rows-only by design
+    assert(SparkEntry.queries.size == 85)
+    assert(SparkEntry.oracleSql.size == 77) // 8 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {

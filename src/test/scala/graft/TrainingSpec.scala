@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Training}
+
+/** Training-pipeline operator invariants (q77-q85) that the DuckDB
+  * hash-match cannot express: graph-algorithm correctness on synthetic
+  * shapes, Bloom no-false-negative guarantees, quantization bounds.
+  */
+class TrainingSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connectedComponents: chain + separate clique + bridge ordering") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter > 1 exercises multi-round propagation),
+    // pair 10-11, and a triangle 20-21-22 reached via a bridge from 23
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (21L, 20L), (21L, 22L), (20L, 22L), (22L, 23L)).toDF("a", "b")
+    val got = Training.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("q77: every q29 pair lands in one component; labels are minima") {
+    import spark.implicits._
+    val comp = SparkEntry.queries("q77_dedup_clusters")(spark, sf)
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.nonEmpty)
+    assert(m.forall { case (id, c) => c <= id }, "component id is a min")
+    assert(m.values.toSet.forall(c => m(c) == c), "each component contains its label")
+    val pairs = Dedup.q29_dedup_minhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+    pairs.foreach { r =>
+      assert(m(r.getLong(0)) == m(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across components")
+    }
+  }
+
+  test("bloom: zero false negatives; false positives stay rare") {
+    import spark.implicits._
+    val grams = (0 until 2000).map(i => s"held out gram number $i").toDF("gram")
+    val bm = typedLit(Training.buildBloom(grams))
+    val hits = grams
+      .where(Training.bloomHit(bm, $"gram", 0) &&
+        Training.bloomHit(bm, $"gram", 1) && Training.bloomHit(bm, $"gram", 2))
+      .count()
+    assert(hits == 2000, "a held-out gram must always pass its own filter")
+    val others = (0 until 20000).map(i => s"novel probe string $i").toDF("gram")
+    val fp = others
+      .where(Training.bloomHit(bm, $"gram", 0) &&
+        Training.bloomHit(bm, $"gram", 1) && Training.bloomHit(bm, $"gram", 2))
+      .count()
+    // k=3, n=2000, m=2^20: expected fp rate ~ (3n/m)^3 ~ 2e-7
+    assert(fp <= 2, s"false-positive count $fp out of 20000 is not rare")
+  }
+
+  test("q81: quantized range is [-127, 127] and the max element saturates") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q81_embedding_quantize")(spark, sf)
+      .select($"n_dims", $"max_q", $"min_q").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == 64)
+      val (mx, mn) = (r.getInt(1), r.getInt(2))
+      assert(mx <= 127 && mn >= -127, s"range violated: $mn..$mx")
+      assert(mx == 127 || mn == -127, "the largest-|v| element must saturate")
+    }
+  }
+
+  test("q78: coverage bounded by doc length; full coverage pins md5('')") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q78_span_dedup")(spark, sf)
+      .select($"n_words", $"n_covered", $"kept_md5").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      if (r.getLong(1) == r.getLong(0))
+        assert(r.getString(2) == "d41d8cd98f00b204e9800998ecf8427e",
+          "fully-covered doc must reduce to the empty string")
+    }
+    assert(rows.exists(r => r.getLong(1) > 0), "planted dups must cover spans")
+  }
+
+  test("q84: deterministic mask count = #{p in [1, n] : p % 7 == 3}") {
+    import spark.implicits._
+    SparkEntry.queries("q84_mask_spans")(spark, sf)
+      .select($"n_words", $"n_masked").collect().foreach { r =>
+        val n = r.getLong(0)
+        val expected = if (n >= 3) (n - 3) / 7 + 1 else 0
+        assert(r.getLong(1) == expected, s"n=$n masked=${r.getLong(1)}")
+      }
+  }
+
+  test("q85: batch side and corpus side never mix") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q85_incremental_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 9, "new_doc must be in the new batch")
+      assert(r.getLong(1) % 10 != 9, "old_doc must be in the corpus")
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+}
