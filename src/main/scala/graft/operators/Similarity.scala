@@ -92,9 +92,10 @@ object Similarity {
   /** IVF coarse-quantizer centroids are an index artifact: built once
     * per dataset and reused by every query batch (at scale this is a
     * persisted table, not a per-query job) — memoized per data dir.
-    * Assumes datasets are immutable under a dir (true here: the test
-    * fixtures are read-only); a mutable deployment would key on a
-    * dataset version/snapshot id instead.
+    * Keyed on dir plus a file-stat fingerprint of the embeddings
+    * table ([[graft.Tables.fingerprint]]), the in-JVM stand-in for a
+    * dataset snapshot id, so rewriting the data under a dir never
+    * serves stale centroids.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
@@ -110,7 +111,8 @@ object Similarity {
     * and q59 (SemDeDup-style embedding near-dup blocking).
     */
   private[graft] def centroids(spark: SparkSession, dir: String, k: Int = 16): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(s"$dir#$k", _ => {
+    centroidCache.computeIfAbsent(
+      s"$dir#${Tables.fingerprint(dir, "embeddings")}#$k", _ => {
       import spark.implicits._
       val emb = Tables.load(spark, dir, "embeddings")
       // deterministic seeds: the k lowest hashed-vec_id vectors

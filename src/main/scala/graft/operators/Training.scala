@@ -87,6 +87,15 @@ object Training {
       rounds += 1
     }
     edges.unpersist()
+    // Hash-min needs graph-diameter rounds; if the cap was hit the
+    // labels are NOT the transitive closure — fail loudly rather than
+    // return wrong components. (Near-dup graphs are shallow cliques,
+    // so hitting this means the input is not the expected pair graph;
+    // the two-phase contraction in [[connectedComponentsTwoPhase]]
+    // converges in O(log n) rounds for adversarially deep graphs.)
+    require(changed == 0,
+      s"connectedComponents: not converged after $rounds rounds " +
+        "(graph diameter exceeds the cap)")
     labels.select($"id", $"lbl".as("component"))
   }
 
@@ -167,6 +176,16 @@ object Training {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   private val BloomBits = 1 << 20
 
+  /** Cache key for [[heldoutBloom]]: dir plus a file-stat fingerprint
+    * of the documents table, so rewriting the data under a dir within
+    * one JVM invalidates the bitmap (a stale bitmap would yield Bloom
+    * false NEGATIVES — silently dropping truly contaminated docs,
+    * which the exact-verify join cannot repair; it only removes false
+    * positives).
+    */
+  private def bloomKey(dir: String): String =
+    dir + "#" + graft.Tables.fingerprint(dir, "documents")
+
   /** Fold a one-string-column DataFrame into the k=3 Bloom bitmap.
     * Map-side combinable: each partition contributes its OR'd words,
     * the driver receives at most bits/64 rows however large the input.
@@ -195,7 +214,7 @@ object Training {
   }
 
   private def heldoutBloom(spark: SparkSession, dir: String): Array[Long] =
-    bloomCache.computeIfAbsent(dir, { _ =>
+    bloomCache.computeIfAbsent(bloomKey(dir), { _ =>
       import spark.implicits._
       buildBloom(posGrams(spark, dir).where($"doc_id" % 17 === 0)
         .select($"gram").distinct())
@@ -293,9 +312,12 @@ object Training {
     */
   val q82_csv_roundtrip: Q = (spark, dir) => {
     import spark.implicits._
-    val stage = java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_stage")).toString +
-      s"/customer_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // Unique per-invocation staging dir: a shared path keyed only by
+    // the dataset dir can race overwrite-while-reading under
+    // concurrent invocations (parallel tests/bench) and return
+    // truncated or mixed rows.
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_customer_csv_").toString
     Tables.load(spark, dir, "customer")
       .write.mode("overwrite").option("header", "true").csv(stage)
     spark.read
@@ -458,16 +480,22 @@ object Training {
         |FROM words w LEFT JOIN vocab v USING (word)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "q81_embedding_quantize" ->
+      // The all-zero-vector guard (ma = 0 -> zero codes) mirrors the
+      // engine exactly; without it DuckDB's v / 0.0 yields NULL and a
+      // zero embedding would diverge engine vs oracle.
       """WITH e AS (
         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
-        |m AS (SELECT vec_id, MAX(abs(v)) AS ma FROM e GROUP BY vec_id)
-        |SELECT e.vec_id, COUNT(*) AS n_dims,
-        |  CAST(SUM(CAST(floor(v / ma * 127 + 0.5) AS INTEGER)) AS BIGINT) AS sum_q,
-        |  CAST(SUM(abs(CAST(floor(v / ma * 127 + 0.5) AS INTEGER))) AS BIGINT) AS l1_q,
-        |  MAX(CAST(floor(v / ma * 127 + 0.5) AS INTEGER)) AS max_q,
-        |  MIN(CAST(floor(v / ma * 127 + 0.5) AS INTEGER)) AS min_q
-        |FROM e JOIN m USING (vec_id)
-        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+        |m AS (SELECT vec_id, MAX(abs(v)) AS ma FROM e GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN ma = 0 THEN 0
+        |         ELSE CAST(floor(v / ma * 127 + 0.5) AS INTEGER) END AS qv
+        |  FROM e JOIN m USING (vec_id))
+        |SELECT vec_id, COUNT(*) AS n_dims,
+        |  CAST(SUM(qv) AS BIGINT) AS sum_q,
+        |  CAST(SUM(abs(qv)) AS BIGINT) AS l1_q,
+        |  MAX(qv) AS max_q, MIN(qv) AS min_q
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q82_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
