@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators: the staging, hygiene and serving-prep
+  * stages that sit around the filters ([[TextOps]], [[Training]]) in a
+  * production training-data pipeline —
+  *
+  *  - q86 ORC source round-trip (the third columnar staging format
+  *    next to parquet and CSV/q82, schema always declared),
+  *  - q87 PII redaction (regex scrub of emails / SSNs / phone
+  *    numbers — the compliance pass every web corpus runs; the
+  *    fixtures carry no PII, so the query injects deterministic
+  *    synthetic PII derived from doc_id and then removes it, making
+  *    both the injection and the scrub replayable by the oracle),
+  *  - q88 SCD-1 upsert of a changed+new batch into a dimension (the
+  *    steady-state form of every dimension load; expressed as
+  *    broadcast anti-join + union, NOT full-outer — see the scaladoc),
+  *  - q89 sequence packing (concat-and-chunk GPT-style packing of
+  *    docs into fixed-length training sequences, sharded so no
+  *    single-task window exists),
+  *  - q90 inverted index (capped posting lists per term via the
+  *    bounded top-k heap aggregate — the retrieval-index build).
+  *
+  * All outputs are integer/md5-exact except q88's `+ 100.0` double
+  * add (one IEEE op, identical in Spark and DuckDB).
+  */
+object Curation {
+  import Relational.Q
+
+  /** ORC round-trip with declared schema (like q82's CSV twin): write
+    * the customer dimension to ORC in a unique per-invocation staging
+    * dir, read it back with an explicit DDL schema (never inferred),
+    * return the rows. ORC is self-describing, so unlike CSV the
+    * declared schema here is a CONTRACT check (mismatched types fail
+    * fast) rather than a parse instruction.
+    */
+  val q86_orc_roundtrip: Q = (spark, dir) => {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_customer_orc_").toString
+    Tables.load(spark, dir, "customer")
+      .write.mode("overwrite").orc(stage)
+    spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .orc(stage)
+      .orderBy($"c_custkey")
+  }
+
+  // q87 regexes: kept to character classes + bounded repetition so the
+  // Java (Spark) and RE2 (DuckDB) engines agree on every match. The
+  // phone pattern is prefix-anchored on the injected exchange so no
+  // pattern can match inside another's replacement.
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** PII redaction: count and scrub email / SSN / phone patterns.
+    * Map-only (counts via regexp_extract_all, scrub via chained
+    * regexp_replace) — scales as a pure scan, the shape that matters
+    * since this pass touches every byte of a 100 TB corpus. Counts
+    * come from the pre-scrub text; replacements are ordered
+    * email -> SSN -> phone so earlier scrubs cannot create or destroy
+    * later matches.
+    */
+  val q87_pii_redact: Q = (spark, dir) => {
+    import spark.implicits._
+    val aug = concat($"text",
+      lit(" reach me at user"), $"doc_id".cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" ssn 123-45-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(SsnRe), lit(0))).cast("long").as("n_ssns"),
+        size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** SCD-1 upsert: merge a batch (updated rows: every custkey % 7 == 3
+    * with +100 acctbal; new rows: 25 synthesized keys past the current
+    * max) into the customer dimension. Deliberately expressed as
+    * (target ANTI-JOIN batch-keys) UNION batch rather than a
+    * FULL OUTER join: the batch key set broadcasts, so the target —
+    * the 100 TB side — is scanned ONCE with a map-only membership
+    * probe and never shuffles; a full-outer merge would exchange both
+    * sides (Spark cannot broadcast a full-outer side). With the target
+    * bucketed by key this is the zero-exchange incremental load.
+    */
+  val q88_upsert: Q = (spark, dir) => {
+    import spark.implicits._
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .map(col)
+    val target = Tables.load(spark, dir, "customer")
+    val updates = target.where($"c_custkey" % 7 === 3)
+      .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+      .select(cols: _*)
+    val inserts = spark.range(1, 26).toDF("i")
+      .crossJoin(broadcast(target.agg(max($"c_custkey").as("mx"))))
+      .select(($"mx" + $"i").as("c_custkey"),
+        concat(lit("Customer#new"), $"i".cast("string")).as("c_name"),
+        ($"i" % 25).cast("int").as("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+    val batch = updates.union(inserts)
+    target.join(broadcast(batch.select($"c_custkey")), Seq("c_custkey"), "left_anti")
+      .select(cols: _*)
+      .union(batch)
+      .orderBy($"c_custkey")
+  }
+
+  /** Sequence packing (training prep): concatenate each shard's docs
+    * in doc_id order and cut the token stream into fixed-length
+    * sequences of 512 words — GPT-style concat-and-chunk packing,
+    * reported per doc as (first sequence, offset within it, last
+    * sequence). Packing is per SHARD (50 docs), the way real pipelines
+    * pack per output file: the running sum is a window over a bounded
+    * partition, so there is never a corpus-wide single-task window,
+    * and shards pack independently — embarrassingly parallel at any
+    * scale. All integer.
+    */
+  val q89_sequence_pack: Q = (spark, dir) => {
+    import spark.implicits._
+    val SeqLen = 512
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", expr("doc_id DIV 50").as("shard"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_words"))
+      .withColumn("cum_before", coalesce(sum($"n_words").over(w), lit(0L)))
+      .select($"doc_id", $"shard", $"n_words",
+        expr(s"cum_before DIV $SeqLen").as("start_seq"),
+        ($"cum_before" % SeqLen).as("start_off"),
+        expr(s"(cum_before + n_words - 1) DIV $SeqLen").as("end_seq"))
+      .orderBy($"doc_id")
+  }
+
+  /** Inverted index build: for the 20 highest-document-frequency
+    * terms, the capped posting list (8 smallest doc_ids) plus the
+    * exact df. The posting cap rides the bounded [[graft.functions.TopKByAgg]]
+    * heap on the negated doc_id, so a stopword that appears in every
+    * document of a 100 TB corpus still moves only k ids per partition
+    * — posting-list skew is structurally impossible, and df is a
+    * map-side-combinable count in the same aggregate pass. The final
+    * top-20-terms cut is orderBy+limit (TakeOrderedAndProject), never
+    * a global window.
+    */
+  val q90_inverted_index: Q = (spark, dir) => {
+    import spark.implicits._
+    val wd = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .distinct()
+    wd.groupBy($"word")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.TopKByAgg
+          .top_k_by(-$"doc_id".cast("double"), $"doc_id", 8).as("p"))
+      .select($"word", $"df",
+        md5(concat_ws(",", transform($"p", t => t.getField("payload").cast("string"))))
+          .as("postings_md5"))
+      .orderBy($"df".desc, $"word")
+      .limit(20)
+  }
+
+  private val augCte =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)""".stripMargin
+
+  private val customerSelect =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q86_orc_roundtrip" -> customerSelect,
+    "q87_pii_redact" ->
+      (augCte +
+        """
+          |SELECT doc_id,
+          |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+          |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssns,
+          |  len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+          |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+          |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+          |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+          |FROM aug ORDER BY doc_id""".stripMargin),
+    "q88_upsert" ->
+      """WITH mx AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |ins AS (
+        |  SELECT mx + i AS c_custkey,
+        |    'Customer#new' || CAST(i AS VARCHAR) AS c_name,
+        |    CAST(i % 25 AS INTEGER) AS c_nationkey,
+        |    CAST(0 AS DOUBLE) AS c_acctbal,
+        |    'BUILDING' AS c_mktsegment
+        |  FROM mx, unnest(range(1, 26)) AS t(i)),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+        |  SELECT * FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+        |  UNION ALL SELECT * FROM batch)
+        |ORDER BY c_custkey""".stripMargin,
+    "q89_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 50 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_words,
+        |    CAST(COALESCE(SUM(n_words) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, shard, n_words,
+        |  cum_before // 512 AS start_seq,
+        |  cum_before % 512 AS start_off,
+        |  (cum_before + n_words - 1) // 512 AS end_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q90_inverted_index" ->
+      """WITH wd AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |ranked AS (
+        |  SELECT word, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+        |  FROM wd),
+        |agg AS (
+        |  SELECT w.word, w.df, p.postings_md5
+        |  FROM (SELECT word, COUNT(*) AS df FROM wd GROUP BY word) w
+        |  JOIN (SELECT word,
+        |          md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |            AS postings_md5
+        |        FROM ranked WHERE rn <= 8 GROUP BY word) p USING (word))
+        |SELECT word, df, postings_md5 FROM agg
+        |ORDER BY df DESC, word LIMIT 20""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "q86_orc_roundtrip" -> q86_orc_roundtrip,
+    "q87_pii_redact" -> q87_pii_redact,
+    "q88_upsert" -> q88_upsert,
+    "q89_sequence_pack" -> q89_sequence_pack,
+    "q90_inverted_index" -> q90_inverted_index)
+}

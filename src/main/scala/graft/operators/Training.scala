@@ -74,16 +74,24 @@ object Training {
       .persist()
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl")).localCheckpoint()
-    var changed = 1L
+    // Labels only ever DECREASE under min-propagation, so the label
+    // sum is a convergence witness: unchanged sum <=> no label moved.
+    // One map-side-combinable aggregate per round replaces a
+    // join-and-count change detector. (decimal(38,0): id sums can
+    // exceed long range at corpus scale.)
+    def lblSum(df: DataFrame) =
+      df.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (changed && rounds < 64) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"lbl")
-      val next = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
+      labels = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
         .localCheckpoint()
-      changed = next.withColumnRenamed("lbl", "nl").join(labels, "id")
-        .where($"nl" =!= $"lbl").count()
-      labels = next
+      val nextSum = lblSum(labels)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       rounds += 1
     }
     edges.unpersist()
@@ -93,7 +101,7 @@ object Training {
     // so hitting this means the input is not the expected pair graph;
     // the two-phase contraction in [[connectedComponentsTwoPhase]]
     // converges in O(log n) rounds for adversarially deep graphs.)
-    require(changed == 0,
+    require(!changed,
       s"connectedComponents: not converged after $rounds rounds " +
         "(graph diameter exceeds the cap)")
     labels.select($"id", $"lbl".as("component"))

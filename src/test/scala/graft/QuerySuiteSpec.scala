@@ -39,11 +39,12 @@ class QuerySuiteSpec extends AnyFunSuite {
     import graft.operators._
     val expected = Relational.queries.size + TextOps.queries.size +
       Dedup.queries.size + Similarity.queries.size +
-      Pipelines.queries.size + Extras.queries.size + Training.queries.size
+      Pipelines.queries.size + Extras.queries.size + Training.queries.size +
+      Curation.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 85)
-    assert(SparkEntry.oracleSql.size == 77) // 8 rows-only by design
+    assert(SparkEntry.queries.size == 90)
+    assert(SparkEntry.oracleSql.size == 82) // 8 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
