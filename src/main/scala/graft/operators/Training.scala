@@ -64,7 +64,7 @@ object Training {
     * component = the minimum id reachable from `id`. See
     * [[q77_dedup_clusters]] for the scale notes.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)
@@ -84,7 +84,7 @@ object Training {
     var prevSum = lblSum(labels)
     var changed = true
     var rounds = 0
-    while (changed && rounds < 64) {
+    while (changed && rounds < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"lbl")
       labels = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
@@ -107,14 +107,114 @@ object Training {
     labels.select($"id", $"lbl".as("component"))
   }
 
-  val q77_dedup_clusters: Q = (spark, dir) => {
+  /** (doc_id, component, n_members) report over a component labeling —
+    * shared tail of q77 (hash-min kernel) and q91 (two-phase kernel).
+    */
+  private def clusterReport(comp: DataFrame): DataFrame = {
+    val spark = comp.sparkSession
     import spark.implicits._
-    val comp = connectedComponents(
-      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b"))
     val sizes = comp.groupBy($"component").agg(count(lit(1)).as("n_members"))
     comp.join(sizes, "component")
       .select($"id".as("doc_id"), $"component", $"n_members")
       .orderBy($"doc_id")
+  }
+
+  val q77_dedup_clusters: Q = (spark, dir) => {
+    import spark.implicits._
+    clusterReport(connectedComponents(
+      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")))
+  }
+
+  /** Two-phase connected components by alternating large-star /
+    * small-star edge contraction (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"): converges in O(log n)
+    * alternations REGARDLESS of graph diameter — the scale path the
+    * diameter-bound hash-min kernel above cannot offer (a 100 TB web
+    * graph's link chains are arbitrarily deep; near-dup graphs are
+    * shallow, which is why q77 can afford the simpler kernel).
+    *
+    *  - large-star: every node attaches its strictly-LARGER neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node (edges oriented toward the larger
+    *    endpoint) attaches its smaller neighbors and itself to its
+    *    minimum neighbor.
+    *
+    * Both steps are one groupBy + one self-join on the same key — two
+    * shuffles per alternation, map-side-combinable min. The edge set
+    * only shrinks toward the star fixpoint (per-step monotone
+    * potential, the paper's Lemma 4/5), so convergence is detected by
+    * an (edge count, edge-set hash sum) signature: one cheap aggregate
+    * per alternation, no join-based diffing. `localCheckpoint` per
+    * alternation truncates the iterative lineage. At the fixpoint the
+    * graph is a union of stars centered at component minima, and the
+    * labeling reads off each node's minimum final neighbor.
+    */
+  def connectedComponentsTwoPhase(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = pairs.columns.take(2)
+    var e = pairs
+      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
+      .where($"a" =!= $"b").distinct().localCheckpoint()
+    val nodes = e.select($"a".as("id")).union(e.select($"b".as("id")))
+      .distinct().localCheckpoint()
+
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64($"a", $"b").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      val m = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      // m <= u < v, so (m, v) is already canonical and never a loop
+      sym.join(m, "u").where($"v" > $"u")
+        .select($"m".as("a"), $"v".as("b")).distinct()
+    }
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      // canonical a < b, so orienting toward the larger endpoint is a rename
+      val dir = edges.select($"b".as("u"), $"a".as("v"))
+      val m = dir.groupBy($"u").agg(min($"v").as("m"))
+      val leaves = dir.join(m, "u").where($"v" =!= $"m")
+        .select($"m".as("a"), $"v".as("b")) // m < v by minimality
+      val centers = m.select($"m".as("a"), $"u".as("b")) // m < u always
+      leaves.union(centers).distinct()
+    }
+
+    var cur = sig(e)
+    var stable = cur._1 == 0L
+    var iters = 0
+    while (!stable && iters < maxIters) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = sig(e)
+      stable = next._1 == cur._1 && next._2.compareTo(cur._2) == 0
+      cur = next
+      iters += 1
+    }
+    require(stable,
+      s"connectedComponentsTwoPhase: not converged after $iters alternations")
+    val symF = e.select($"a".as("id"), $"b".as("nb"))
+      .union(e.select($"b".as("id"), $"a".as("nb")))
+    val lbl = symF.groupBy($"id").agg(min($"nb").as("mn"))
+      .select($"id", least($"mn", $"id").as("component"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("component"))
+  }
+
+  /** q77's cluster report computed with the two-phase kernel — same
+    * output, same oracle; registered separately so the O(log n)
+    * algorithm is exercised by the correctness gate, not only by its
+    * equality spec.
+    */
+  val q91_cc_twophase: Q = (spark, dir) => {
+    import spark.implicits._
+    clusterReport(connectedComponentsTwoPhase(
+      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")))
   }
 
   private def docWords(spark: SparkSession, dir: String): DataFrame = {
@@ -420,9 +520,11 @@ object Training {
       |  SELECT doc_id, x AS start, array_to_string(w[x:x+4], ' ') AS gram
       |  FROM w, unnest(range(1, len(w)-3)) AS t(x) WHERE len(w) >= 5)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q77_dedup_clusters" ->
-      ("WITH RECURSIVE " + pairsCte.stripPrefix("WITH ") +
+  /** Shared by q77 and q91: both kernels compute the same transitive
+    * closure, pinned against DuckDB's recursive CTE.
+    */
+  private val ccOracleSql =
+    ("WITH RECURSIVE " + pairsCte.stripPrefix("WITH ") +
         """,
           |pairs AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -442,7 +544,11 @@ object Training {
           |FROM comp c JOIN (
           |  SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1) s
           |  USING (component)
-          |ORDER BY doc_id""".stripMargin),
+          |ORDER BY doc_id""".stripMargin)
+
+  val oracles: Map[String, String] = Map(
+    "q77_dedup_clusters" -> ccOracleSql,
+    "q91_cc_twophase" -> ccOracleSql,
     "q78_span_dedup" ->
       ("WITH " + wordGramsCte +
         """,
@@ -553,5 +659,6 @@ object Training {
     "q82_csv_roundtrip" -> q82_csv_roundtrip,
     "q83_tfidf" -> q83_tfidf,
     "q84_mask_spans" -> q84_mask_spans,
-    "q85_incremental_dedup" -> q85_incremental_dedup)
+    "q85_incremental_dedup" -> q85_incremental_dedup,
+    "q91_cc_twophase" -> q91_cc_twophase)
 }

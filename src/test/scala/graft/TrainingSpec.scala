@@ -38,6 +38,33 @@ class TrainingSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("two-phase CC equals hash-min on a random multi-component graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 120 nodes, edges from an LCG
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val hm = Training.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tp = Training.connectedComponentsTwoPhase(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tp == hm)
+  }
+
+  test("two-phase CC converges on a deep path where hash-min hits its cap") {
+    import spark.implicits._
+    // path 0-1-2-...-30: diameter 30 needs ~30 hash-min rounds, so a
+    // 10-round cap must fail LOUDLY (the round-4 advice fix) while the
+    // two-phase contraction converges in O(log n) alternations
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Training.connectedComponents(path, maxRounds = 10).collect()
+    }
+    val tp = Training.connectedComponentsTwoPhase(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tp == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
   test("q77: every q29 pair lands in one component; labels are minima") {
     import spark.implicits._
     val comp = SparkEntry.queries("q77_dedup_clusters")(spark, sf)
