@@ -174,6 +174,61 @@ object Curation {
       .limit(20)
   }
 
+  /** Temperature-flattened mixture resampling (the XLM-R/mT5 recipe:
+    * sample source s with weight n_s^tau, tau=0.5, so low-resource
+    * sources are upweighted relative to their share). Quotas are
+    * derived in INTEGER arithmetic — w_s = floor(sqrt(n_s)) (exact:
+    * IEEE sqrt is correctly rounded and the true root of a non-square
+    * is never within half an ulp of an integer at these magnitudes),
+    * quota_s = (100 * w_s) DIV sum(w) — so no float sum ever crosses
+    * the engine boundary. Membership is then the exact-bottom-quota
+    * rows per source by the overflow-proof sampling hash (q73's
+    * machinery): deterministic, composable, identical across runs and
+    * partitionings. One (source, id) shuffle — the stated price of
+    * exact quotas, same as q73.
+    */
+  val q92_temperature_mix: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"source")
+    val wts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", floor(sqrt($"n_s")).cast("long"))
+    val quotas = wts
+      .crossJoin(broadcast(wts.agg(sum($"w_s").as("w_tot"))))
+      .select($"source", expr("(100 * w_s) DIV w_tot").as("quota"))
+    val hash = (($"doc_id" % 1000000007L) * 2654435761L) % 1000000007L
+    val byHash = Window.partitionBy($"source").orderBy(hash, $"doc_id")
+    docs.withColumn("rn", row_number().over(byHash))
+      .join(broadcast(quotas), "source")
+      .where($"rn" <= $"quota")
+      .select($"source", $"doc_id", $"rn".cast("int").as("rn"), $"quota")
+      .orderBy($"source", $"rn")
+  }
+
+  /** Snapshot diff (CDC derivation): compare the post-upsert dimension
+    * (q88) against the prior snapshot and emit each changed key with
+    * its change kind — how a pipeline without a transactional table
+    * format derives a change feed from two immutable snapshots. Row
+    * comparison is a typed struct equality (never a stringified hash:
+    * double-to-string formatting is engine-specific, field comparison
+    * is exact). One key-partitioned join of the two snapshots; with
+    * both sides bucketed by key this is the zero-exchange reconcile.
+    */
+  val q93_snapshot_diff: Q = (spark, dir) => {
+    import spark.implicits._
+    def rowOf(d: DataFrame) = d.select($"c_custkey",
+      struct($"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment").as("r"))
+    rowOf(q88_upsert(spark, dir)).withColumnRenamed("r", "n_row")
+      .join(rowOf(Tables.load(spark, dir, "customer"))
+        .withColumnRenamed("r", "o_row"), Seq("c_custkey"), "left")
+      .withColumn("op",
+        when($"o_row".isNull, lit("added"))
+          .when($"n_row" =!= $"o_row", lit("updated"))
+          .otherwise(lit("unchanged")))
+      .where($"op" =!= "unchanged")
+      .select($"c_custkey", $"op")
+      .orderBy($"c_custkey")
+  }
+
   private val augCte =
     """WITH aug AS (
       |  SELECT doc_id,
@@ -185,6 +240,26 @@ object Curation {
   private val customerSelect =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** The q88 merge, as CTEs shared by the q88 and q93 oracles. */
+  private val upsertCtes =
+    """WITH mx AS (SELECT MAX(c_custkey) AS mx FROM customer),
+      |ins AS (
+      |  SELECT mx + i AS c_custkey,
+      |    'Customer#new' || CAST(i AS VARCHAR) AS c_name,
+      |    CAST(i % 25 AS INTEGER) AS c_nationkey,
+      |    CAST(0 AS DOUBLE) AS c_acctbal,
+      |    'BUILDING' AS c_mktsegment
+      |  FROM mx, unnest(range(1, 26)) AS t(i)),
+      |upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 3),
+      |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |merged AS (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      |  UNION ALL SELECT * FROM batch)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q86_orc_roundtrip" -> customerSelect,
@@ -201,24 +276,33 @@ object Curation {
           |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
           |FROM aug ORDER BY doc_id""".stripMargin),
     "q88_upsert" ->
-      """WITH mx AS (SELECT MAX(c_custkey) AS mx FROM customer),
-        |ins AS (
-        |  SELECT mx + i AS c_custkey,
-        |    'Customer#new' || CAST(i AS VARCHAR) AS c_name,
-        |    CAST(i % 25 AS INTEGER) AS c_nationkey,
-        |    CAST(0 AS DOUBLE) AS c_acctbal,
-        |    'BUILDING' AS c_mktsegment
-        |  FROM mx, unnest(range(1, 26)) AS t(i)),
-        |upd AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
-        |    c_mktsegment
-        |  FROM customer WHERE c_custkey % 7 = 3),
-        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
-        |  SELECT * FROM customer
-        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
-        |  UNION ALL SELECT * FROM batch)
-        |ORDER BY c_custkey""".stripMargin,
+      (upsertCtes +
+        """
+          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM merged ORDER BY c_custkey""".stripMargin),
+    "q92_temperature_mix" ->
+      """WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(floor(sqrt(n_s)) AS BIGINT) AS w_s FROM n),
+        |t AS (SELECT CAST(SUM(w_s) AS BIGINT) AS w_tot FROM w),
+        |q AS (SELECT source, (100 * w_s) // w_tot AS quota FROM w, t),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, CAST(rn AS INTEGER) AS rn, q.quota
+        |FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY source, rn""".stripMargin,
+    "q93_snapshot_diff" ->
+      (upsertCtes +
+        """
+          |SELECT m.c_custkey,
+          |  CASE WHEN o.c_custkey IS NULL THEN 'added' ELSE 'updated' END AS op
+          |FROM merged m LEFT JOIN customer o ON m.c_custkey = o.c_custkey
+          |WHERE o.c_custkey IS NULL
+          |   OR m.c_name <> o.c_name OR m.c_nationkey <> o.c_nationkey
+          |   OR m.c_acctbal <> o.c_acctbal OR m.c_mktsegment <> o.c_mktsegment
+          |ORDER BY m.c_custkey""".stripMargin),
     "q89_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id // 50 AS shard,
@@ -260,5 +344,7 @@ object Curation {
     "q87_pii_redact" -> q87_pii_redact,
     "q88_upsert" -> q88_upsert,
     "q89_sequence_pack" -> q89_sequence_pack,
-    "q90_inverted_index" -> q90_inverted_index)
+    "q90_inverted_index" -> q90_inverted_index,
+    "q92_temperature_mix" -> q92_temperature_mix,
+    "q93_snapshot_diff" -> q93_snapshot_diff)
 }

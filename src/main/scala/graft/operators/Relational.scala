@@ -343,8 +343,39 @@ object Relational {
       .orderBy($"keyword")
   }
 
+  /** Explicit GROUPING SETS with a grouping-id discriminator — the
+    * general form of which ROLLUP (q15) and CUBE (q40) are the fixed
+    * shorthands, completing the multi-granularity aggregation surface.
+    * Runs through the SQL path (`spark.sql` over a registered view) so
+    * the exact ANSI syntax a reference user would write is what is
+    * exercised; Spark expands the sets into one Expand + single
+    * aggregate — one shuffle for all three granularities, not one per
+    * set. Sums cross the engine boundary through DECIMAL(18,2).
+    */
+  val q94_grouping_sets: Q = (spark, dir) => {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rflag, lstatus""".stripMargin)
+  }
+
   // ------------------------------------------------------------ oracles
   val oracles: Map[String, String] = Map(
+    "q94_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -493,5 +524,6 @@ object Relational {
     "q20_duration" -> q20_duration,
     "q21_parse_date" -> q21_parse_date,
     "q22_ascii_fold" -> q22_ascii_fold,
-    "q23_fuzzy_topk" -> q23_fuzzy_topk)
+    "q23_fuzzy_topk" -> q23_fuzzy_topk,
+    "q94_grouping_sets" -> q94_grouping_sets)
 }
