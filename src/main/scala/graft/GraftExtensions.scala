@@ -55,9 +55,9 @@ object GraftExtensions {
 
   /** The complete SQL surface — every kernel the Scala column API
     * exposes (q29's whole dedup pipeline runs as pure SQL; see
-    * ScaleSpec). `best_cell`/`top_cells` are deliberately absent: their
-    * centroid matrix is an index artifact bound at plan-build time,
-    * not a SQL-expressible literal.
+    * ScaleSpec). `best_cell`/`top_cells`/`nearest_cell` are
+    * deliberately absent: their centroid/codebook matrix is an index
+    * artifact bound at plan-build time, not a SQL-expressible literal.
     */
   private[graft] val functionSpecs: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fuzz_ratio" -> (xs => FuzzRatioExpr(xs.head, xs(1))),

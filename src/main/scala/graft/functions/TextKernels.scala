@@ -488,6 +488,30 @@ object TextKernels {
     best
   }
 
+  /** PQ codeword assignment: argmin squared-L2 over the k codewords
+    * (rows of the flattened [k x dim] matrix), input read as DOUBLES
+    * (normalized subvectors), ties broken by lowest codeword id.
+    */
+  def nearestCell(a: ArrayData, cents: Array[Double], k: Int): Int = {
+    val dim = a.numElements()
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) {
+        val diff = a.getDouble(d) - cents(off + d)
+        s += diff * diff
+        d += 1
+      }
+      if (s < bestD) { bestD = s; best = c } // strict < keeps lowest id on ties
+      c += 1
+    }
+    best
+  }
+
   /** Query-side IVF probe: the `nprobe` nearest cells by (dot desc,
     * cell asc) — same ordering as the window formulation it replaces.
     * k is small (16 here), so selection is a simple partial sort.

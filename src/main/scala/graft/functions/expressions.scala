@@ -218,6 +218,27 @@ case class BestCellExpr(child: Expression, cents: Array[Double], k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Nearest codeword by squared L2 over a flattened [k x dim] codebook —
+  * the PQ assignment kernel. Differs from [[BestCellExpr]] twice over:
+  * the metric is min-distance (correct for quantization; max-dot would
+  * favor large-norm codewords) and the input is an array<double>
+  * (normalized subvectors), read via getDouble. Ties keep the lowest
+  * codeword id.
+  */
+case class NearestCellExpr(child: Expression, cents: Array[Double], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.nearestCell(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nearestCell($c, $ref, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Query-side IVF probe ranking: the nprobe nearest cells per vector,
   * same matrix-in-expression shape as [[BestCellExpr]].
   */
@@ -276,6 +297,8 @@ object GraftFunctions {
   def le_short(a: Column, offset: Int): Column = c(LeShortExpr(e(a), offset))
   def best_cell(a: Column, cents: Array[Double], k: Int): Column =
     c(BestCellExpr(e(a), cents, k))
+  def nearest_cell(a: Column, cents: Array[Double], k: Int): Column =
+    c(NearestCellExpr(e(a), cents, k))
   def top_cells(a: Column, cents: Array[Double], k: Int, nprobe: Int): Column =
     c(TopCellsExpr(e(a), cents, k, nprobe))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,128 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** PQ codebooks are an index artifact like [[centroidCache]]: built
+    * once per dataset fingerprint, memoized per JVM. Layout:
+    * codebooks(m)(c) = the 8-dim codeword c of subspace m.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private val PqM = 16   // subspaces
+  private val PqSub = 4  // dims per subspace (16 x 4 = 64-dim vectors)
+  private val PqK = 16   // codewords per subspace
+
+  /** The L2-normalized embedding (doubles). PQ for COSINE search
+    * quantizes directions, not magnitudes — encoding the raw vector
+    * would spend codewords on norm variation the metric ignores.
+    */
+  private def l2norm(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    val n = sqrt(aggregate(zip_with(d, d, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    transform(d, x => x / n)
+  }
+
+  /** Per-subspace codebooks over the NORMALIZED vectors: the 16
+    * lowest-hashed-id vectors seed every subspace (their m-th
+    * subvector is subspace m's seed codeword), then four Lloyd
+    * iterations per subspace — assignment is the map-only `best_cell`
+    * kernel on the SLICED subvector, all 16 subspaces assigned in a
+    * single corpus pass per iteration, and the mean is per-dim `avg`
+    * aggregates (partial-agg'd). Empty cells keep their previous
+    * codeword (same rule as the IVF quantizer), so every codebook
+    * always has exactly PqK rows.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(
+      s"$dir#${Tables.fingerprint(dir, "embeddings")}", _ => {
+        import spark.implicits._
+        val emb = Tables.load(spark, dir, "embeddings")
+          .select($"vec_id", l2norm($"embedding").as("nv"))
+          .persist()
+        val seeds = emb
+          .select($"vec_id", $"nv",
+            graft.functions.GraftFunctions
+              .doc_fingerprint(concat(lit("pqseed"), $"vec_id"), 4).as("h"))
+          .orderBy($"h").limit(PqK)
+          .collect()
+          .map(r => r.getSeq[Double](1).toArray)
+        var books = Array.tabulate(PqM)(m =>
+          seeds.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+        (1 to 4).foreach { _ =>
+          val assigned = emb.select($"nv" +:
+            (0 until PqM).map(m => nearest_cell(
+              slice($"nv", m * PqSub + 1, PqSub),
+              books(m).flatten, PqK).as(s"c$m")): _*)
+            .persist()
+          books = Array.tabulate(PqM) { m =>
+            val means = (0 until PqSub).map(d =>
+              avg($"nv".getItem(m * PqSub + d)).as(s"m$d"))
+            val refined = assigned.groupBy(col(s"c$m")).agg(means.head, means.tail: _*)
+              .collect()
+              .map(r => r.getInt(0) ->
+                Array.tabulate(PqSub)(d => r.getDouble(d + 1)))
+              .toMap
+            Array.tabulate(PqK)(c => refined.getOrElse(c, books(m)(c)))
+          }
+          assigned.unpersist()
+        }
+        emb.unpersist()
+        books
+      })
+
+  /** Product-quantization ANN (the FAISS IVF-less `PQ16x4` shape with
+    * refinement): every corpus vector is encoded map-only into 16
+    * codebook codes — the scan side then moves 16 SMALL INTS per
+    * vector instead of 64 floats, a big cut in the memory traffic
+    * that dominates brute-force scoring at corpus scale (compose with
+    * q47's IVF lists for the full IVFPQ). Stage 1 scores
+    * asymmetrically — the uncompressed query against the
+    * RECONSTRUCTED codeword vector, assembled per row with
+    * higher-order array functions from the broadcast codebook literal,
+    * no shuffle before the shortlist top-k. Stage 2 re-ranks only the
+    * 24-per-query (8x final k) shortlist with exact cosine on the true vectors
+    * (one join that moves shortlist-sized data) — the standard
+    * shortlist-then-refine serving stack, where full vectors are read
+    * for a FIXED number of candidates per query however large the
+    * corpus. Approximate -> rows-only check (recall vs exact q32
+    * pinned in SimilaritySpec).
+    */
+  val q95_knn_pq: Q = (spark, dir) => {
+    import spark.implicits._
+    val cb = pqCodebooks(spark, dir)
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val codes = emb
+      .select($"vec_id", l2norm($"embedding").as("nv"))
+      .select($"vec_id", array(
+        (0 until PqM).map(m => nearest_cell(
+          slice($"nv", m * PqSub + 1, PqSub),
+          cb(m).flatten, PqK)): _*).as("codes"))
+    val recon = flatten(transform($"codes",
+      (c, m) => element_at(element_at(cbLit, m + lit(1)), c + lit(1))))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val queries = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val qd = transform($"q_emb", x => x.cast("double"))
+    val wShort = Window.partitionBy($"q_id").orderBy($"approx".desc, $"vec_id")
+    val shortlist = codes.withColumn("recon", recon)
+      .crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("approx", dot(qd, $"recon") /
+        (sqrt(dot(qd, qd)) * sqrt(dot($"recon", $"recon"))))
+      .withColumn("adc_rank", row_number().over(wShort))
+      .where($"adc_rank" <= 24)
+      .select($"q_id", $"q_emb", $"vec_id")
+    val wFinal = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    shortlist.join(emb, "vec_id")
+      .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(wFinal))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val oracles: Map[String, String] = Map(
     "q32_knn_exact" ->
       """WITH q AS (
@@ -221,5 +343,6 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q32_knn_exact" -> q32_knn_exact,
     "q33_knn_lsh" -> q33_knn_lsh,
-    "q47_knn_ivf" -> q47_knn_ivf)
+    "q47_knn_ivf" -> q47_knn_ivf,
+    "q95_knn_pq" -> q95_knn_pq)
 }

@@ -36,6 +36,18 @@ class SimilaritySpec extends AnyFunSuite {
     Seq(lsh, ivf).foreach(s => assert(s.size <= 24))
   }
 
+  test("PQ ANN: recall@3 vs exact, and full result shape") {
+    val exact = pairs("q32_knn_exact")
+    val pq = pairs("q95_knn_pq")
+    assert(pq.size == 24) // 8 queries x top-3, always full
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(s"recall@3: pq=$recall")
+    // measured 0.75 on this corpus (weakly clustered — the hard case
+    // for quantization: top-3 cosine ~0.3 vs PQ reconstruction noise);
+    // deterministic, so the floor pins regressions not flakiness
+    assert(recall >= 0.7, s"PQ recall regressed: $recall")
+  }
+
   test("embedding near-dup: IVF-blocked pairs vs the exact baseline (q58/q59)") {
     def pairSet(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sf).collect()
