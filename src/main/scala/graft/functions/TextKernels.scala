@@ -512,6 +512,23 @@ object TextKernels {
     best
   }
 
+  /** PQ decode: assemble the reconstructed vector from per-subspace
+    * codes against a flattened [m][k][sub] codebook. Floats out, so the
+    * result feeds the codegen'd [[cosineSim]] kernel directly.
+    */
+  def pqReconstruct(codes: ArrayData, books: Array[Double],
+      m: Int, sub: Int, k: Int): ArrayData = {
+    val out = new Array[Float](m * sub)
+    var i = 0
+    while (i < m) {
+      val off = (i * k + codes.getInt(i)) * sub
+      var d = 0
+      while (d < sub) { out(i * sub + d) = books(off + d).toFloat; d += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Query-side IVF probe: the `nprobe` nearest cells by (dot desc,
     * cell asc) — same ordering as the window formulation it replaces.
     * k is small (16 here), so selection is a simple partial sort.

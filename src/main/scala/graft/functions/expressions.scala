@@ -239,6 +239,26 @@ case class NearestCellExpr(child: Expression, cents: Array[Double], k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PQ decode to the reconstructed float vector — codebook carried as a
+  * reference object like [[BestCellExpr]]'s centroids (a 3-level nested
+  * array LITERAL of the same data planned ~1s per query build; a
+  * reference object is free).
+  */
+case class PqReconstructExpr(child: Expression, books: Array[Double],
+    m: Int, sub: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_reconstruct"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.pqReconstruct(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books, m, sub, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.pqReconstruct($c, $ref, $m, $sub, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Query-side IVF probe ranking: the nprobe nearest cells per vector,
   * same matrix-in-expression shape as [[BestCellExpr]].
   */
@@ -299,6 +319,8 @@ object GraftFunctions {
     c(BestCellExpr(e(a), cents, k))
   def nearest_cell(a: Column, cents: Array[Double], k: Int): Column =
     c(NearestCellExpr(e(a), cents, k))
+  def pq_reconstruct(a: Column, books: Array[Double], m: Int, sub: Int, k: Int): Column =
+    c(PqReconstructExpr(e(a), books, m, sub, k))
   def top_cells(a: Column, cents: Array[Double], k: Int, nprobe: Int): Column =
     c(TopCellsExpr(e(a), cents, k, nprobe))
 

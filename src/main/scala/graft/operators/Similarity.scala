@@ -289,7 +289,6 @@ object Similarity {
   val q95_knn_pq: Q = (spark, dir) => {
     import spark.implicits._
     val cb = pqCodebooks(spark, dir)
-    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val emb = Tables.load(spark, dir, "embeddings")
     val codes = emb
       .select($"vec_id", l2norm($"embedding").as("nv"))
@@ -297,19 +296,22 @@ object Similarity {
         (0 until PqM).map(m => nearest_cell(
           slice($"nv", m * PqSub + 1, PqSub),
           cb(m).flatten, PqK)): _*).as("codes"))
-    val recon = flatten(transform($"codes",
-      (c, m) => element_at(element_at(cbLit, m + lit(1)), c + lit(1))))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // The reconstructed vector is a per-CORPUS-VECTOR quantity: built
+    // once per vector ABOVE the query cross join (never per pair) by
+    // the pq_reconstruct codegen kernel (codebook as a reference
+    // object — the nested-literal formulation spent ~1s/plan), floats
+    // out so pair scoring runs through the codegen'd cosine_sim
+    // kernel (the higher-order zip_with/aggregate dot allocates per
+    // row in the hot pair loop).
     val queries = emb.where($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val qd = transform($"q_emb", x => x.cast("double"))
     val wShort = Window.partitionBy($"q_id").orderBy($"approx".desc, $"vec_id")
-    val shortlist = codes.withColumn("recon", recon)
+    val shortlist = codes
+      .withColumn("recon_f",
+        pq_reconstruct($"codes", cb.flatten.flatten, PqM, PqSub, PqK))
       .crossJoin(broadcast(queries))
       .where($"vec_id" =!= $"q_id")
-      .withColumn("approx", dot(qd, $"recon") /
-        (sqrt(dot(qd, qd)) * sqrt(dot($"recon", $"recon"))))
+      .withColumn("approx", cosine_sim($"q_emb", $"recon_f"))
       .withColumn("adc_rank", row_number().over(wShort))
       .where($"adc_rank" <= 24)
       .select($"q_id", $"q_emb", $"vec_id")
