@@ -126,4 +126,50 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("In("),
       s"IN-list not pushed:\n$p")
   }
+
+  test("q88: upsert target probes a broadcast anti join, never a shuffle merge") {
+    val p = plan("q88_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"batch keys not broadcast into an anti probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 100 TB target side shuffled for the merge:\n$p")
+  }
+
+  test("q89: packing windows are sharded, never a single global partition") {
+    val p = plan("q89_sequence_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sequence packing degenerated to one task:\n$p")
+  }
+
+  test("q90: posting lists ride the bounded heap with map-side partials") {
+    val p = plan("q90_inverted_index")
+    assert(p.contains("partial_top_k_by") || p.contains("partial_"),
+      s"no partial aggregation before the word shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-terms cut is not TakeOrderedAndProject:\n$p")
+  }
+
+  test("q92: quota table broadcasts; the doc stream keeps one (source,id) shuffle") {
+    val p = plan("q92_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"quotas not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc stream sort-merge joined against the tiny quota table:\n$p")
+  }
+
+  test("q95: PQ encodes map-only; shuffles exist only for per-query windows") {
+    val p = plan("q95_knn_pq")
+    // encoding + reconstruction are map-only kernels...
+    assert(p.contains("pq_reconstruct") && p.contains("nearest_cell"),
+      s"PQ kernels missing from the plan:\n$p")
+    // ...so every hash exchange must key on q_id (the shortlist/final
+    // windows) — the corpus is never reshuffled on any other key...
+    val exchangeKeys = "Exchange hashpartitioning\\(([A-Za-z_]+)"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty && exchangeKeys.forall(_ == "q_id"),
+      s"corpus shuffled on a non-window key ($exchangeKeys):\n$p")
+    // ...and the partial WindowGroupLimit bounds what crosses it to
+    // 24 rows per query per partition
+    assert(p.contains("row_number(), 24, Partial"),
+      s"shortlist shuffle not bounded by a partial group limit:\n$p")
+  }
 }
