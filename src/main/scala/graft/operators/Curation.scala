@@ -229,6 +229,84 @@ object Curation {
       .orderBy($"c_custkey")
   }
 
+  /** SCD-2 versioned upsert: apply the same change batch as q88 but
+    * KEEP HISTORY — every updated key closes its old version (valid_to
+    * = the batch effective date) and opens a new one; unchanged and
+    * inserted keys carry one open version. The target is scanned ONCE:
+    * a broadcast left join marks updated keys, and a per-row
+    * conditional explode emits one or two version rows — never a
+    * second pass or a self-join. Effective dates are literals (the
+    * batch date), so the whole history is oracle-replayable.
+    */
+  val q96_scd2: Q = (spark, dir) => {
+    import spark.implicits._
+    val t0 = to_date(lit("2024-01-01"))
+    val t1 = to_date(lit("2024-07-01"))
+    val hi = to_date(lit("9999-12-31"))
+    def ver(from: org.apache.spark.sql.Column, to: org.apache.spark.sql.Column,
+        cur: Int, bal: org.apache.spark.sql.Column) =
+      struct(from.as("valid_from"), to.as("valid_to"),
+        lit(cur).as("is_current"), bal.as("c_acctbal"))
+    val target = Tables.load(spark, dir, "customer")
+    val updates = target.where($"c_custkey" % 7 === 3)
+      .select($"c_custkey", ($"c_acctbal" + 100.0).as("new_bal"))
+    val inserts = spark.range(1, 26).toDF("i")
+      .crossJoin(broadcast(target.agg(max($"c_custkey").as("mx"))))
+      .select(($"mx" + $"i").as("c_custkey"),
+        ver(t1, hi, 1, lit(0.0)).as("v"))
+    val versions = target
+      .join(broadcast(updates), Seq("c_custkey"), "left")
+      .select($"c_custkey", explode(
+        when($"new_bal".isNull, array(ver(t0, hi, 1, $"c_acctbal")))
+          .otherwise(array(ver(t0, t1, 0, $"c_acctbal"),
+            ver(t1, hi, 1, $"new_bal")))).as("v"))
+    versions.union(inserts)
+      .select($"c_custkey", $"v.valid_from", $"v.valid_to",
+        $"v.is_current", $"v.c_acctbal")
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
+  /** Data-quality audit report: per-rule checked/violation counts over
+    * three tables — referential integrity (FK membership via broadcast
+    * left joins, null-probe counted), domain ranges, and value-set
+    * checks. Each table is scanned ONCE with all its rules computed as
+    * conditional counts in a single map-side-combinable aggregate (an
+    * audit that re-scanned 100 TB per rule would be unrunnable), and
+    * the per-rule rows are exploded from the one-row aggregate. All
+    * integer — hash-exact.
+    */
+  val q97_dq_report: Q = (spark, dir) => {
+    import spark.implicits._
+    def rules(agged: DataFrame, pairs: (String, String)*): DataFrame =
+      agged.select(explode(array(pairs.map { case (rule, c) =>
+        struct(lit(rule).as("rule"), $"n_checked", col(c).as("n_violations"))
+      }: _*)).as("r")).select($"r.rule", $"r.n_checked", $"r.n_violations")
+    val nationKeys = Tables.load(spark, dir, "nation").select($"n_nationkey")
+    val custKeys = Tables.load(spark, dir, "customer").select($"c_custkey")
+    val cust = rules(
+      Tables.load(spark, dir, "customer")
+        .join(broadcast(nationKeys),
+          $"c_nationkey" === $"n_nationkey", "left")
+        .agg(count(lit(1)).as("n_checked"),
+          count(when($"n_nationkey".isNull, 1)).as("fk"),
+          count(when($"c_acctbal" < -1000.0 || $"c_acctbal" > 10000.0, 1)).as("rng")),
+      "customer_fk_nation" -> "fk", "customer_acctbal_range" -> "rng")
+    val ord = rules(
+      Tables.load(spark, dir, "orders")
+        .join(broadcast(custKeys), $"o_custkey" === $"c_custkey", "left")
+        .agg(count(lit(1)).as("n_checked"),
+          count(when($"c_custkey".isNull, 1)).as("fk"),
+          count(when(!$"o_orderstatus".isin("F", "O", "P"), 1)).as("dom")),
+      "orders_fk_customer" -> "fk", "orders_status_domain" -> "dom")
+    val li = rules(
+      Tables.load(spark, dir, "lineitem")
+        .agg(count(lit(1)).as("n_checked"),
+          count(when($"l_quantity" <= 0.0, 1)).as("qty"),
+          count(when($"l_extendedprice" < 0.0, 1)).as("price")),
+      "lineitem_quantity_positive" -> "qty", "lineitem_price_nonnegative" -> "price")
+    cust.union(ord).union(li).orderBy($"rule")
+  }
+
   private val augCte =
     """WITH aug AS (
       |  SELECT doc_id,
@@ -293,6 +371,53 @@ object Curation {
         |SELECT r.source, r.doc_id, CAST(rn AS INTEGER) AS rn, q.quota
         |FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY source, rn""".stripMargin,
+    "q96_scd2" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 7 = 3),
+        |mx AS (SELECT MAX(c_custkey) AS mx FROM customer)
+        |SELECT c_custkey, valid_from, valid_to, is_current, c_acctbal FROM (
+        |  SELECT c.c_custkey, DATE '2024-01-01' AS valid_from,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN DATE '2024-07-01'
+        |         ELSE DATE '9999-12-31' END AS valid_to,
+        |    CAST(CASE WHEN u.c_custkey IS NOT NULL THEN 0 ELSE 1 END AS INTEGER)
+        |      AS is_current,
+        |    c.c_acctbal
+        |  FROM customer c LEFT JOIN upd u USING (c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '2024-07-01', DATE '9999-12-31',
+        |    CAST(1 AS INTEGER), new_bal FROM upd
+        |  UNION ALL
+        |  SELECT mx + i, DATE '2024-07-01', DATE '9999-12-31',
+        |    CAST(1 AS INTEGER), CAST(0 AS DOUBLE)
+        |  FROM mx, unnest(range(1, 26)) AS t(i))
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q97_dq_report" ->
+      """SELECT rule, n_checked, n_violations FROM (
+        |  SELECT 'customer_fk_nation' AS rule, COUNT(*) AS n_checked,
+        |    COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS n_violations
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_range', COUNT(*),
+        |    COUNT(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0 THEN 1 END)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', COUNT(*),
+        |    COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', COUNT(*),
+        |    COUNT(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_positive', COUNT(*),
+        |    COUNT(CASE WHEN l_quantity <= 0.0 THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_price_nonnegative', COUNT(*),
+        |    COUNT(CASE WHEN l_extendedprice < 0.0 THEN 1 END)
+        |  FROM lineitem)
+        |ORDER BY rule""".stripMargin,
     "q93_snapshot_diff" ->
       (upsertCtes +
         """
@@ -346,5 +471,7 @@ object Curation {
     "q89_sequence_pack" -> q89_sequence_pack,
     "q90_inverted_index" -> q90_inverted_index,
     "q92_temperature_mix" -> q92_temperature_mix,
-    "q93_snapshot_diff" -> q93_snapshot_diff)
+    "q93_snapshot_diff" -> q93_snapshot_diff,
+    "q96_scd2" -> q96_scd2,
+    "q97_dq_report" -> q97_dq_report)
 }

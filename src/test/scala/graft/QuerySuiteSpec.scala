@@ -43,8 +43,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 95)
-    assert(SparkEntry.oracleSql.size == 86) // 9 rows-only by design
+    assert(SparkEntry.queries.size == 97)
+    assert(SparkEntry.oracleSql.size == 88) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
