@@ -121,10 +121,70 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Z-value (Morton interleave) of two `bits`-bit non-negative ints,
+    * composed entirely from built-in bit functions — 2·bits codegen'd
+    * integer ops, no UDF, no custom expression. Bit i of x lands at
+    * 2i, bit i of y at 2i+1.
+    */
+  private def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(x.bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order (space-filling-curve) layout profile: map lineitem onto
+    * an 8-bit × 8-bit key grid (partkey, suppkey), order by the
+    * interleaved z-value, and profile each of the 16 leading-z-bit
+    * buckets — the bucket a z-sorted writer would put in one file.
+    * Each bucket's (min,max) rectangle over BOTH dimensions is a
+    * 64×64 tile (spec-pinned), which is the whole point at 100 TB:
+    * parquet min/max stats per z-sorted file are tight on EVERY
+    * interleaved dimension, so scans filtering on partkey OR suppkey
+    * skip ~15/16 of the files, where a linear sort gives tight stats
+    * on only its leading column. The profile itself is one map-only
+    * projection + one aggregate.
+    */
+  val q101_zorder_layout: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(($"l_partkey" % 256).as("x"), ($"l_suppkey" % 256).as("y"))
+    li.withColumn("z", zValue($"x", $"y", 8))
+      .withColumn("z_bucket", ($"z" / 4096).cast("long"))
+      .groupBy($"z_bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"z_bucket")
+  }
+
+  /** Typed-Aggregator UDAF (the §2.12 Dataset-API surface,
+    * complementing the catalyst-level TypedImperativeAggregate
+    * `top_k_by`): quantity-weighted mean discount per return flag.
+    * Inputs are pre-scaled to exact integer cents/units so the
+    * aggregation state is two longs — integer-exact, two longs per
+    * group per partition across the shuffle, and only the final two
+    * divisions touch floating point.
+    */
+  val q102_weighted_mean: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.functions.{Weighted, WeightedMeanAgg}
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag".as("key"),
+        round($"l_discount" * 100).cast("long").as("valueCents"),
+        $"l_quantity".cast("long").as("weight"))
+      .as[Weighted]
+      .groupByKey(_.key)
+      .agg(WeightedMeanAgg.toColumn.name("w_disc"))
+      .toDF("l_returnflag", "w_disc")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q98_rolling_features" -> q98_rolling_features,
     "q99_partition_prune" -> q99_partition_prune,
-    "q100_reconcile_halves" -> q100_reconcile_halves)
+    "q100_reconcile_halves" -> q100_reconcile_halves,
+    "q101_zorder_layout" -> q101_zorder_layout,
+    "q102_weighted_mean" -> q102_weighted_mean)
 
   val oracles: Map[String, String] = Map(
     "q98_rolling_features" ->
@@ -147,6 +207,25 @@ object Analytics {
         |WHERE event_date IN (DATE '2024-01-05', DATE '2024-01-12')
         |GROUP BY event_date, event_type
         |ORDER BY event_date, event_type""".stripMargin,
+    "q101_zorder_layout" ->
+      // the 8-bit Morton interleave, unrolled: bit i of x -> 2i,
+      // bit i of y -> 2i+1
+      """WITH g AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+        |z AS (SELECT x, y,
+        |  (x & 1) | ((y & 1) << 1) | ((x & 2) << 1) | ((y & 2) << 2) |
+        |  ((x & 4) << 2) | ((y & 4) << 3) | ((x & 8) << 3) | ((y & 8) << 4) |
+        |  ((x & 16) << 4) | ((y & 16) << 5) | ((x & 32) << 5) | ((y & 32) << 6) |
+        |  ((x & 64) << 6) | ((y & 64) << 7) | ((x & 128) << 7) | ((y & 128) << 8)
+        |  AS zv FROM g)
+        |SELECT zv // 4096 AS z_bucket, COUNT(*) AS n,
+        |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+    "q102_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / SUM(CAST(l_quantity AS BIGINT)) / 100.0 AS w_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q100_reconcile_halves" ->
       """WITH h1 AS (SELECT o_custkey, COUNT(*) AS n_h1 FROM orders
         |            WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),

@@ -80,4 +80,30 @@ class AnalyticsSpec extends AnyFunSuite {
     val statuses = df.select($"status").distinct().as[String].collect().toSet
     assert(statuses.contains("both"), statuses.toString)
   }
+
+  test("q101: every leading-z-bit bucket is a 64x64 tile on BOTH dimensions") {
+    import spark.implicits._
+    val rows = Analytics.q101_zorder_layout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"))
+      val (minY, maxY) = (r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))
+      // a linear sort on x would leave y spanning the full 0..255 range
+      // in every bucket; z-order bounds BOTH sides by the 64-tile
+      assert(maxX - minX < 64, s"x range ${maxX - minX} in bucket $r")
+      assert(maxY - minY < 64, s"y range ${maxY - minY} in bucket $r")
+      assert(minX / 64 == maxX / 64 && minY / 64 == maxY / 64,
+        s"bucket straddles tiles: $r")
+    }
+  }
+
+  test("q102: typed Aggregator partial-aggregates map-side") {
+    val df = Analytics.q102_weighted_mean(spark, sf)
+    val (plan, _) = finalPlan(df)
+    // partial buffers combine before the exchange — the same contract
+    // as built-in aggregates
+    assert(plan.contains("partial_weightedmeanagg")
+      || plan.toLowerCase.contains("partial"), plan)
+    assert(df.collect().length >= 2)
+  }
 }
