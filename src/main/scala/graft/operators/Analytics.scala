@@ -179,12 +179,31 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** Sliding-window counts (batch twin of
+    * streaming/EventsStream.slidingAgg, oracle-checked here the way
+    * q17/q48 anchor their streaming twins): 6-hour windows advancing
+    * hourly per event type — built-in `window()` expands membership
+    * map-side (one row -> 6 keyed rows), then one aggregate. The
+    * oracle replays the same expansion as an unnested offset join.
+    */
+  val q103_sliding_window: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window($"tstamp", "6 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp($"window.start").as("win_start"),
+        $"event_type", $"n_events")
+      .orderBy($"win_start", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q98_rolling_features" -> q98_rolling_features,
     "q99_partition_prune" -> q99_partition_prune,
     "q100_reconcile_halves" -> q100_reconcile_halves,
     "q101_zorder_layout" -> q101_zorder_layout,
-    "q102_weighted_mean" -> q102_weighted_mean)
+    "q102_weighted_mean" -> q102_weighted_mean,
+    "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
     "q98_rolling_features" ->
@@ -226,6 +245,15 @@ object Analytics {
         |           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |    / SUM(CAST(l_quantity AS BIGINT)) / 100.0 AS w_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q103_sliding_window" ->
+      // each event joins its 6 covering windows: starts at the event's
+      // hour floor minus 0..5 hours (6h width, 1h slide)
+      """WITH t AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |w AS (SELECT (us // 3600000000) * 3600 - k * 3600 AS win_start, event_type
+        |      FROM t CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k))
+        |SELECT win_start, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
     "q100_reconcile_halves" ->
       """WITH h1 AS (SELECT o_custkey, COUNT(*) AS n_h1 FROM orders
         |            WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),

@@ -42,6 +42,22 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding (overlapping) window counts per event type: 6-hour
+    * windows advancing every hour, so each event belongs to 6 windows
+    * — the trailing-coverage twin of [[hourlyAgg]]'s tumbling shape
+    * (q98 is the per-entity RANGE-frame variant). Spark expands the
+    * window membership map-side (one row -> 6 keyed rows) before the
+    * same watermark-bounded stateful aggregation; state per key is
+    * dropped once the 2h watermark passes the window end.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(window(col("tstamp"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"))
+
   /** Streaming exact dedup bounded by the watermark: duplicate
     * event_ids arriving within 2 hours of event time are dropped, and
     * state for old keys is reclaimed once the watermark passes (the

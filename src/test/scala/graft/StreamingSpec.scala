@@ -43,6 +43,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sliding windows match the batch twin (emitted windows)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val q = EventsStream.slidingAgg(EventsStream.readEvents(spark, stagedDir))
+      .writeStream.outputMode("append").format("memory").queryName("slide_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("slide_spec").collect()
+    assert(streamed.nonEmpty, "no sliding windows emitted")
+    val batch = graft.operators.Analytics.q103_sliding_window(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    streamed.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      assert(batch.get(k).contains(r.getLong(2)), s"window $k differs or missing")
+    }
+  }
+
   test("streaming dedup within watermark: replayed file drops duplicates") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("events_dup").toString
