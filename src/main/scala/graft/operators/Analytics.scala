@@ -197,7 +197,53 @@ object Analytics {
       .orderBy($"win_start", $"event_type")
   }
 
+  /** PageRank (3 damped iterations, d = 0.85) over the undirected
+    * customer–supplier interaction graph derived from lineitem ×
+    * orders — the link-authority score web-corpus curation uses to
+    * weight crawl quality (alongside CC dedup clusters, q77/q91).
+    *
+    * All arithmetic is SCALED-INTEGER (total mass 10^12, integer
+    * division at every step, mirrored operation-for-operation in the
+    * oracle): float PageRank sums contributions in partition order,
+    * which is nondeterministic cross-engine; integer sums are exact.
+    * Node ids disambiguate the bipartite key spaces numerically
+    * (cust·2, supp·2+1) — never stringified.
+    *
+    * Scale shape: per iteration ONE aggregation shuffle (contributions
+    * grouped by dst) plus a co-partitioned join of ranks against
+    * edges; edges and degrees hash-partition on src once and every
+    * iteration reuses that partitioning (at cluster scale: persist
+    * edges partitioned by src, or bucket both sides — the rank side
+    * is the only moving data). The node count is a planning-time
+    * scalar (like the paged source's total probe), not a per-row
+    * driver loop.
+    */
+  val q104_pagerank: Q = (spark, dir) => {
+    import spark.implicits._
+    val Total = 1000000000000L
+    val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = cs.select($"c".as("src"), $"s".as("dst"))
+      .union(cs.select($"s".as("src"), $"c".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree"))
+    val n = deg.count() // planning-time scalar: the graph's node count
+    val base = Total * 15 / 100 / n
+    val init = deg.select($"src".as("node"), lit(Total / n).as("rank"))
+    val ranked = (1 to 3).foldLeft(init) { (r, _) =>
+      edges.join(deg, "src")
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select($"dst", expr("rank DIV degree").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("cs"))
+        .select($"dst".as("node"), (lit(base) + expr("(85 * cs) DIV 100")).as("rank"))
+    }
+    ranked.orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q104_pagerank" -> q104_pagerank,
     "q98_rolling_features" -> q98_rolling_features,
     "q99_partition_prune" -> q99_partition_prune,
     "q100_reconcile_halves" -> q100_reconcile_halves,
@@ -206,6 +252,34 @@ object Analytics {
     "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
+    "q104_pagerank" ->
+      // the 3 iterations unrolled (aggregation is not allowed in a
+      // recursive CTE term); every integer division mirrors the Spark
+      // plan's DIV order exactly
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM cs
+        |      UNION ALL SELECT s AS src, c AS dst FROM cs),
+        |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
+        |p AS (SELECT COUNT(*) AS n FROM d),
+        |r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM p) AS rank FROM d),
+        |r1 AS (SELECT e.dst AS node,
+        |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
+        |           + (85 * SUM(r0.rank // d.degree)) // 100 AS rank
+        |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
+        |           + (85 * SUM(r1.rank // d.degree)) // 100 AS rank
+        |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
+        |           + (85 * SUM(r2.rank // d.degree)) // 100 AS rank
+        |       FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src
+        |       GROUP BY e.dst)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     "q98_rolling_features" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_24h,

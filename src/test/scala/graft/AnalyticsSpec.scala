@@ -97,6 +97,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q104: integer PageRank conserves mass up to floor loss; hubs outrank leaves") {
+    import spark.implicits._
+    val rows = Analytics.q104_pagerank(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_._2).sum
+    // each contribution floor loses < degree(node) units per node per
+    // iteration (total < |E| + 2n per iteration) — conservation holds
+    // to well under 0.1% of the 1e12 mass
+    assert(total <= 1000000000000L && total >= 999000000000L,
+      s"mass $total outside [1e12 * 0.999, 1e12] (n=$n)")
+    // suppliers (odd ids) are the bipartite hubs: best supplier rank
+    // must exceed best customer rank
+    val bestSupp = rows.filter(_._1 % 2 == 1).map(_._2).max
+    val bestCust = rows.filter(_._1 % 2 == 0).map(_._2).max
+    assert(bestSupp > bestCust)
+  }
+
   test("q102: typed Aggregator partial-aggregates map-side") {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)
