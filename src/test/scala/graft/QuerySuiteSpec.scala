@@ -40,11 +40,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     val expected = Relational.queries.size + TextOps.queries.size +
       Dedup.queries.size + Similarity.queries.size +
       Pipelines.queries.size + Extras.queries.size + Training.queries.size +
-      Curation.queries.size
+      Curation.queries.size + Analytics.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 97)
-    assert(SparkEntry.oracleSql.size == 88) // 9 rows-only by design
+    assert(SparkEntry.queries.size == 106)
+    assert(SparkEntry.oracleSql.size == 97) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
