@@ -297,10 +297,58 @@ object Analytics {
       .orderBy($"user_id", $"hour")
   }
 
+  /** Funnel analysis: how far each user progresses through the
+    * ordered signup -> click -> purchase funnel, where a stage counts
+    * only if its FIRST occurrence is at-or-after the first occurrence
+    * of the previous stage. One conditional-min aggregate per user
+    * (map-side combinable, one shuffle), then pure per-row stage
+    * logic — never an event-sequence self-join, which at 100 TB would
+    * pair every user's events. Micros are integers, so stage
+    * comparisons are exact.
+    */
+  val q107_funnel: Q = (spark, dir) => {
+    import spark.implicits._
+    def firstTs(t: String) =
+      min(when($"event_type" === t, $"us")).as(s"ts_$t")
+    val firsts = Tables.load(spark, dir, "events")
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_type")
+      .groupBy($"user_id")
+      .agg(firstTs("signup"), firstTs("click"), firstTs("purchase"))
+    firsts.select($"user_id",
+      when($"ts_signup".isNull, 0)
+        .when($"ts_click".isNull || $"ts_click" < $"ts_signup", 1)
+        .when($"ts_purchase".isNull || $"ts_purchase" < $"ts_click", 2)
+        .otherwise(3).cast("int").as("funnel_stage"))
+      .orderBy($"user_id")
+  }
+
+  /** Cohort retention: users grouped by first-active day (their
+    * cohort), counted distinct per (cohort, day offset) for the first
+    * week — the activation-quality report every event product runs.
+    * Two shuffles: the per-user cohort aggregate and the final
+    * (cohort, offset) distinct-count; the cohort joins back to events
+    * on user_id (co-partitioned with the first aggregate's output at
+    * cluster scale). Day arithmetic is all integer.
+    */
+  val q108_retention: Q = (spark, dir) => {
+    import spark.implicits._
+    val days = Tables.load(spark, dir, "events")
+      .select($"user_id", expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .withColumn("offset", ($"day" - $"cohort_day").cast("int"))
+      .where($"offset" <= 7)
+      .groupBy($"cohort_day", $"offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q104_pagerank" -> q104_pagerank,
     "q105_schema_evolution" -> q105_schema_evolution,
     "q106_gap_fill" -> q106_gap_fill,
+    "q107_funnel" -> q107_funnel,
+    "q108_retention" -> q108_retention,
     "q98_rolling_features" -> q98_rolling_features,
     "q99_partition_prune" -> q99_partition_prune,
     "q100_reconcile_halves" -> q100_reconcile_halves,
@@ -309,6 +357,29 @@ object Analytics {
     "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
+    "q107_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS ts_signup,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS ts_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS ts_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN ts_signup IS NULL THEN 0
+        |       WHEN ts_click IS NULL OR ts_click < ts_signup THEN 1
+        |       WHEN ts_purchase IS NULL OR ts_purchase < ts_click THEN 2
+        |       ELSE 3 END AS INTEGER) AS funnel_stage
+        |FROM f ORDER BY user_id""".stripMargin,
+    "q108_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day, CAST(d.day - c.cohort_day AS INTEGER) AS "offset",
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |WHERE d.day - c.cohort_day <= 7
+        |GROUP BY c.cohort_day, "offset"
+        |ORDER BY c.cohort_day, "offset"""".stripMargin,
     "q105_schema_evolution" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |  CAST(NULL AS VARCHAR) AS c_mktsegment,
