@@ -343,7 +343,78 @@ object Analytics {
       .orderBy($"cohort_day", $"offset")
   }
 
+  /** The end-to-end curation pipeline as ONE query: holdout split ->
+    * language filter (q26's predicate) -> quality filter (q25's
+    * score >= 3) -> exact dedup (min doc_id per md5) -> benchmark
+    * decontamination (q66's 5-gram overlap, held-out grams broadcast)
+    * — each stage consuming the previous stage's survivors, reported
+    * as a per-stage funnel. This is the integration shape a real
+    * corpus run composes from the individual operators; the oracle
+    * replays the entire pipeline as nested CTEs, so the chain (not
+    * just each stage alone) is correctness-gated.
+    *
+    * The funnel counts re-derive each prefix (side-effect-free; at
+    * 100 TB the counts come free from `observe` metrics on the single
+    * materializing pass instead). Every filter is a map-only scan
+    * stage; the only wide ops are the dedup window and the two
+    * decontamination distincts, same shapes as q28/q66.
+    */
+  val q109_curation_pipeline: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    def markers(pat: String) =
+      size(regexp_extract_all(lower($"text"), lit(pat), lit(0)))
+    val split17 = docs.where($"doc_id" % 17 =!= 0)
+    val lang = split17
+      .withColumn("c_en", markers("\\b(the|and|of|is|to)\\b"))
+      .withColumn("c_de", markers("\\b(der|die|das|und|ist)\\b"))
+      .withColumn("c_fr", markers("\\b(le|la|les|et|est)\\b"))
+      .withColumn("c_es", markers("\\b(el|los|las|es|y)\\b"))
+      .where($"c_en" >= $"c_de" && $"c_en" >= $"c_fr" &&
+        $"c_en" >= $"c_es" && $"c_en" > 0)
+      .select(docs.columns.map(col): _*)
+    val qual = lang
+      .withColumn("nc", length($"text"))
+      .withColumn("nw", size(split(trim($"text"), "\\s+")))
+      .withColumn("ns", size(regexp_extract_all($"text",
+        lit("\\b(the|a|of|and|or|in)\\b"), lit(0))))
+      .withColumn("np", size(regexp_extract_all($"text",
+        lit("[\\.,;:!\\?]"), lit(0))))
+      .where((when($"nc" >= 100, 1).otherwise(0)
+        + when($"nw" >= 20, 1).otherwise(0)
+        + when($"ns" >= 2, 1).otherwise(0)
+        + when($"np" * 10 <= $"nw", 1).otherwise(0)) >= 3)
+      .select(docs.columns.map(col): _*)
+    val deduped = qual
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+      .where($"rn" === 1).select(docs.columns.map(col): _*)
+    def grams(d: DataFrame) = d
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .where(size($"w") >= 5)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - 4),
+        i => concat_ws(" ", slice($"w", i, lit(5))))).as("gram"))
+    val heldGrams = grams(docs.where($"doc_id" % 17 === 0))
+      .select($"gram").distinct()
+    val contaminated = grams(deduped)
+      .join(broadcast(heldGrams), Seq("gram"), "left_semi")
+      .select($"doc_id").distinct()
+    val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    def cnt(no: Int, name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no).cast("int").as("stage_no"),
+          lit(name).as("stage"), $"n_docs")
+    cnt(1, "input", docs)
+      .union(cnt(2, "holdout_split", split17))
+      .union(cnt(3, "lang_en", lang))
+      .union(cnt(4, "quality", qual))
+      .union(cnt(5, "dedup", deduped))
+      .union(cnt(6, "decontaminated", clean))
+      .orderBy($"stage_no")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_curation_pipeline" -> q109_curation_pipeline,
     "q104_pagerank" -> q104_pagerank,
     "q105_schema_evolution" -> q105_schema_evolution,
     "q106_gap_fill" -> q106_gap_fill,
@@ -357,6 +428,49 @@ object Analytics {
     "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
+    "q109_curation_pipeline" ->
+      """WITH s1 AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+        |l0 AS (SELECT *,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS c_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS c_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS c_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS c_es
+        |  FROM s1),
+        |lang AS (SELECT doc_id, text FROM l0
+        |  WHERE c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0),
+        |q0 AS (SELECT doc_id, text, LENGTH(text) AS nc,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) AS ns,
+        |    len(regexp_extract_all(text, '[\.,;:!\?]')) AS np
+        |  FROM lang),
+        |qual AS (SELECT doc_id, text FROM q0
+        |  WHERE (CASE WHEN nc >= 100 THEN 1 ELSE 0 END
+        |       + CASE WHEN nw >= 20 THEN 1 ELSE 0 END
+        |       + CASE WHEN ns >= 2 THEN 1 ELSE 0 END
+        |       + CASE WHEN np * 10 <= nw THEN 1 ELSE 0 END) >= 3),
+        |ded AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM qual) t WHERE rn = 1),
+        |hw AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |held AS (SELECT DISTINCT
+        |    unnest([array_to_string(w[x:x+4], ' ') for x in range(1, len(w)-3)]) AS gram
+        |  FROM hw WHERE len(w) >= 5),
+        |dw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM ded),
+        |dg AS (SELECT doc_id,
+        |    unnest([array_to_string(w[x:x+4], ' ') for x in range(1, len(w)-3)]) AS gram
+        |  FROM dw WHERE len(w) >= 5),
+        |cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN held USING (gram)),
+        |clean AS (SELECT * FROM ded
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT CAST(1 AS INTEGER) AS stage_no, 'input' AS stage, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT 2, 'holdout_split', COUNT(*) FROM s1
+        |UNION ALL SELECT 3, 'lang_en', COUNT(*) FROM lang
+        |UNION ALL SELECT 4, 'quality', COUNT(*) FROM qual
+        |UNION ALL SELECT 5, 'dedup', COUNT(*) FROM ded
+        |UNION ALL SELECT 6, 'decontaminated', COUNT(*) FROM clean
+        |ORDER BY stage_no""".stripMargin,
     "q107_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
