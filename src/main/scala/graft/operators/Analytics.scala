@@ -359,21 +359,32 @@ object Analytics {
     * stage; the only wide ops are the dedup window and the two
     * decontamination distincts, same shapes as q28/q66.
     */
-  val q109_curation_pipeline: Q = (spark, dir) => {
+  /** The q109 stage chain with a `tap` hook: each stage's output
+    * passes through `tap(name, df)` before the next stage consumes
+    * it, so a caller can wire `observe` metrics into the lineage and
+    * read every stage count from ONE materializing pass
+    * (AnalyticsSpec proves the observed counts equal the funnel's).
+    * The decontamination stage consumes its input twice (gram stream
+    * + anti-join left side) — at scale that stage's input is
+    * persisted, which also keeps its observation single-fire.
+    */
+  private[graft] def curationStages(spark: SparkSession, dir: String,
+      tap: (String, DataFrame) => DataFrame = (_, d) => d): Seq[(String, DataFrame)] = {
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
+    val rawDocs = Tables.load(spark, dir, "documents")
     def markers(pat: String) =
       size(regexp_extract_all(lower($"text"), lit(pat), lit(0)))
-    val split17 = docs.where($"doc_id" % 17 =!= 0)
-    val lang = split17
+    val docs = tap("input", rawDocs)
+    val split17 = tap("holdout_split", docs.where($"doc_id" % 17 =!= 0))
+    val lang = tap("lang_en", split17
       .withColumn("c_en", markers("\\b(the|and|of|is|to)\\b"))
       .withColumn("c_de", markers("\\b(der|die|das|und|ist)\\b"))
       .withColumn("c_fr", markers("\\b(le|la|les|et|est)\\b"))
       .withColumn("c_es", markers("\\b(el|los|las|es|y)\\b"))
       .where($"c_en" >= $"c_de" && $"c_en" >= $"c_fr" &&
         $"c_en" >= $"c_es" && $"c_en" > 0)
-      .select(docs.columns.map(col): _*)
-    val qual = lang
+      .select(rawDocs.columns.map(col): _*))
+    val qual = tap("quality", lang
       .withColumn("nc", length($"text"))
       .withColumn("nw", size(split(trim($"text"), "\\s+")))
       .withColumn("ns", size(regexp_extract_all($"text",
@@ -384,33 +395,36 @@ object Analytics {
         + when($"nw" >= 20, 1).otherwise(0)
         + when($"ns" >= 2, 1).otherwise(0)
         + when($"np" * 10 <= $"nw", 1).otherwise(0)) >= 3)
-      .select(docs.columns.map(col): _*)
-    val deduped = qual
+      .select(rawDocs.columns.map(col): _*))
+    val deduped = tap("dedup", qual
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5($"text")).orderBy($"doc_id")))
-      .where($"rn" === 1).select(docs.columns.map(col): _*)
+      .where($"rn" === 1).select(rawDocs.columns.map(col): _*))
     def grams(d: DataFrame) = d
       .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
       .where(size($"w") >= 5)
       .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - 4),
         i => concat_ws(" ", slice($"w", i, lit(5))))).as("gram"))
-    val heldGrams = grams(docs.where($"doc_id" % 17 === 0))
+    // held-out grams come from the RAW table (not the tapped input),
+    // so no observation node sits in two branches of the final plan
+    val heldGrams = grams(rawDocs.where($"doc_id" % 17 === 0))
       .select($"gram").distinct()
     val contaminated = grams(deduped)
       .join(broadcast(heldGrams), Seq("gram"), "left_semi")
       .select($"doc_id").distinct()
     val clean = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    def cnt(no: Int, name: String, d: DataFrame) =
+    Seq("input" -> docs, "holdout_split" -> split17, "lang_en" -> lang,
+      "quality" -> qual, "dedup" -> deduped, "decontaminated" -> clean)
+  }
+
+  val q109_curation_pipeline: Q = (spark, dir) => {
+    import spark.implicits._
+    val stages = curationStages(spark, dir)
+    stages.zipWithIndex.map { case ((name, d), i) =>
       d.agg(count(lit(1)).as("n_docs"))
-        .select(lit(no).cast("int").as("stage_no"),
+        .select(lit(i + 1).cast("int").as("stage_no"),
           lit(name).as("stage"), $"n_docs")
-    cnt(1, "input", docs)
-      .union(cnt(2, "holdout_split", split17))
-      .union(cnt(3, "lang_en", lang))
-      .union(cnt(4, "quality", qual))
-      .union(cnt(5, "dedup", deduped))
-      .union(cnt(6, "decontaminated", clean))
-      .orderBy($"stage_no")
+    }.reduce(_ union _).orderBy($"stage_no")
   }
 
   val queries: Map[String, Q] = Map(

@@ -76,6 +76,25 @@ object ScaleAudit {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
+    // orders/lineitem: key-shifted copies -> mult disjoint graph
+    // components for q104 (PageRank is per-component, so the derived
+    // fixture is mult independent copies of the base graph; work per
+    // iteration must scale linearly with the edge count)
+    val ord = graft.Tables.load(spark, base, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    (0 until mult).map { c =>
+      ord.select(($"o_orderkey" + lit(c.toLong * 100000000L)).as("o_orderkey"),
+        ($"o_custkey" + lit(c.toLong * 10000000L)).as("o_custkey"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val line = graft.Tables.load(spark, base, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+    (0 until mult).map { c =>
+      line.select(($"l_orderkey" + lit(c.toLong * 100000000L)).as("l_orderkey"),
+        ($"l_suppkey" + lit(c.toLong * 1000000L)).as("l_suppkey"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+
     def time[T](f: => T): (Double, T) = {
       val t0 = System.nanoTime()
       val r = f
@@ -101,6 +120,7 @@ object ScaleAudit {
       val loads = graft.operators.Similarity.cellLoads(spark, dir)
       println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
         s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
+      bench("q104_pagerank", dir, graft.SparkEntry.queries("q104_pagerank"))
       bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
       bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
       bench("q59_dedup_embedding_ivf", dir, graft.SparkEntry.queries("q59_dedup_embedding_ivf"))

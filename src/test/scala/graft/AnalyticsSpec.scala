@@ -116,6 +116,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bestSupp > bestCust)
   }
 
+  test("q109: stage counts come free from observe metrics in ONE pass") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val observations = scala.collection.mutable.LinkedHashMap[String, Observation]()
+    val stages = Analytics.curationStages(spark, sf, (name, df) => {
+      val o = Observation(s"curation_$name")
+      observations(name) = o
+      df.observe(o, count(lit(1)).as("n"))
+    })
+    // materialize the LINEAR prefix once: the dedup stage's single
+    // collect fires every upstream observation (the decontamination
+    // stage consumes its input twice, so at scale that input is
+    // persisted before fan-out — see the scaladoc)
+    val linear = stages.take(5)
+    linear.last._2.collect()
+    val funnel = Analytics.q109_curation_pipeline(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    linear.foreach { case (name, _) =>
+      val observed = observations(name).get("n").asInstanceOf[Long]
+      assert(observed == funnel(name), s"$name: observed $observed != ${funnel(name)}")
+    }
+  }
+
   test("q102: typed Aggregator partial-aggregates map-side") {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)
