@@ -427,7 +427,36 @@ object Analytics {
     }.reduce(_ union _).orderBy($"stage_no")
   }
 
+  /** Pearson correlation per group (quantity vs extended price) from
+    * EXACT decimal moments: built-in `corr` accumulates floating
+    * co-moments in partition order, which is nondeterministic
+    * cross-engine; here the five moments are decimal sums (exact,
+    * order-free, map-side combinable — one shuffle total) and only
+    * the final fixed-shape formula touches floating point, every
+    * operation mirrored in the oracle. The moment aggregate is the
+    * single-pass sufficient-statistics shape feature analysis runs
+    * over a 100 TB table.
+    */
+  val q110_correlation: Q = (spark, dir) => {
+    import spark.implicits._
+    def d2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d2($"l_quantity")).cast("double").as("sx"),
+        sum(d2($"l_extendedprice")).cast("double").as("sy"),
+        sum(d2($"l_quantity") * d2($"l_extendedprice")).cast("double").as("sxy"),
+        sum(d2($"l_quantity") * d2($"l_quantity")).cast("double").as("sxx"),
+        sum(d2($"l_extendedprice") * d2($"l_extendedprice")).cast("double").as("syy"))
+    m.select($"l_returnflag",
+      (($"n" * $"sxy" - $"sx" * $"sy") /
+        (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+         sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_correlation" -> q110_correlation,
     "q109_curation_pipeline" -> q109_curation_pipeline,
     "q104_pagerank" -> q104_pagerank,
     "q105_schema_evolution" -> q105_schema_evolution,
@@ -442,6 +471,23 @@ object Analytics {
     "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
+    "q110_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q109_curation_pipeline" ->
       """WITH s1 AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
         |l0 AS (SELECT *,

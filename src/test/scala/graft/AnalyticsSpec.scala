@@ -139,6 +139,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q110: decimal-moment correlation tracks Spark's built-in corr") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.corr
+    val ours = Analytics.q110_correlation(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val builtin = Tables.load(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours.keySet == builtin.keySet && ours.nonEmpty)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-9, s"$k: $v vs ${builtin(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
   test("q102: typed Aggregator partial-aggregates map-side") {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)

@@ -43,8 +43,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 109)
-    assert(SparkEntry.oracleSql.size == 100) // 9 rows-only by design
+    assert(SparkEntry.queries.size == 110)
+    assert(SparkEntry.oracleSql.size == 101) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
