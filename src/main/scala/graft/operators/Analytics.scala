@@ -455,7 +455,29 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** q41's as-of attribution through the SQL SURFACE: the `ASOF JOIN`
+    * keyword (GraftSqlParser rewrite + post-hoc marker rule) planning
+    * into the same custom AsOfJoinExec as the DataFrame API — this
+    * puts the injected-parser path itself under the driver's oracle
+    * gate, not just under AsOfSqlSpec. Requires the production
+    * install path (`withExtensions(GraftExtensions)`), which Verify
+    * and Bench both use.
+    */
+  val q111_asof_sql: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH p AS (SELECT event_id AS p_event, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_event, user_id AS c_user, ts AS c_ts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p_event, user_id, c_event
+        |FROM p ASOF JOIN c
+        |  ON user_id = c_user AND asof_backward(p_ts, c_ts)
+        |ORDER BY p_event""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q111_asof_sql" -> q111_asof_sql,
     "q110_correlation" -> q110_correlation,
     "q109_curation_pipeline" -> q109_curation_pipeline,
     "q104_pagerank" -> q104_pagerank,
@@ -471,6 +493,13 @@ object Analytics {
     "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
+    "q111_asof_sql" ->
+      // same oracle as q41: DuckDB's native ASOF LEFT JOIN
+      """SELECT p.event_id AS p_event, p.user_id, c.event_id AS c_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_event""".stripMargin,
     "q110_correlation" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -15,6 +15,7 @@ class QuerySuiteSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // production install path (q111 needs the parser)
     .getOrCreate()
 
   test("every declared query has rows and a deterministic first row") {
@@ -43,8 +44,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 110)
-    assert(SparkEntry.oracleSql.size == 101) // 9 rows-only by design
+    assert(SparkEntry.queries.size == 111)
+    assert(SparkEntry.oracleSql.size == 102) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
