@@ -217,6 +217,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parsePlan(rewriteAsOf(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewriteAsOf(sqlText))
+  // ParserInterface DEFAULT method (Spark 4.1): spark.sql(text, args)
+  // binds named/positional parameters through it. Without this
+  // forward, the interface default runs instead of the delegate's
+  // binding override and every parameterized query fails UNBOUND —
+  // the one method a delegating wrapper must not forget.
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(rewriteAsOf(sqlText), ctx)
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)

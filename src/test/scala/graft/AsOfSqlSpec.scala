@@ -47,6 +47,24 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(GraftSqlParser.rewriteAsOf("SELECT 1") == "SELECT 1")
   }
 
+  test("parameterized SQL still binds through the injected parser") {
+    // ParserInterface.parsePlanWithParameters is a DEFAULT method; a
+    // delegating wrapper that forgets to forward it silently breaks
+    // spark.sql(text, args) for every extensions user (regression:
+    // UNBOUND_SQL_PARAMETER out of Engine.query under GraftExtensions)
+    withExtSession { s =>
+      Tables.registerAll(s, sf)
+      val n = s.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice < :p",
+        Map("p" -> 50000)).head().getLong(0)
+      assert(n > 0)
+      val eng = new graft.query.Engine(s, sf)
+      assert(eng.query(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice < :p",
+        Map("p" -> 50000)).head().getLong(0) == n)
+    }
+  }
+
   test("q41 as pure SQL: ASOF JOIN matches the DataFrame API row for row") {
     withExtSession { s =>
       import s.implicits._
