@@ -311,9 +311,14 @@ object Extras {
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
       .select($"bucket",
         expr(s"(n + ${chunkRows - 1}) DIV $chunkRows").cast("int").as("nc"))
+    // persisted: both join sides derive from seg, and without a cache
+    // the whole sessionFrame (window + agg) executes twice in the one
+    // DAG (the q104 lesson; CacheManager keys on the canonicalized
+    // plan, so repeat invocations share the entry)
     val seg = binned.join(broadcast(chunkCounts), Seq("bucket"), "left")
       .withColumn("nc", coalesce($"nc", lit(1)))
       .withColumn("chunk", pmod(hash($"user_id", $"session_id"), $"nc"))
+      .persist()
     val a = seg
       .select($"user_id".as("user_a"), $"session_id".as("session_a"),
         $"start_us".as("start_a"), $"end_us".as("end_a"), $"bucket",
