@@ -151,9 +151,13 @@ object Dedup {
     */
   val q31_dedup_ngram: Q = (spark, dir) => {
     import spark.implicits._
+    // persisted: both join sides derive from docs, and the gram_set
+    // evaluation (hash + sort per doc) would otherwise run twice in
+    // the one DAG (the q104/q67 shared-subtree lesson)
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", gram_set($"text", 3).as("grams"), $"source",
         $"n_chars", floor(log2(greatest($"n_chars", lit(1)))).as("bkt"))
+      .persist()
     val a = docs.select($"doc_id".as("id_a"), $"grams".as("grams_a"),
       $"source", $"n_chars".as("len_a"), $"bkt".as("bkt_a"))
     val b = docs.select($"doc_id".as("id_b"), $"grams".as("grams_b"),

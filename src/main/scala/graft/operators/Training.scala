@@ -68,12 +68,16 @@ object Training {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)
-    val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+    // p persists through the edges fill: the union's two branches would
+    // otherwise evaluate the whole upstream pair-generation pipeline
+    // twice (the shared-subtree lesson — q104/q67/q31)
+    val p = pairs.select(col(ca).as("a"), col(cb).as("b")).persist()
     val edges = p.select($"a".as("src"), $"b".as("dst"))
       .union(p.select($"b".as("src"), $"a".as("dst")))
       .persist()
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("lbl")).localCheckpoint()
+    p.unpersist() // edges is materialized by the eager checkpoint above
     // Labels only ever DECREASE under min-propagation, so the label
     // sum is a convergence witness: unchanged sum <=> no label moved.
     // One map-side-combinable aggregate per round replaces a
