@@ -40,15 +40,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hashExchanges == 1, plan)
     assert(plan.contains("RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW")
       || plan.contains("specifiedwindowframe(RangeFrame"), plan)
-    // RANGE (not ROWS) semantics: tied timestamps count each other, so
-    // every event's n_24h is at least the number of same-micro twins
-    val tied = Tables.load(spark, sf, "events")
-      .selectExpr("user_id", "ts DIV 1000 AS us")
-      .groupBy($"user_id", $"us").count().where($"count" > 1).count()
-    val minN = df.agg(org.apache.spark.sql.functions.min($"n_24h"))
-      .head().getLong(0)
-    assert(minN >= 1)
-    assert(tied >= 0) // fixture may have no exact ties; invariant above still holds
+    // frame invariants: every event counts at least itself, and no
+    // trailing count can exceed the user's total event count
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, max => fmax}
+    assert(df.where($"n_24h" < 1).count() == 0)
+    val perUser = df.groupBy($"user_id")
+      .agg(fmax($"n_24h").as("mx"), fcount(flit(1)).as("n"))
+    assert(perUser.where($"mx" > $"n").count() == 0,
+      "a 24h frame reported more events than the user has")
+  }
+
+  test("layout: maxRecordsPerFile bounds every file in the partitioned write") {
+    import spark.implicits._
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_layout_files_").toString
+    val byDate = Tables.load(spark, sf, "events")
+      .select($"event_id",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000"))).as("event_date"))
+      .repartition($"event_date") // one task per date -> exact file math
+    byDate.write.mode("overwrite").partitionBy("event_date")
+      .option("maxRecordsPerFile", 100).parquet(stage)
+    val dirs = new java.io.File(stage).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(dirs.nonEmpty)
+    val counts = byDate.groupBy($"event_date").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    dirs.foreach { d =>
+      val nFiles = d.listFiles().count(_.getName.endsWith(".parquet"))
+      val rows = counts(d.getName.stripPrefix("event_date="))
+      val expected = ((rows + 99) / 100).toInt
+      // the writer rolls to a new file every 100 records
+      assert(nFiles == expected, s"${d.getName}: $nFiles files for $rows rows")
+    }
   }
 
   test("q99: the date filter prunes to exactly the 2 selected day-partitions") {
