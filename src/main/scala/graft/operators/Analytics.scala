@@ -448,10 +448,14 @@ object Analytics {
         sum(d2($"l_quantity") * d2($"l_extendedprice")).cast("double").as("sxy"),
         sum(d2($"l_quantity") * d2($"l_quantity")).cast("double").as("sxx"),
         sum(d2($"l_extendedprice") * d2($"l_extendedprice")).cast("double").as("syy"))
+    // rounded to 6 dp: DuckDB's decimal->double conversion double-
+    // rounds once a moment's unscaled value passes 2^53 (Spark's
+    // BigDecimal conversion rounds once), leaving the raw statistic
+    // ~1e-16 apart; at 6 dp both engines agree for any fixture
     m.select($"l_returnflag",
-      (($"n" * $"sxy" - $"sx" * $"sy") /
+      round(($"n" * $"sxy" - $"sx" * $"sy") /
         (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-         sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+         sqrt($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 
@@ -514,8 +518,8 @@ object Analytics {
         |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |  ROUND((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q109_curation_pipeline" ->
       """WITH s1 AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
