@@ -153,6 +153,16 @@ object EventsStream {
       }
   }
 
+  /** Stream-STATIC broadcast enrichment — the most common streaming
+    * join: each event decorated from a small static dimension
+    * (broadcast; re-read per micro-batch if the underlying files
+    * change, no state, no watermark). The static side never shuffles
+    * the stream.
+    */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Stream-stream INTERVAL JOIN: every purchase paired with the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the join

@@ -60,6 +60,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{broadcast, col, pmod}
+    val dim = Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val keyed = EventsStream.readEvents(spark, stagedDir)
+      .withColumn("nk", pmod(col("user_id"), org.apache.spark.sql.functions.lit(25L)))
+    val q = EventsStream.enrichStatic(keyed, dim, "nk", "n_nationkey")
+      .select(col("event_id"), col("n_name"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("enrich_spec").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("nk", pmod(col("user_id"), org.apache.spark.sql.functions.lit(25L)))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"), "left")
+      .select(col("event_id"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup within watermark: replayed file drops duplicates") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("events_dup").toString
