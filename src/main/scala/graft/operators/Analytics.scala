@@ -7,20 +7,25 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Serving-side analytics shapes that complete the window / join /
-  * layout surface (reference §2.7 window extension family,
-  * postgres_media.py:81's canned-query pattern generalized):
+/** Serving-side analytics, layout and graph shapes that complete the
+  * window / join / layout surface (reference §2.7 window extension
+  * family, postgres_media.py:81's canned-query pattern generalized):
   *
-  *  - q98 time-RANGE window frames (every prior window used ROWS
-  *    frames) — trailing-24h activity features per user, the
-  *    feature-engineering shape behind "user activity in the last N
-  *    hours" model inputs,
-  *  - q99 partitioned file layout + partition pruning — the
-  *    data-layout half of the 100 TB story: a date-partitioned write
-  *    and a read whose scan prunes by directory, never opening
-  *    out-of-range files,
-  *  - q100 FULL OUTER reconciliation of two independently derived
-  *    aggregates (no prior query exercised full-outer).
+  *  - q98 time-RANGE window frames (trailing-24h entity features),
+  *  - q99 date-partitioned layout + planning-time partition pruning,
+  *  - q100 FULL OUTER reconciliation (the one join type no prior
+  *    query exercised),
+  *  - q101 Z-order (Morton) layout profiling from built-in bit ops,
+  *  - q102 typed Dataset Aggregator UDAF (integer-cents state),
+  *  - q103 sliding windows (batch twin of EventsStream.slidingAgg),
+  *  - q104 integer-exact PageRank over the customer–supplier graph,
+  *  - q105 schema-evolution append (unionByName + missing columns),
+  *  - q106 per-entity time-series gap fill,
+  *  - q107 funnel-stage analysis, q108 cohort retention,
+  *  - q109 the end-to-end curation funnel (chain oracle-gated, with
+  *    observe-metric taps),
+  *  - q110 Pearson correlation from exact decimal moments,
+  *  - q111 the ASOF JOIN SQL syntax under the oracle gate.
   */
 object Analytics {
   import Relational.Q
