@@ -388,7 +388,9 @@ object Analytics {
       .withColumn("c_es", markers("\\b(el|los|las|es|y)\\b"))
       .where($"c_en" >= $"c_de" && $"c_en" >= $"c_fr" &&
         $"c_en" >= $"c_es" && $"c_en" > 0)
-      .select(rawDocs.columns.map(col): _*))
+      // persisted: five downstream funnel prefixes re-derive this
+      // stage (and its four regex scans) without a cache
+      .select(rawDocs.columns.map(col): _*).persist())
     val qual = tap("quality", lang
       .withColumn("nc", length($"text"))
       .withColumn("nw", size(split(trim($"text"), "\\s+")))
@@ -401,10 +403,12 @@ object Analytics {
         + when($"ns" >= 2, 1).otherwise(0)
         + when($"np" * 10 <= $"nw", 1).otherwise(0)) >= 3)
       .select(rawDocs.columns.map(col): _*))
+    // persisted: the decontamination stage consumes it twice (gram
+    // stream + anti-join left) and the funnel counts once more
     val deduped = tap("dedup", qual
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5($"text")).orderBy($"doc_id")))
-      .where($"rn" === 1).select(rawDocs.columns.map(col): _*))
+      .where($"rn" === 1).select(rawDocs.columns.map(col): _*).persist())
     def grams(d: DataFrame) = d
       .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
       .where(size($"w") >= 5)
