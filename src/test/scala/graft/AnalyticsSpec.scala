@@ -184,9 +184,9 @@ class AnalyticsSpec extends AnyFunSuite {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)
     // partial buffers combine before the exchange — the same contract
-    // as built-in aggregates
-    assert(plan.contains("partial_weightedmeanagg")
-      || plan.toLowerCase.contains("partial"), plan)
+    // as built-in aggregates (exact marker: a regressed plan that
+    // shuffles raw rows has no partial_weightedmeanagg node)
+    assert(plan.contains("partial_weightedmeanagg"), plan)
     assert(df.collect().length >= 2)
   }
 }
