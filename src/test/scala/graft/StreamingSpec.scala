@@ -82,6 +82,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("checkpoint recovery: restart processes only new data, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("events_ckpt_src").toString
+    val sink = Files.createTempDirectory("events_ckpt_sink").toString
+    val ckpt = Files.createTempDirectory("events_ckpt_state").toString
+    val ev = Tables.load(spark, sf, "events").select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    val half1 = ev.where(col("event_id") % 2 === 0)
+    val half2 = ev.where(col("event_id") % 2 === 1)
+    def runOnceTo(): Unit = {
+      val q = EventsStream.readEvents(spark, src)
+        .select(col("event_id"), col("user_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    half1.write.mode("append").json(src)
+    runOnceTo()
+    val afterFirst = spark.read.parquet(sink).count()
+    assert(afterFirst == half1.count(), s"first run wrote $afterFirst")
+    // restart with MORE data: the checkpoint must skip the old files
+    // (no duplicates) and pick up exactly the new ones (no loss)
+    half2.write.mode("append").json(src)
+    runOnceTo()
+    val ids = spark.read.parquet(sink).select(col("event_id"))
+    assert(ids.count() == ev.count(), "loss or duplication across restart")
+    assert(ids.distinct().count() == ev.count(), "duplicate events after recovery")
+  }
+
   test("streaming dedup within watermark: replayed file drops duplicates") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("events_dup").toString
