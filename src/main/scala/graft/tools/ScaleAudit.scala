@@ -121,6 +121,8 @@ object ScaleAudit {
       println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
         s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
       bench("q104_pagerank", dir, graft.SparkEntry.queries("q104_pagerank"))
+      bench("q109_curation_pipeline", dir, graft.SparkEntry.queries("q109_curation_pipeline"))
+      bench("q95_knn_pq", dir, graft.SparkEntry.queries("q95_knn_pq"))
       bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
       bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
       bench("q59_dedup_embedding_ivf", dir, graft.SparkEntry.queries("q59_dedup_embedding_ivf"))
