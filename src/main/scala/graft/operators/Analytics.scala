@@ -495,7 +495,31 @@ object Analytics {
         |ORDER BY p_event""".stripMargin)
   }
 
+  /** Forward fill (last observation carried forward): error events'
+    * readings are unreliable -> masked to NULL, then imputed from the
+    * user's most recent good reading via `last_value(IGNORE NULLS)`
+    * over a running frame — the LOCF imputation every time-series
+    * feature pipeline needs, and the one window surface (IGNORE
+    * NULLS) no other query exercises. One hash exchange on the entity
+    * key; the fill value passes through unchanged (no arithmetic), so
+    * the output is hash-exact.
+    */
+  val q112_forward_fill: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", expr("ts DIV 1000").as("us"),
+        $"event_type", $"value")
+      .withColumn("reading",
+        when($"event_type" =!= "error", $"value"))
+      .withColumn("filled", last($"reading", ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"reading", $"filled")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q112_forward_fill" -> q112_forward_fill,
     "q111_asof_sql" -> q111_asof_sql,
     "q110_correlation" -> q110_correlation,
     "q109_curation_pipeline" -> q109_curation_pipeline,
@@ -512,6 +536,13 @@ object Analytics {
     "q103_sliding_window" -> q103_sliding_window)
 
   val oracles: Map[String, String] = Map(
+    "q112_forward_fill" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type <> 'error' THEN value END AS reading,
+        |  LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
     "q111_asof_sql" ->
       // same oracle as q41: DuckDB's native ASOF LEFT JOIN
       """SELECT p.event_id AS p_event, p.user_id, c.event_id AS c_event
