@@ -25,7 +25,8 @@ import graft.Tables
   *  - q109 the end-to-end curation funnel (chain oracle-gated, with
   *    observe-metric taps),
   *  - q110 Pearson correlation from exact decimal moments,
-  *  - q111 the ASOF JOIN SQL syntax under the oracle gate.
+  *  - q111 the ASOF JOIN SQL syntax under the oracle gate,
+  *  - q112 forward-fill / LOCF imputation (IGNORE NULLS windows).
   */
 object Analytics {
   import Relational.Q
