@@ -147,7 +147,8 @@ object Similarity {
 
   private[graft] def cellLoads(spark: SparkSession, dir: String,
       k: Int = 16, nprobe: Int = 3): Map[Int, Long] =
-    cellLoadCache.computeIfAbsent(s"$dir#$k#$nprobe", _ => {
+    cellLoadCache.computeIfAbsent(
+      s"$dir#${Tables.fingerprint(dir, "embeddings")}#$k#$nprobe", _ => {
       import spark.implicits._
       val cents = centroids(spark, dir, k)
       Tables.load(spark, dir, "embeddings")

@@ -41,6 +41,26 @@ import graft.functions.GraftFunctions._
 object Training {
   import Relational.Q
 
+  /** Eager `localCheckpoint` that releases the blocks of the PREVIOUS
+    * iteration's checkpoint once the new one is materialized — the
+    * iterative-loop must-pair on Spark (checkpoint truncates lineage;
+    * without the release every round leaves one dead RDD in the block
+    * manager for the life of the JVM). Returns the checkpointed frame
+    * plus the persistent-RDD ids it created, to pass back next round.
+    * Safe ordering: `localCheckpoint()` is eager, so the new blocks
+    * exist before the old ones are dropped and nothing recomputes.
+    */
+  private def rollCheckpoint(
+      df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    prevIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    (out, mine)
+  }
+
   /** Connected components over the MinHash-verified near-duplicate pair
     * graph (q29), by hash-min label propagation: every doc starts
     * labeled with its own id, and each round every node takes the min
@@ -75,8 +95,9 @@ object Training {
     val edges = p.select($"a".as("src"), $"b".as("dst"))
       .union(p.select($"b".as("src"), $"a".as("dst")))
       .persist()
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("lbl")).localCheckpoint()
+    var (labels, lblIds) = rollCheckpoint(
+      edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("lbl")), Set.empty)
     p.unpersist() // edges is materialized by the eager checkpoint above
     // Labels only ever DECREASE under min-propagation, so the label
     // sum is a convergence witness: unchanged sum <=> no label moved.
@@ -91,8 +112,9 @@ object Training {
     while (changed && rounds < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"lbl")
-      labels = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
-        .localCheckpoint()
+      val (nl, ni) = rollCheckpoint(
+        labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl")), lblIds)
+      labels = nl; lblIds = ni
       val nextSum = lblSum(labels)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
@@ -157,9 +179,9 @@ object Training {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)
-    var e = pairs
+    var (e, eIds) = rollCheckpoint(pairs
       .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
-      .where($"a" =!= $"b").distinct().localCheckpoint()
+      .where($"a" =!= $"b").distinct(), Set.empty)
     val nodes = e.select($"a".as("id")).union(e.select($"b".as("id")))
       .distinct().localCheckpoint()
 
@@ -194,7 +216,8 @@ object Training {
     var stable = cur._1 == 0L
     var iters = 0
     while (!stable && iters < maxIters) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      val (ne, ni) = rollCheckpoint(smallStar(largeStar(e)), eIds)
+      e = ne; eIds = ni
       val next = sig(e)
       stable = next._1 == cur._1 && next._2.compareTo(cur._2) == 0
       cur = next

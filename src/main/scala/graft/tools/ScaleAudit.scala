@@ -53,6 +53,27 @@ object ScaleAudit {
     }
     copies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // funnel fixture (q109): same mult-x disjoint-content growth, but
+    // the language-marker / quality-stopword vocabulary is kept INTACT
+    // (suffixing "the" -> "the_3" kills the \b-bounded marker regexes
+    // and collapses the funnel at the lang stage — a fixture artifact,
+    // not a scaling result). Content words still get per-copy suffixes,
+    // so the dedup/decontamination stages see genuinely new text.
+    val keepVocab = "the|and|of|is|to|der|die|das|und|ist|le|la|les|et|est|el|los|las|es|y|a|or|in"
+    val funnelCopies = (0 until mult).map { c =>
+      docs.select(
+        ($"doc_id" + lit(c.toLong * 10000000L)).as("doc_id"),
+        concat_ws(" ",
+          transform(split($"text", " "), w =>
+            when(lower(w).rlike(s"^($keepVocab)$$"), w)
+              .otherwise(concat(w, lit(s"_$c"))))).as("text"),
+        $"lang",
+        concat($"source", lit(s"_$c")).as("source"),
+        $"n_chars")
+    }
+    funnelCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/funnel/documents.parquet")
+
     val ev = graft.Tables.load(spark, base, "events")
     (0 until mult).map { c =>
       ev.select(
@@ -121,7 +142,6 @@ object ScaleAudit {
       println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
         s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
       bench("q104_pagerank", dir, graft.SparkEntry.queries("q104_pagerank"))
-      bench("q109_curation_pipeline", dir, graft.SparkEntry.queries("q109_curation_pipeline"))
       bench("q95_knn_pq", dir, graft.SparkEntry.queries("q95_knn_pq"))
       bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
       bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
@@ -133,6 +153,18 @@ object ScaleAudit {
       val (tu, nu) = time(graft.operators.Extras
         .intervalJoinOn(spark, dir, 3600L * 1000000L, Long.MaxValue / 4).count())
       println(f"[audit] q67 chunked=$tc%.2f s ($nc pairs) unchunked=$tu%.2f s ($nu pairs)")
+    }
+
+    // q109 runs against the marker-preserving funnel fixture — the
+    // plain fixture suffixes every word and collapses the funnel at
+    // the lang stage. Stage counts printed so non-collapse is visible.
+    for (dir <- Seq(base, s"$work/funnel")) {
+      println(s"[audit] ==== q109 funnel @ $dir ====")
+      val stages = graft.SparkEntry.queries("q109_curation_pipeline")(spark, dir)
+        .collect().map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" ")
+      println(s"[audit] q109 stages: $stages")
+      bench("q109_curation_pipeline", dir, graft.SparkEntry.queries("q109_curation_pipeline"))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

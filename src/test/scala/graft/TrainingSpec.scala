@@ -80,6 +80,23 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("CC loops release prior-iteration localCheckpoints (bounded residue)") {
+    import spark.implicits._
+    // a 17-node path needs 16 hash-min rounds (one hop per round) and
+    // several two-phase alternations — enough iterations that a leak
+    // of one checkpoint RDD per round would be visible
+    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Training.connectedComponents(chain).count()
+    val afterHm = spark.sparkContext.getPersistentRDDs.size
+    assert(afterHm - before <= 1,
+      s"hash-min left ${afterHm - before} persistent RDDs (want only final labels)")
+    Training.connectedComponentsTwoPhase(chain).count()
+    val afterTp = spark.sparkContext.getPersistentRDDs.size
+    assert(afterTp - afterHm <= 2,
+      s"two-phase left ${afterTp - afterHm} persistent RDDs (want nodes + final edges)")
+  }
+
   test("bloom: zero false negatives; false positives stay rare") {
     import spark.implicits._
     val grams = (0 until 2000).map(i => s"held out gram number $i").toDF("gram")

@@ -52,9 +52,21 @@ def main(sf_dir, out_dir):
         try:
             import pandas as pd
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            ok.append((name, f"match ({len(g)} rows)"))
         except AssertionError as ex:
             bad.append((name, "VALUES differ: " + str(ex).replace("\n", " | ")[:300]))
+            continue
+        # Type parity: the driver's hash is type-KIND-sensitive. int32
+        # vs int64 hashes the same (q24/q25 pass the driver green), but
+        # DuckDB widening SUM(BIGINT) -> HUGEINT surfaces as pandas
+        # object/float64 vs Spark's int64 and flips the hash (the q104
+        # round-5 red row). Values matching is not enough.
+        mismatched = [(c, str(g[c].dtype), str(e[c].dtype))
+                      for c in g.columns if g[c].dtype.kind != e[c].dtype.kind]
+        if mismatched:
+            bad.append((name, "TYPES differ (values match): " + ", ".join(
+                f"{c}: spark={a} oracle={b}" for c, a, b in mismatched)))
+        else:
+            ok.append((name, f"match ({len(g)} rows)"))
     for n, m in ok:
         print(f"  OK   {n}: {m}")
     for n, m in bad:
