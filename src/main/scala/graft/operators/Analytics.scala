@@ -278,6 +278,69 @@ object Analytics {
     ranked.orderBy($"node")
   }
 
+  /** Incremental PageRank: a NEW batch of orders (the q85
+    * steady-state-ingest split, `o_orderkey % 10 == 0`) arrives after
+    * the base graph's pair index and degree table were already built
+    * and persisted. Delta-sized work derives the merge:
+    *
+    *  - new pairs = delta pairs ANTI-JOIN the base pair index (at
+    *    cluster scale both sides bucket on (c, s), so the anti-join
+    *    co-locates; pairs seen in any earlier batch drop out here);
+    *  - merged degrees = base degree table + the delta's endpoint
+    *    counts (union + one re-aggregate on the node-sized table —
+    *    never a rescan of base lineitem×orders, which is the term
+    *    that dominates full recomputation at 100 TB);
+    *  - the rank iterations then run over base ∪ new edges. The
+    *    iteration cost is inherent (every edge carries contributions
+    *    — rank mass moves globally even for a one-edge delta); what
+    *    the incremental path removes is the GRAPH DERIVATION, the
+    *    lineitem×orders join + distinct that q104 pays from scratch.
+    *
+    * Because base ∪ delta partitions the full order set and the
+    * anti-join restores pair distinctness, the merged graph is
+    * IDENTICAL to q104's, so the oracle is the same full-graph
+    * integer PageRank — the incremental path must reproduce the full
+    * recompute bit-for-bit (also pinned Spark-vs-Spark in
+    * AnalyticsSpec).
+    */
+  val q113_incremental_pagerank: Q = (spark, dir) => {
+    import spark.implicits._
+    val Total = 1000000000000L
+    val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+    def pairs(o: DataFrame) = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    // the prior ingest's artifacts (persisted, as a steady-state
+    // pipeline would hold them next to the data)
+    val basePairs = pairs(ord.where($"o_orderkey" % 10 =!= 0)).persist()
+    val baseDeg = basePairs.select($"c".as("src")).union(basePairs.select($"s".as("src")))
+      .groupBy($"src").agg(count(lit(1)).as("degree"))
+    // delta-sized: only genuinely new customer-supplier relationships
+    val newPairs = pairs(ord.where($"o_orderkey" % 10 === 0))
+      .join(basePairs, Seq("c", "s"), "left_anti").persist()
+    val deltaDeg = newPairs.select($"c".as("src")).union(newPairs.select($"s".as("src")))
+      .groupBy($"src").agg(count(lit(1)).as("degree"))
+    val mergedDeg = baseDeg.union(deltaDeg)
+      .groupBy($"src").agg(sum($"degree").as("degree")).persist()
+    val mergedCs = basePairs.union(newPairs)
+    val edges = mergedCs.select($"c".as("src"), $"s".as("dst"))
+      .union(mergedCs.select($"s".as("src"), $"c".as("dst")))
+    val edgesDeg = edges.join(mergedDeg, "src").persist()
+    val n = mergedDeg.count()
+    require(n > 0, s"q113: empty merged customer-supplier graph under $dir")
+    val base = Total * 15 / 100 / n
+    val init = mergedDeg.select($"src".as("node"), lit(Total / n).as("rank"))
+    val ranked = (1 to 3).foldLeft(init) { (r, _) =>
+      edgesDeg
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select($"dst", expr("rank DIV degree").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("cs"))
+        .select($"dst".as("node"), (lit(base) + expr("(85 * cs) DIV 100")).as("rank"))
+    }
+    ranked.orderBy($"node")
+  }
+
   /** Schema-evolution append: union two generations of the customer
     * dimension whose schemas differ — gen1 predates c_mktsegment and
     * gen2 adds a loyalty_tier column — via unionByName with
@@ -537,6 +600,7 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "q113_incremental_pagerank" -> q113_incremental_pagerank,
     "q112_forward_fill" -> q112_forward_fill,
     "q111_asof_sql" -> q111_asof_sql,
     "q110_correlation" -> q110_correlation,
@@ -552,6 +616,39 @@ object Analytics {
     "q101_zorder_layout" -> q101_zorder_layout,
     "q102_weighted_mean" -> q102_weighted_mean,
     "q103_sliding_window" -> q103_sliding_window)
+
+  /** Full-graph integer PageRank oracle, shared by q104 (from-scratch)
+    * and q113 (incremental — merges to the identical graph): the 3
+    * iterations unrolled (aggregation is not allowed in a recursive
+    * CTE term); every integer division mirrors the Spark plan's DIV
+    * order exactly; the final CAST undoes DuckDB's SUM(BIGINT) ->
+    * HUGEINT widening, which the driver's type-sensitive hash sees.
+    */
+  private val pagerankOracle: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT c AS src, s AS dst FROM cs
+      |      UNION ALL SELECT s AS src, c AS dst FROM cs),
+      |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
+      |p AS (SELECT COUNT(*) AS n FROM d),
+      |r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM p) AS rank FROM d),
+      |r1 AS (SELECT e.dst AS node,
+      |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
+      |           + (85 * SUM(r0.rank // d.degree)) // 100 AS rank
+      |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
+      |           + (85 * SUM(r1.rank // d.degree)) // 100 AS rank
+      |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
+      |           + (85 * SUM(r2.rank // d.degree)) // 100 AS rank
+      |       FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src
+      |       GROUP BY e.dst)
+      |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q112_forward_fill" ->
@@ -671,34 +768,11 @@ object Analytics {
         |SELECT spine.user_id, spine.hour, COALESCE(c.n, 0) AS n
         |FROM spine LEFT JOIN c USING (user_id, hour)
         |ORDER BY user_id, hour""".stripMargin,
-    "q104_pagerank" ->
-      // the 3 iterations unrolled (aggregation is not allowed in a
-      // recursive CTE term); every integer division mirrors the Spark
-      // plan's DIV order exactly
-      """WITH cs AS (
-        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT c AS src, s AS dst FROM cs
-        |      UNION ALL SELECT s AS src, c AS dst FROM cs),
-        |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
-        |p AS (SELECT COUNT(*) AS n FROM d),
-        |r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM p) AS rank FROM d),
-        |r1 AS (SELECT e.dst AS node,
-        |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
-        |           + (85 * SUM(r0.rank // d.degree)) // 100 AS rank
-        |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src
-        |       GROUP BY e.dst),
-        |r2 AS (SELECT e.dst AS node,
-        |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
-        |           + (85 * SUM(r1.rank // d.degree)) // 100 AS rank
-        |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src
-        |       GROUP BY e.dst),
-        |r3 AS (SELECT e.dst AS node,
-        |         (SELECT 1000000000000 * 15 // 100 // n FROM p)
-        |           + (85 * SUM(r2.rank // d.degree)) // 100 AS rank
-        |       FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src
-        |       GROUP BY e.dst)
-        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin,
+    "q104_pagerank" -> pagerankOracle,
+    // identical full-graph oracle: the incremental path must reproduce
+    // the from-scratch recompute bit-for-bit (base ∪ delta partitions
+    // the orders, the anti-join restores pair distinctness)
+    "q113_incremental_pagerank" -> pagerankOracle,
     "q98_rolling_features" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_24h,

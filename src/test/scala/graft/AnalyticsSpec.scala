@@ -180,6 +180,16 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q113: incremental PageRank reproduces the full recompute bit-for-bit") {
+    val full = Analytics.q104_pagerank(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = Analytics.q113_incremental_pagerank(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr.nonEmpty && incr == full,
+      s"incremental merge diverged: ${incr.size} vs ${full.size} nodes, " +
+        s"first diff ${(incr.toSet -- full.toSet).take(3)}")
+  }
+
   test("q102: typed Aggregator partial-aggregates map-side") {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)
