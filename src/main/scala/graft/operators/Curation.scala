@@ -339,7 +339,39 @@ object Curation {
       |  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
       |  UNION ALL SELECT * FROM batch)""".stripMargin
 
+  /** Multi-epoch upsampling — the other half of data mixing: q92
+    * downsamples over-represented sources (temperature quotas); this
+    * REPEATS under-represented ones, the standard small-corpus
+    * treatment (wiki/books run 3-5 epochs while web runs one — the
+    * repeat-factor knob studied in Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"). Factor = inverse frequency
+    * vs the largest source, capped at 4 (beyond ~4 epochs repetition
+    * returns decay). One row per (doc, epoch_copy), produced by a
+    * map-side `sequence` explode off a broadcast factor table — the
+    * corpus never shuffles, so the explode costs exactly its output.
+    */
+  val q116_epoch_upsample: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val factors = counts
+      .crossJoin(broadcast(counts.agg(max($"n_s").as("n_max"))))
+      .select($"source", least(expr("n_max DIV n_s"), lit(4L)).as("repeat_factor"))
+    docs.join(broadcast(factors), "source")
+      .select($"doc_id", $"source", $"repeat_factor",
+        explode(sequence(lit(1L), $"repeat_factor")).as("epoch_copy"))
+      .orderBy($"doc_id", $"epoch_copy")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q116_epoch_upsample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |f AS (SELECT source, LEAST(n_max // n_s, 4) AS repeat_factor
+        |      FROM c CROSS JOIN (SELECT MAX(n_s) AS n_max FROM c) m)
+        |SELECT d.doc_id, d.source, f.repeat_factor,
+        |  unnest(generate_series(1, f.repeat_factor)) AS epoch_copy
+        |FROM documents d JOIN f USING (source)
+        |ORDER BY doc_id, epoch_copy""".stripMargin,
     "q86_orc_roundtrip" -> customerSelect,
     "q87_pii_redact" ->
       (augCte +
@@ -471,6 +503,7 @@ object Curation {
     "q89_sequence_pack" -> q89_sequence_pack,
     "q90_inverted_index" -> q90_inverted_index,
     "q92_temperature_mix" -> q92_temperature_mix,
+    "q116_epoch_upsample" -> q116_epoch_upsample,
     "q93_snapshot_diff" -> q93_snapshot_diff,
     "q96_scd2" -> q96_scd2,
     "q97_dq_report" -> q97_dq_report)

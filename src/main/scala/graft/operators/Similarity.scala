@@ -325,7 +325,45 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022: nested
+    * prefix-subspace embeddings let retrieval run on the first d'
+    * dims at 1/4 the memory): per vector, the L2 norm of the 16-dim
+    * prefix vs the full 64 dims, the retained-norm fraction (the
+    * quality proxy that decides whether a corpus can ship truncated),
+    * and the first RE-NORMALIZED component — pinning the renorm math
+    * the truncated index would apply. Map-only scan; sums fold
+    * sequentially in index order on both engines (`aggregate` here,
+    * `list_dot_product` in DuckDB — the q32/q58-proven pairing), so
+    * the doubles hash-match exactly. Zero norms emit SQL NULL via
+    * nullif, not NaN/Inf (determinism rules).
+    */
+  val q117_matryoshka: Q = (spark, dir) => {
+    import spark.implicits._
+    def ss(c: Column) = aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        sqrt(ss(slice($"embedding", 1, 16))).as("norm16"),
+        sqrt(ss($"embedding")).as("norm64"))
+      .withColumn("retained", expr("norm16 / nullif(norm64, 0.0d)"))
+      .withColumn("r0",
+        element_at($"embedding", 1).cast("double") / expr("nullif(norm16, 0.0d)"))
+      .select($"vec_id", $"norm16", $"norm64", $"retained", $"r0")
+      .orderBy($"vec_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q117_matryoshka" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         CAST(embedding[1:16] AS DOUBLE[]) AS p
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  sqrt(list_dot_product(p, p)) AS norm16,
+        |  sqrt(list_dot_product(e, e)) AS norm64,
+        |  sqrt(list_dot_product(p, p)) / NULLIF(sqrt(list_dot_product(e, e)), 0.0) AS retained,
+        |  e[1] / NULLIF(sqrt(list_dot_product(p, p)), 0.0) AS r0
+        |FROM v ORDER BY vec_id""".stripMargin,
     "q32_knn_exact" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -347,5 +385,6 @@ object Similarity {
     "q32_knn_exact" -> q32_knn_exact,
     "q33_knn_lsh" -> q33_knn_lsh,
     "q47_knn_ivf" -> q47_knn_ivf,
-    "q95_knn_pq" -> q95_knn_pq)
+    "q95_knn_pq" -> q95_knn_pq,
+    "q117_matryoshka" -> q117_matryoshka)
 }

@@ -174,6 +174,37 @@ object TextOps {
     * is map-only; the only shuffle is the distinct over contaminated
     * doc ids.
     */
+  /** Benchmark-overlap (contamination) REPORT: q66 decides which docs
+    * to DROP; this measures HOW contaminated each training doc is —
+    * the fraction of its word-5-grams that appear anywhere in the
+    * held-out split (`doc_id % 17 == 0`, the q109 funnel's holdout).
+    * The per-doc overlap fraction is the GPT-3-appendix-C-style
+    * dirtiness metric teams inspect BEFORE committing to a drop
+    * threshold. Counts are integer-exact; the ratio is one raw double
+    * division (determinism rules).
+    *
+    * Scale shape: identical to q66 — the corpus gram stream never
+    * shuffles (broadcast held-out set, left join), one aggregate by
+    * doc_id; docs under 5 words have no grams and are absent, same as
+    * the oracle.
+    */
+  val q115_contamination_fraction: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+    val grams = docs.where(size($"w") >= 5)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"w") - 4),
+          i => concat_ws(" ", slice($"w", i, lit(5))))).as("gram"))
+    val testGrams = grams.where($"doc_id" % 17 === 0).select($"gram").distinct()
+    grams.where($"doc_id" % 17 =!= 0)
+      .join(broadcast(testGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"hit").as("n_hit"))
+      .withColumn("contamination", $"n_hit".cast("double") / $"n_grams")
+      .orderBy($"doc_id")
+  }
+
   val q66_decontaminate: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
@@ -352,6 +383,18 @@ object TextOps {
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 40
         |       WHEN source LIKE 'src1%' THEN 10 ELSE 20 END
         |ORDER BY mix_key""".stripMargin,
+    "q115_contamination_fraction" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(w[x:x+4], ' ') for x in range(1, len(w)-3)]) AS gram
+        |  FROM words WHERE len(w) >= 5),
+        |test AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(t.gram) AS n_hit,
+        |  CAST(COUNT(t.gram) AS DOUBLE) / COUNT(*) AS contamination
+        |FROM grams g LEFT JOIN test t ON g.gram = t.gram
+        |WHERE g.doc_id % 17 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q66_decontaminate" ->
       """WITH words AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -422,6 +465,7 @@ object TextOps {
     "q64_chunking" -> q64_chunking,
     "q65_data_mix" -> q65_data_mix,
     "q66_decontaminate" -> q66_decontaminate,
+    "q115_contamination_fraction" -> q115_contamination_fraction,
     "q71_repetition" -> q71_repetition,
     "q75_unigram_quality" -> q75_unigram_quality,
     "q76_heavy_hitters" -> q76_heavy_hitters)

@@ -133,6 +133,48 @@ object Training {
     labels.select($"id", $"lbl".as("component"))
   }
 
+  /** SemDeDup-style keep-policy over the near-dup components: pair
+    * lists say what is SIMILAR, the transitive closure says what is
+    * THE SAME cluster (q77), and this query decides what a dedup pass
+    * actually KEEPS — one canonical document per component, chosen by
+    * q25's quality score with doc_id as the deterministic tiebreak
+    * (Abbas et al. 2023 "SemDeDup" keeps the cluster member with the
+    * best proxy score; keeping the lowest id is the degenerate policy
+    * q77's `component = min id` already encodes). Every clustered doc
+    * reports its cluster's kept doc, so the downstream filter is one
+    * broadcast semi-join on `is_kept`.
+    *
+    * Scale shape: components (clustered docs only — a tiny fraction of
+    * the corpus) broadcast into the quality scan; the per-component
+    * argmax is a window over component keys, whose cardinality is the
+    * pair-graph's, not the corpus's.
+    */
+  val q114_dedup_keep_policy: Q = (spark, dir) => {
+    import spark.implicits._
+    val comp = connectedComponents(
+      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b"))
+      .select($"id".as("doc_id"), $"component")
+    // quality mirrors q25 term-for-term (same regexes, same ladder)
+    val words = size(split(trim($"text"), "\\s+"))
+    val quality = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        (when(length($"text") >= 100, 1).otherwise(0)
+          + when(words >= 20, 1).otherwise(0)
+          + when(size(regexp_extract_all($"text",
+              lit("\\b(the|a|of|and|or|in)\\b"), lit(0))) >= 2, 1).otherwise(0)
+          + when(size(regexp_extract_all($"text",
+              lit("[\\.,;:!\\?]"), lit(0))) * 10 <= words, 1).otherwise(0))
+          .cast("int").as("quality_score"))
+    val w = Window.partitionBy($"component")
+      .orderBy($"quality_score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    quality.join(broadcast(comp), "doc_id")
+      .withColumn("keep_doc", first($"doc_id").over(w))
+      .select($"doc_id", $"component", $"quality_score", $"keep_doc",
+        ($"doc_id" === $"keep_doc").as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
   /** (doc_id, component, n_members) report over a component labeling —
     * shared tail of q77 (hash-min kernel) and q91 (two-phase kernel).
     */
@@ -550,7 +592,10 @@ object Training {
   /** Shared by q77 and q91: both kernels compute the same transitive
     * closure, pinned against DuckDB's recursive CTE.
     */
-  private val ccOracleSql =
+  /** Recursive-CTE transitive closure up to the (doc_id, component)
+    * labeling — shared head of the q77/q91 and q114 oracles.
+    */
+  private val ccCompCte =
     ("WITH RECURSIVE " + pairsCte.stripPrefix("WITH ") +
         """,
           |pairs AS (
@@ -566,16 +611,43 @@ object Training {
           |  SELECT id, id FROM nodes
           |  UNION
           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-          |comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id)
+          |comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id)""".stripMargin)
+
+  private val ccOracleSql =
+    (ccCompCte +
+        """
           |SELECT c.doc_id, c.component, s.n_members
           |FROM comp c JOIN (
           |  SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1) s
           |  USING (component)
           |ORDER BY doc_id""".stripMargin)
 
+  private val keepPolicyOracle =
+    (ccCompCte +
+        """,
+          |q AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END
+          |      + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20 THEN 1 ELSE 0 END
+          |      + CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) >= 2 THEN 1 ELSE 0 END
+          |      + CASE WHEN len(regexp_extract_all(text, '[\.,;:!\?]')) * 10
+          |             <= len(regexp_split_to_array(trim(text), '\s+')) THEN 1 ELSE 0 END
+          |      AS INTEGER) AS quality_score
+          |  FROM documents),
+          |j AS (
+          |  SELECT c.doc_id, c.component, q.quality_score,
+          |    FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+          |      ORDER BY q.quality_score DESC, c.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_doc
+          |  FROM comp c JOIN q USING (doc_id))
+          |SELECT doc_id, component, quality_score, keep_doc,
+          |  doc_id = keep_doc AS is_kept
+          |FROM j ORDER BY doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q77_dedup_clusters" -> ccOracleSql,
     "q91_cc_twophase" -> ccOracleSql,
+    "q114_dedup_keep_policy" -> keepPolicyOracle,
     "q78_span_dedup" ->
       ("WITH " + wordGramsCte +
         """,
@@ -687,5 +759,6 @@ object Training {
     "q83_tfidf" -> q83_tfidf,
     "q84_mask_spans" -> q84_mask_spans,
     "q85_incremental_dedup" -> q85_incremental_dedup,
-    "q91_cc_twophase" -> q91_cc_twophase)
+    "q91_cc_twophase" -> q91_cc_twophase,
+    "q114_dedup_keep_policy" -> q114_dedup_keep_policy)
 }
