@@ -121,6 +121,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q117: matryoshka audit is a pure scan (no shuffle but the sort)") {
+    val p = plan("q117_matryoshka")
+    assert(!p.contains("Exchange hashpartitioning"), s"q117 gained a shuffle:\n$p")
+  }
+
+  test("q115: corpus gram stream probes a broadcast outer join, never a shuffle") {
+    val p = plan("q115_contamination_fraction")
+    assert(p.contains("BroadcastHashJoin"), s"held-out side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gram stream shuffled:\n$p")
+  }
+
+  test("q116: factor table broadcasts; the doc stream never shuffles") {
+    val p = plan("q116_epoch_upsample")
+    assert(p.contains("BroadcastHashJoin"), s"factor table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc stream shuffled for the factor join:\n$p")
+    // shuffles exist only under the factor table's own aggregates —
+    // never between the documents scan and the explode
+    assert(p.contains("Generate explode"), s"sequence explode missing:\n$p")
+  }
+
   test("q02: IN-list predicate is pushed to the scan") {
     val p = plan("q02_select_in")
     assert(p.contains("PushedFilters") && p.contains("In("),
