@@ -163,6 +163,42 @@ object EventsStream {
       streamKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Streaming incremental near-dup — q85's steady-state ingest as a
+    * STREAM: each micro-batch of NEW documents is banded map-side (one
+    * `min_hash_bands_words` kernel evaluation per doc), probes the
+    * already-built corpus band index via a stream-static equi-join,
+    * and exact-verifies survivors with the O(n+m) merge Jaccard
+    * against the corpus gram table — entirely STATELESS (no watermark,
+    * no state store): every operator is a per-row transform or a join
+    * against a static side, so state never accumulates no matter how
+    * long the stream runs.
+    *
+    * Emits (new_doc, old_doc, jac) with at-least-once multiplicity —
+    * a pair surfaces once per colliding band; the terminal sink dedups
+    * per micro-batch (`foreachBatch` + distinct, the q85 batch
+    * semantics). Cross-batch exactly-once would need keyed state the
+    * alert volume doesn't justify. At cluster scale the static sides
+    * are the persisted bucketed band index + gram table (the
+    * ScaleSpec zero-exchange shape); at test scale Spark broadcasts
+    * them per micro-batch.
+    */
+  def nearDupAlerts(newDocs: DataFrame, corpusDocs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.functions.GraftFunctions.{gram_set, jaccard_sorted, min_hash_bands_words}
+    val bands = corpusDocs.select(col("doc_id").as("old_doc"),
+      posexplode(min_hash_bands_words(col("text"), 3, 16, 4)).as(Seq("band", "key")))
+    val oldGrams = corpusDocs.select(col("doc_id").as("old_doc"),
+      gram_set(col("text"), 3).as("g_o"))
+    newDocs.select(col("doc_id").as("new_doc"),
+        gram_set(col("text"), 3).as("g_n"),
+        posexplode(min_hash_bands_words(col("text"), 3, 16, 4)).as(Seq("band", "key")))
+      .join(bands, Seq("band", "key"))
+      .join(oldGrams, "old_doc")
+      .select(col("new_doc"), col("old_doc"),
+        jaccard_sorted(col("g_n"), col("g_o")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** Stream-stream INTERVAL JOIN: every purchase paired with the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the join

@@ -127,6 +127,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == ev.count(), s"expected ${ev.count()} deduped rows, got $got")
   }
 
+  test("streaming incremental near-dup matches the q85 batch pairs") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    // new batch arrives as a stream; the corpus is the static side
+    val dir = Files.createTempDirectory("docs_stream").toString
+    docs.where($"doc_id" % 10 === 9).write.mode("overwrite").json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val newStream = spark.readStream.schema(schema).json(dir)
+    val corpus = docs.where($"doc_id" % 10 =!= 9)
+    val q = EventsStream.nearDupAlerts(newStream, corpus)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // at-least-once multiplicity -> distinct = the batch pair set
+    val streamed = spark.table("neardup_spec")
+      .select($"new_doc", $"old_doc", $"jac").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("q85_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "q85 found no pairs at this SF")
+    assert(streamed == batch,
+      s"stream vs batch diverged: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
