@@ -142,6 +142,10 @@ object ScaleAudit {
       println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
         s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
       bench("q104_pagerank", dir, graft.SparkEntry.queries("q104_pagerank"))
+      spark.catalog.clearCache() // q113 must not free-ride q104's caches
+      bench("q113_incremental_pagerank", dir,
+        graft.SparkEntry.queries("q113_incremental_pagerank"))
+      spark.catalog.clearCache()
       bench("q95_knn_pq", dir, graft.SparkEntry.queries("q95_knn_pq"))
       bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
       bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
