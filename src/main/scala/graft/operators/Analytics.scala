@@ -478,18 +478,9 @@ object Analytics {
       // persisted: five downstream funnel prefixes re-derive this
       // stage (and its four regex scans) without a cache
       .select(rawDocs.columns.map(col): _*).persist())
-    val qual = tap("quality", lang
-      .withColumn("nc", length($"text"))
-      .withColumn("nw", size(split(trim($"text"), "\\s+")))
-      .withColumn("ns", size(regexp_extract_all($"text",
-        lit("\\b(the|a|of|and|or|in)\\b"), lit(0))))
-      .withColumn("np", size(regexp_extract_all($"text",
-        lit("[\\.,;:!\\?]"), lit(0))))
-      .where((when($"nc" >= 100, 1).otherwise(0)
-        + when($"nw" >= 20, 1).otherwise(0)
-        + when($"ns" >= 2, 1).otherwise(0)
-        + when($"np" * 10 <= $"nw", 1).otherwise(0)) >= 3)
-      .select(rawDocs.columns.map(col): _*))
+    val qual = tap("quality",
+      lang.where(TextOps.qualityLadder($"text") >= 3)
+        .select(rawDocs.columns.map(col): _*))
     // persisted: the decontamination stage consumes it twice (gram
     // stream + anti-join left) and the funnel counts once more
     val deduped = tap("dedup", qual

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +26,24 @@ object TextOps {
         size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
           .as("re_tokens"))
       .orderBy($"doc_id")
+  }
+
+  /** THE quality ladder (0-4 composite) as one Column over `text` —
+    * the single Scala definition of the q25 regexes/thresholds.
+    * Consumed by q109's quality stage and q114's keep-policy; q25
+    * itself computes the identical ladder from its exposed component
+    * columns. The two SQL copies (q25's oracle, Training's
+    * keepPolicyOracle) must mirror any change here — the DuckDB gate
+    * catches a missed one.
+    */
+  private[operators] def qualityLadder(text: Column): Column = {
+    val words = size(split(trim(text), "\\s+"))
+    (when(length(text) >= 100, 1).otherwise(0)
+      + when(words >= 20, 1).otherwise(0)
+      + when(size(regexp_extract_all(text,
+          lit("\\b(the|a|of|and|or|in)\\b"), lit(0))) >= 2, 1).otherwise(0)
+      + when(size(regexp_extract_all(text,
+          lit("[\\.,;:!\\?]"), lit(0))) * 10 <= words, 1).otherwise(0))
   }
 
   /** Quality scoring: integer signal counts + a 0-4 composite score.

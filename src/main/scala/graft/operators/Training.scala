@@ -53,9 +53,17 @@ object Training {
   private def rollCheckpoint(
       df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    // Identify the checkpoint's backing RDD PRECISELY from the result
+    // plan (a LogicalRDD over the persisted internal RDD). A
+    // before/after diff of getPersistentRDDs would also capture any
+    // upstream `.persist()` whose lazy cache co-materialized during
+    // this eager job (e.g. the edges cache during the initial labels
+    // checkpoint) — and then unpersist it next round, silently
+    // re-deriving the whole pair pipeline every iteration.
+    val mine: Set[Int] = out.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
     prevIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     (out, mine)
@@ -154,17 +162,9 @@ object Training {
     val comp = connectedComponents(
       Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b"))
       .select($"id".as("doc_id"), $"component")
-    // quality mirrors q25 term-for-term (same regexes, same ladder)
-    val words = size(split(trim($"text"), "\\s+"))
     val quality = Tables.load(spark, dir, "documents")
       .select($"doc_id",
-        (when(length($"text") >= 100, 1).otherwise(0)
-          + when(words >= 20, 1).otherwise(0)
-          + when(size(regexp_extract_all($"text",
-              lit("\\b(the|a|of|and|or|in)\\b"), lit(0))) >= 2, 1).otherwise(0)
-          + when(size(regexp_extract_all($"text",
-              lit("[\\.,;:!\\?]"), lit(0))) * 10 <= words, 1).otherwise(0))
-          .cast("int").as("quality_score"))
+        TextOps.qualityLadder($"text").cast("int").as("quality_score"))
     val w = Window.partitionBy($"component")
       .orderBy($"quality_score".desc, $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -194,9 +194,14 @@ class HttpSpotifyService extends SpotifyService {
       new HttpTokenEndpoint(tokenUrl, transport),
       options.getOrElse("client_id", "demo-client"),
       options.getOrElse("client_secret", "demo-secret"))
-    // prove the handshake with a test API call, as the reference does
-    // (client.categories(), spotify_client.py:76-78)
-    get("/search", Map("offset" -> "0", "limit" -> "1"))
+    // No handshake probe here: connect() runs once PER PARTITION
+    // READER, so a per-connect test call (the reference's
+    // client.categories(), spotify_client.py:76-78 — once per process
+    // there) would burn one rate-limited API round trip per reader per
+    // scan. Auth failures surface identically on the reader's first
+    // real page() call (401 -> token_expired -> refresh/re-auth), and
+    // the driver's planning-time probeTotal() already exercises the
+    // full path once before any reader starts.
   }
 
   /** One authenticated GET; 401 -> `token_expired` so the session

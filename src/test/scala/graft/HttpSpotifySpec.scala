@@ -60,7 +60,11 @@ class HttpSpotifySpec extends AnyFunSuite {
 
     private def issue(generation: Int): String = {
       val tok = s"at-${exchanges.get()}-${refreshes.get()}"
-      issued.put(tok, resourceCalls.get() + ttlCalls)
+      // saturating add: ttlCalls=Long.MaxValue must not wrap negative
+      // once resourceCalls > 0 (a wrapped expiry kills every later
+      // token and the failure surfaces as an opaque retry exhaustion)
+      val expiry = resourceCalls.get() + ttlCalls
+      issued.put(tok, if (expiry < resourceCalls.get()) Long.MaxValue else expiry)
       s"""{"access_token":"$tok","refresh_token":"rt-$generation","token_type":"Bearer"}"""
     }
 
