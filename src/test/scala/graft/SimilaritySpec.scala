@@ -64,4 +64,17 @@ class SimilaritySpec extends AnyFunSuite {
     // nprobe=3 multi-probe blocking, measured 0.857 deterministic
     assert(recall >= 0.8, s"IVF-blocked near-dup recall regressed: $recall")
   }
+
+  test("q117: retained fraction in (0,1]; renormed component consistent") {
+    val rows = SparkEntry.queries("q117_matryoshka")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n16, n64, ret, r0) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n16 > 0 && n64 >= n16, s"norm ordering violated: $n16 vs $n64")
+      assert(ret > 0 && ret <= 1.0, s"retained out of range: $ret")
+      // the renormed first component is unit-bounded by construction
+      assert(math.abs(r0) <= 1.0 + 1e-12, s"renormed component |$r0| > 1")
+    }
+  }
 }
