@@ -363,7 +363,71 @@ object Curation {
       .orderBy($"doc_id", $"epoch_copy")
   }
 
+  /** Per-source length-outlier trimming — adaptive thresholds instead
+    * of one global cutoff (a code corpus's P95 length is a forum
+    * corpus's P50; fixed bounds over- or under-trim per domain). Keep
+    * documents whose char length sits in the source's [5%, 95%]
+    * percent-rank band; the deterministic (length, doc_id) tiebreak
+    * makes every rank — and therefore the emitted percent_rank double,
+    * an exact (rank-1)/(n-1) fraction — identical cross-engine. One
+    * window shuffle keyed by source; at 100 TB source cardinality is
+    * high, so partitions stay balanced.
+    */
+  val q118_length_trim: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy(length($"text"), $"doc_id")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", length($"text").as("n_chars_m"), $"text")
+      .withColumn("pr", percent_rank().over(w))
+      .where($"pr" >= 0.05 && $"pr" <= 0.95)
+      .select($"doc_id", $"source", $"n_chars_m".cast("int").as("n_chars_m"), $"pr")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source token-budget selection — the allocation step that
+    * turns "this mixture" into "these rows": each source contributes
+    * its BEST documents (q25 quality ladder, doc_id tiebreak) until a
+    * fixed whitespace-token budget fills. A running-sum window per
+    * source admits documents while the cumulative count stays within
+    * budget — integer-exact, so the admitted set is reproducible
+    * anywhere. One window shuffle keyed by source.
+    */
+  val q119_token_budget: Q = (spark, dir) => {
+    import spark.implicits._
+    val budget = 10000L
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality_score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"),
+        TextOps.qualityLadder($"text").cast("int").as("quality_score"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .where($"cum_tokens" <= budget)
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q118_length_trim" ->
+      """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+        |  PERCENT_RANK() OVER (PARTITION BY source ORDER BY LENGTH(text), doc_id) AS pr
+        |FROM documents
+        |QUALIFY pr >= 0.05 AND pr <= 0.95
+        |ORDER BY doc_id""".stripMargin,
+    "q119_token_budget" ->
+      (s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(${TextOps.qualityLadderSql} AS INTEGER) AS quality_score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, quality_score,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin),
     "q116_epoch_upsample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
         |f AS (SELECT source, LEAST(n_max // n_s, 4) AS repeat_factor
@@ -504,6 +568,8 @@ object Curation {
     "q90_inverted_index" -> q90_inverted_index,
     "q92_temperature_mix" -> q92_temperature_mix,
     "q116_epoch_upsample" -> q116_epoch_upsample,
+    "q118_length_trim" -> q118_length_trim,
+    "q119_token_budget" -> q119_token_budget,
     "q93_snapshot_diff" -> q93_snapshot_diff,
     "q96_scd2" -> q96_scd2,
     "q97_dq_report" -> q97_dq_report)

@@ -46,6 +46,17 @@ object TextOps {
           lit("[\\.,;:!\\?]"), lit(0))) * 10 <= words, 1).otherwise(0))
   }
 
+  /** The DuckDB-SQL twin of [[qualityLadder]] (one expression over a
+    * `text` column) — shared by every oracle that needs the ladder so
+    * the SQL copies can't drift independently.
+    */
+  private[operators] val qualityLadderSql: String =
+    """(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END
+      | + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20 THEN 1 ELSE 0 END
+      | + CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) >= 2 THEN 1 ELSE 0 END
+      | + CASE WHEN len(regexp_extract_all(text, '[\.,;:!\?]')) * 10
+      |        <= len(regexp_split_to_array(trim(text), '\s+')) THEN 1 ELSE 0 END)""".stripMargin
+
   /** Quality scoring: integer signal counts + a 0-4 composite score.
     * Integer outputs only — exactly reproducible in any engine (no
     * float-ratio rounding hazards).

@@ -624,15 +624,9 @@ object Training {
 
   private val keepPolicyOracle =
     (ccCompCte +
-        """,
+        s""",
           |q AS (
-          |  SELECT doc_id,
-          |    CAST(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END
-          |      + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20 THEN 1 ELSE 0 END
-          |      + CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) >= 2 THEN 1 ELSE 0 END
-          |      + CASE WHEN len(regexp_extract_all(text, '[\.,;:!\?]')) * 10
-          |             <= len(regexp_split_to_array(trim(text), '\s+')) THEN 1 ELSE 0 END
-          |      AS INTEGER) AS quality_score
+          |  SELECT doc_id, CAST(${TextOps.qualityLadderSql} AS INTEGER) AS quality_score
           |  FROM documents),
           |j AS (
           |  SELECT c.doc_id, c.component, q.quality_score,
