@@ -141,6 +141,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"sequence explode missing:\n$p")
   }
 
+  test("q118/q119: one source-keyed window shuffle each, nothing more") {
+    Seq("q118_length_trim", "q119_token_budget").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") == 1,
+        s"$q should shuffle exactly once (the source window):\n$p")
+    }
+  }
+
   test("q02: IN-list predicate is pushed to the scan") {
     val p = plan("q02_select_in")
     assert(p.contains("PushedFilters") && p.contains("In("),
