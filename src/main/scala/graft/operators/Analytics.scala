@@ -590,7 +590,29 @@ object Analytics {
       .orderBy($"event_id")
   }
 
+  /** Week-over-week distribution-drift monitor: weekly event-type
+    * counts plus the ratio against the type's previous week — the
+    * after-every-ingest check that a source's mix hasn't silently
+    * shifted (the data-ops sibling of the q97 rule audit: q97 checks
+    * VALUES, this checks DISTRIBUTIONS). Integer counts are exact
+    * cross-engine; the ratio is one raw double division, NULL on a
+    * type's first week (SQL NULL-propagating division on both
+    * engines). One aggregate plus one lag window over the tiny
+    * (week, type) table — the corpus-sized scan happens once.
+    */
+  val q121_drift: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    Tables.load(spark, dir, "events")
+      .select(expr("(ts DIV 1000) DIV 604800000000").as("week"), $"event_type")
+      .groupBy($"week", $"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag($"n", 1).over(w))
+      .withColumn("wow_ratio", $"n".cast("double") / $"prev_n")
+      .orderBy($"week", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_drift" -> q121_drift,
     "q113_incremental_pagerank" -> q113_incremental_pagerank,
     "q112_forward_fill" -> q112_forward_fill,
     "q111_asof_sql" -> q111_asof_sql,
@@ -642,6 +664,15 @@ object Analytics {
       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q121_drift" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS week, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY week, event_type)
+        |SELECT week, event_type, n,
+        |  LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+        |  CAST(n AS DOUBLE) / LAG(n) OVER (PARTITION BY event_type ORDER BY week)
+        |    AS wow_ratio
+        |FROM c ORDER BY week, event_type""".stripMargin,
     "q112_forward_fill" ->
       """SELECT event_id, user_id,
         |  CASE WHEN event_type <> 'error' THEN value END AS reading,

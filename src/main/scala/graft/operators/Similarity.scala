@@ -352,7 +352,49 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Hard-negative mining (DPR/ANCE-style retrieval training prep):
+    * for each query vector, the top-3 most-similar corpus vectors
+    * BELOW the near-duplicate band (cos < 0.45, q58's threshold) —
+    * similar enough that a contrastive loss learns from them, not so
+    * similar they are actually positives mislabeled as negatives (the
+    * false-negative poisoning in-batch sampling suffers from). Exact
+    * formulation over the q32 machinery; at corpus scale candidate
+    * generation is the IVF/PQ path (q47/q95) with the dup-band filter
+    * applied at the exact re-rank, so the filter costs nothing extra.
+    */
+  val q120_hard_negatives: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    emb.crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
+      .where($"cos" < 0.45)
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neg_id"), $"rank", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q120_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_dot_product(q.qe, CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[])))) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id AS neg_id, CAST(rank AS INTEGER) AS rank, cos
+        |FROM (SELECT q_id, vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM s WHERE cos < 0.45) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q117_matryoshka" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -386,5 +428,6 @@ object Similarity {
     "q33_knn_lsh" -> q33_knn_lsh,
     "q47_knn_ivf" -> q47_knn_ivf,
     "q95_knn_pq" -> q95_knn_pq,
-    "q117_matryoshka" -> q117_matryoshka)
+    "q117_matryoshka" -> q117_matryoshka,
+    "q120_hard_negatives" -> q120_hard_negatives)
 }
