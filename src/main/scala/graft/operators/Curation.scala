@@ -375,12 +375,15 @@ object Curation {
     */
   val q118_length_trim: Q = (spark, dir) => {
     import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy(length($"text"), $"doc_id")
+    // length computed BEFORE the window exchange and text dropped — the
+    // corpus's heaviest column must not ride the one shuffle this op
+    // pays; the window orders by the projected n_chars_m, not a
+    // re-evaluated length(text)
+    val w = Window.partitionBy($"source").orderBy($"n_chars_m", $"doc_id")
     Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"source", length($"text").as("n_chars_m"), $"text")
+      .select($"doc_id", $"source", length($"text").cast("int").as("n_chars_m"))
       .withColumn("pr", percent_rank().over(w))
       .where($"pr" >= 0.05 && $"pr" <= 0.95)
-      .select($"doc_id", $"source", $"n_chars_m".cast("int").as("n_chars_m"), $"pr")
       .orderBy($"doc_id")
   }
 
@@ -392,9 +395,14 @@ object Curation {
     * budget — integer-exact, so the admitted set is reproducible
     * anywhere. One window shuffle keyed by source.
     */
+  /** q119's per-source token budget — one constant, interpolated into
+    * the oracle so engine and SQL can never disagree.
+    */
+  private val tokenBudget = 10000L
+
   val q119_token_budget: Q = (spark, dir) => {
     import spark.implicits._
-    val budget = 10000L
+    val budget = tokenBudget
     val w = Window.partitionBy($"source")
       .orderBy($"quality_score".desc, $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -427,7 +435,7 @@ object Curation {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM t)
         |SELECT doc_id, source, n_tokens, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
-        |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin),
+        |FROM c WHERE cum_tokens <= $tokenBudget ORDER BY doc_id""".stripMargin),
     "q116_epoch_upsample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
         |f AS (SELECT source, LEAST(n_max // n_s, 4) AS repeat_factor

@@ -24,7 +24,15 @@ import graft.functions.GraftFunctions._
 object Similarity {
   import Relational.Q
 
-  val q32_knn_exact: Q = (spark, dir) => {
+  /** Shared exact-kNN scaffold: corpus scan × broadcast 8-query set,
+    * self-pairs removed, cosine scored, then `candFilter` applied
+    * BEFORE the per-query (cos desc, vec_id) top-k window. q32
+    * consumes it unfiltered (the exactness baseline); q120 applies
+    * the hard-negative band — one definition of the tiebreak and
+    * query-set predicate for both.
+    */
+  private def knnCosine(spark: SparkSession, dir: String, k: Int,
+      candFilter: Column): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.where($"vec_id" < 8)
@@ -33,8 +41,14 @@ object Similarity {
     emb.crossJoin(broadcast(queries))
       .where($"vec_id" =!= $"q_id")
       .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
+      .where(candFilter)
       .withColumn("rank", row_number().over(w))
-      .where($"rank" <= 3)
+      .where($"rank" <= k)
+  }
+
+  val q32_knn_exact: Q = (spark, dir) => {
+    import spark.implicits._
+    knnCosine(spark, dir, 3, lit(true))
       .select($"q_id", $"vec_id".as("neighbor_id"), $"rank")
       .orderBy($"q_id", $"rank")
   }
@@ -364,16 +378,11 @@ object Similarity {
     */
   val q120_hard_negatives: Q = (spark, dir) => {
     import spark.implicits._
-    val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.where($"vec_id" < 8)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    emb.crossJoin(broadcast(queries))
-      .where($"vec_id" =!= $"q_id")
-      .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
-      .where($"cos" < 0.45)
-      .withColumn("rank", row_number().over(w))
-      .where($"rank" <= 3)
+    // lower bound 0: a zero-norm corpus vector scores cos = 0.0 in the
+    // Spark kernel but NULL/NaN in the oracle's unguarded division —
+    // `cos > 0` drops that divergence on BOTH engines (and cos <= 0
+    // candidates aren't "hard" negatives anyway)
+    knnCosine(spark, dir, 3, $"cos" > 0.0 && $"cos" < 0.45)
       .select($"q_id", $"vec_id".as("neg_id"), $"rank", $"cos")
       .orderBy($"q_id", $"rank")
   }
@@ -393,7 +402,7 @@ object Similarity {
         |SELECT q_id, vec_id AS neg_id, CAST(rank AS INTEGER) AS rank, cos
         |FROM (SELECT q_id, vec_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-        |      FROM s WHERE cos < 0.45) t
+        |      FROM s WHERE cos > 0 AND cos < 0.45) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q117_matryoshka" ->
       """WITH v AS (

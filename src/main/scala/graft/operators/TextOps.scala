@@ -30,11 +30,13 @@ object TextOps {
 
   /** THE quality ladder (0-4 composite) as one Column over `text` —
     * the single Scala definition of the q25 regexes/thresholds.
-    * Consumed by q109's quality stage and q114's keep-policy; q25
-    * itself computes the identical ladder from its exposed component
-    * columns. The two SQL copies (q25's oracle, Training's
-    * keepPolicyOracle) must mirror any change here — the DuckDB gate
-    * catches a missed one.
+    * Consumed by q109's quality stage, q114's keep-policy, and q119's
+    * budget ordering; q25 itself computes the identical ladder from
+    * its exposed component columns. The SQL twin is
+    * [[qualityLadderSql]] below (interpolated into the q114/q119
+    * oracles); q25's oracle keeps its component-column form — change
+    * ladder semantics in BOTH Scala and [[qualityLadderSql]] plus
+    * q25's oracle, or the DuckDB gate fires.
     */
   private[operators] def qualityLadder(text: Column): Column = {
     val words = size(split(trim(text), "\\s+"))
