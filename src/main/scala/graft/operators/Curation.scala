@@ -415,7 +415,40 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Leakage-safe GROUP-wise train/val/test split: the whole SOURCE is
+    * assigned to one split (scikit's GroupShuffleSplit semantics), so
+    * near-identical documents from one domain can never straddle the
+    * train/eval boundary — the leak that doc-level sampling (q62)
+    * cannot prevent. The assignment hashes the group key through md5
+    * (the one string hash both engines share, already the oracle
+    * primitive for text equality) and folds two hex chars to a 0-9
+    * bucket: deterministic, engine-exact, no state. Map-only over the
+    * corpus — the factor is a function of the row's own source.
+    */
+  val q122_group_split: Q = (spark, dir) => {
+    import spark.implicits._
+    val b = ((ascii(substring(md5($"source"), 1, 1)) * 31
+      + ascii(substring(md5($"source"), 2, 1))) % 10).cast("int")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when($"bucket" < 8, "train").when($"bucket" === 8, "val").otherwise("test"))
+      .select($"doc_id", $"source", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q122_group_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST((ascii(substr(md5(source), 1, 1)) * 31
+        |          + ascii(substr(md5(source), 2, 1))) % 10 AS INTEGER) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q118_length_trim" ->
       """SELECT doc_id, source, CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
         |  PERCENT_RANK() OVER (PARTITION BY source ORDER BY LENGTH(text), doc_id) AS pr
@@ -578,6 +611,7 @@ object Curation {
     "q116_epoch_upsample" -> q116_epoch_upsample,
     "q118_length_trim" -> q118_length_trim,
     "q119_token_budget" -> q119_token_budget,
+    "q122_group_split" -> q122_group_split,
     "q93_snapshot_diff" -> q93_snapshot_diff,
     "q96_scd2" -> q96_scd2,
     "q97_dq_report" -> q97_dq_report)
