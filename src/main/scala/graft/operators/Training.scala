@@ -49,6 +49,16 @@ object Training {
     * plus the persistent-RDD ids it created, to pass back next round.
     * Safe ordering: `localCheckpoint()` is eager, so the new blocks
     * exist before the old ones are dropped and nothing recomputes.
+    *
+    * Fault-tolerance tradeoff: releasing the prior round makes the
+    * new NON-RELIABLE checkpoint blocks the only copy of the
+    * truncated-lineage data, so an executor loss mid-loop fails the
+    * job (inherent to `localCheckpoint`). That is the right trade in
+    * this single-JVM harness — bounded storage beats recoverability
+    * that local mode cannot lose anyway; a multi-executor cluster
+    * deployment should swap in reliable `checkpoint()` against a
+    * checkpoint dir, which tolerates executor loss at the cost of a
+    * distributed write per round.
     */
   private def rollCheckpoint(
       df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {

@@ -148,10 +148,19 @@ class HttpTokenEndpoint(tokenUrl: String, transport: HttpTransport)
 private[sources] object HttpJson {
   private val mapper = new ObjectMapper()
   def parse(s: String): JsonNode = mapper.readTree(s)
-  def str(n: JsonNode, field: String): String = {
+  def str(n: JsonNode, field: String): String = node(n, field).asText()
+  /** Required field access: a malformed 200 body surfaces as an
+    * actionable "missing field" error, never a bare NPE.
+    */
+  def node(n: JsonNode, field: String): JsonNode = {
     val v = n.get(field)
     require(v != null, s"missing field '$field' in API response")
-    v.asText()
+    v
+  }
+  def arr(n: JsonNode, field: String): JsonNode = {
+    val v = node(n, field)
+    require(v.isArray, s"field '$field' in API response is not an array")
+    v
   }
 }
 
@@ -222,11 +231,11 @@ class HttpSpotifyService extends SpotifyService {
     }
 
   private def items(node: JsonNode): Seq[(Long, String, String, Int)] = {
-    val arr = node.get("items")
+    val arr = HttpJson.arr(node, "items")
     (0 until arr.size()).map { i =>
       val it = arr.get(i)
-      (it.get("item_id").asLong(), it.get("name").asText(),
-        it.get("category").asText(), it.get("popularity").asInt())
+      (HttpJson.node(it, "item_id").asLong(), HttpJson.str(it, "name"),
+        HttpJson.str(it, "category"), HttpJson.node(it, "popularity").asInt())
     }
   }
 
@@ -234,7 +243,8 @@ class HttpSpotifyService extends SpotifyService {
     * server's `total`, not the configured one.
     */
   override def probeTotal(configuredTotal: Int): Int =
-    get("/search", Map("offset" -> "0", "limit" -> "1")).get("total").asInt()
+    HttpJson.node(
+      get("/search", Map("offset" -> "0", "limit" -> "1")), "total").asInt()
 
   override def page(offset: Int, limit: Int, total: Int): Seq[(Long, String, String, Int)] =
     items(get("/search",
@@ -252,10 +262,12 @@ class HttpSpotifyService extends SpotifyService {
     }
 
   override def featureBatch(ids: Seq[Long]): Seq[(Long, Double)] = {
-    val arr = get("/features", Map("ids" -> ids.mkString(","))).get("features")
+    val arr = HttpJson.arr(
+      get("/features", Map("ids" -> ids.mkString(","))), "features")
     (0 until arr.size()).map { i =>
       val f = arr.get(i)
-      (f.get("item_id").asLong(), f.get("value").asDouble())
+      (HttpJson.node(f, "item_id").asLong(),
+        HttpJson.node(f, "value").asDouble())
     }
   }
 }
