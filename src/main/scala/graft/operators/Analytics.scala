@@ -613,7 +613,186 @@ object Analytics {
       .orderBy($"week", $"event_type")
   }
 
+  /** Bucketed co-located join: both sides of orders ⋈ customer are
+    * staged as BUCKETED tables on the join key (8 buckets, sorted),
+    * so the join AND the downstream per-customer aggregate run with
+    * ZERO hash exchanges — each task reads bucket i of both sides,
+    * sort-merge joins, and aggregates in place (the only exchange in
+    * the plan is the final presentation sort's range partitioning;
+    * pinned in AnalyticsSpec). This is THE layout story for a 100 TB
+    * fact table joined repeatedly on the same key: pay the
+    * partitioning once at ingest, never shuffle the fact table again.
+    * Staged once per dataset fingerprint via [[graft.Staging]]; the
+    * bucketed layout is re-registered per Spark context from the
+    * staged files (bucket ids live in the file names).
+    */
+  val q123_bucketed_join: Q = (spark, dir) => {
+    import spark.implicits._
+    val dirTag = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fp = Tables.fingerprint(dir, "orders") + "_" +
+      Tables.fingerprint(dir, "customer")
+    val ot = s"graft_bkt_${dirTag}_orders_$fp"
+    val ct = s"graft_bkt_${dirTag}_cust_$fp"
+    val d = Staging.stage(s"q123_bucketed#$dir", fp) { d =>
+      // a NEW fingerprint for this dir supersedes any older bucketed
+      // tables registered for it (their staging dirs are gone)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"graft_bkt_${dirTag}_"))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+      Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$d/orders").saveAsTable(ot)
+      Tables.load(spark, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$d/customer").saveAsTable(ct)
+    }
+    // the staging outlives a stopped-and-recreated SparkContext whose
+    // in-memory catalog it was registered in — re-declare the bucket
+    // spec over the staged files if this context has not seen it
+    if (!spark.catalog.tableExists(ot))
+      spark.sql(s"""CREATE TABLE `$ot` (o_orderkey BIGINT, o_custkey BIGINT,
+        o_totalprice DOUBLE) USING parquet
+        CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS
+        LOCATION '$d/orders'""")
+    if (!spark.catalog.tableExists(ct))
+      spark.sql(s"""CREATE TABLE `$ct` (c_custkey BIGINT, c_name STRING,
+        c_acctbal DOUBLE) USING parquet
+        CLUSTERED BY (c_custkey) SORTED BY (c_custkey) INTO 8 BUCKETS
+        LOCATION '$d/customer'""")
+    spark.table(ot).join(spark.table(ct), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_custkey", $"c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("total_spend"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Skew-salted exact distinct: per-event_type distinct-user counts
+    * where event_type has ~5 values — the classic low-cardinality
+    * skew shape, where a naive per-type COUNT(DISTINCT) funnels every
+    * distinct user of a type through ONE reducer. The salt is the
+    * USER hash bucket (deterministic, 64-way): stage 1 counts
+    * distinct users per (type, bucket) — users split disjointly
+    * across buckets, so per-bucket distincts are exact and each
+    * reducer holds 1/64th of a type's user set — and stage 2 SUMS the
+    * per-bucket counts (a 5×64-row aggregate). Count and value sums
+    * ride along salted for free. Bounded reducer state at any scale;
+    * bit-identical to the unsalted aggregate (the oracle).
+    */
+  val q124_salted_distinct: Q = (spark, dir) => {
+    import spark.implicits._
+    val partial = Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id", $"value")
+      .groupBy($"event_type", pmod(hash($"user_id"), lit(64)).as("bkt"))
+      .agg(countDistinct($"user_id").as("du"), count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 6))).as("sv"))
+    partial.groupBy($"event_type")
+      .agg(sum($"du").as("distinct_users"), sum($"n").as("n_events"),
+        round(sum($"sv").cast("double"), 4).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Incremental aggregate maintenance: the per-day order rollup is
+    * kept as a mergeable STATE table (counts + decimal sums — every
+    * algebraic aggregate decomposes this way); when the new batch
+    * arrives (the q85/q113 steady-state split, o_orderkey % 10 == 0),
+    * the pipeline aggregates ONLY the delta and merges it with the
+    * staged state: union + one re-aggregate over day-sized rows.
+    * At 100 TB the state table is ~days × groups rows while the
+    * history is the full fact table — the rescan the merge avoids is
+    * the entire point. Oracle: the from-scratch rollup over all
+    * orders, which the merged state must match exactly (decimal sums
+    * are associative, so base+delta == full).
+    */
+  val q125_incremental_agg: Q = (spark, dir) => {
+    import spark.implicits._
+    def rollup(o: DataFrame): DataFrame = o
+      .groupBy($"o_orderdate")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("sum_price"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val stateDir = Staging.stage(s"q125_agg_state#$dir",
+      Tables.fingerprint(dir, "orders")) { d =>
+        rollup(ord.where($"o_orderkey" % 10 =!= 0)).write.parquet(s"$d/daily")
+      }
+    val state = spark.read.parquet(s"$stateDir/daily")
+    val delta = rollup(ord.where($"o_orderkey" % 10 === 0))
+    state.union(delta)
+      .groupBy($"o_orderdate")
+      .agg(sum($"n_orders").as("n_orders"),
+        round(sum($"sum_price").cast("double"), 2).as("sum_price"))
+      .orderBy($"o_orderdate")
+  }
+
+  /** Per-entity-type anomaly detection: z-score each event's value
+    * against its type's mean/stddev, keep |z| > 3. Moments come from
+    * ONE pass of exact decimal sums (n, Σx, Σx²) — the q110 recipe:
+    * population variance n·Σx² − (Σx)² in exact decimal, converted to
+    * double once — then the 5-row moment table broadcasts back onto
+    * the stream, so scoring is map-only (at 100 TB: one aggregate
+    * pass + one broadcast scan, no window, no self-join). The z
+    * expression is written with the identical operation shape on both
+    * engines, so the doubles agree bit-for-bit; rounded to 6 dp for
+    * the same decimal→double edge q110 documents.
+    */
+  val q126_anomaly_zscore: Q = (spark, dir) => {
+    import spark.implicits._
+    def d6(c: Column) = c.cast(DecimalType(18, 6))
+    val e = Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val m = e.groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d6($"value")).cast("double").as("sx"),
+        sum(d6($"value") * d6($"value")).cast("double").as("sxx"))
+    val joined = e.join(broadcast(m), "event_type")
+    val std = sqrt($"n" * $"sxx" - $"sx" * $"sx") / $"n"
+    val z = ($"value" - $"sx" / $"n") / std
+    joined.where(std > 0 && abs(z) > 3)
+      .select($"event_id", $"event_type", $"value", round(z, 6).as("z"))
+      .orderBy($"event_id")
+  }
+
+  /** Winsorization: clip each event's value to its type's empirical
+    * [p05, p95] — the standard outlier-taming step before training on
+    * heavy-tailed features. The bounds are DISCRETE order statistics
+    * (the value at rank ⌈0.05·n⌉ under a deterministic total order),
+    * not interpolated quantiles: rank selection is integer-exact on
+    * both engines, while interpolation arithmetic is an
+    * engine-specific float recipe. Clipping itself moves no bits
+    * (GREATEST/LEAST of existing doubles), so the output hashes
+    * exactly. The per-type sort is the exact-baseline path (one
+    * window pass per type); at 100 TB the same clip runs off q61/q70
+    * sketch quantiles — this is the verifiable twin that pins what
+    * the sketch approximates.
+    */
+  val q127_winsorize: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+    val bounds = ranked.groupBy($"event_type").agg(
+      min(when($"rn" === expr("(n * 5 + 99) DIV 100"), $"value")).as("lo"),
+      min(when($"rn" === expr("(n * 95 + 99) DIV 100"), $"value")).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .select($"event_id", $"event_type",
+        greatest($"lo", least($"hi", $"value")).as("value_w"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_bucketed_join" -> q123_bucketed_join,
+    "q124_salted_distinct" -> q124_salted_distinct,
+    "q125_incremental_agg" -> q125_incremental_agg,
+    "q126_anomaly_zscore" -> q126_anomaly_zscore,
+    "q127_winsorize" -> q127_winsorize,
     "q121_drift" -> q121_drift,
     "q113_incremental_pagerank" -> q113_incremental_pagerank,
     "q112_forward_fill" -> q112_forward_fill,
@@ -666,6 +845,60 @@ object Analytics {
       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q123_bucketed_join" ->
+      // plain join+rollup: the bucketed layout changes the PLAN
+      // (zero hash exchanges), never the result
+      """SELECT o_custkey, c_name, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_name
+        |ORDER BY o_custkey""".stripMargin,
+    "q124_salted_distinct" ->
+      // the UNSALTED aggregate: the salt is a plan-shape device and
+      // must be invisible in the result
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS distinct_users,
+        |  COUNT(*) AS n_events,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q125_incremental_agg" ->
+      // the from-scratch rollup: merged state must match exactly
+      """SELECT o_orderdate, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin,
+    "q126_anomaly_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |         AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND((e.value - m.sx / m.n) / (sqrt(m.n * m.sxx - m.sx * m.sx) / m.n), 6)
+        |    AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE sqrt(m.n * m.sxx - m.sx * m.sx) / m.n > 0
+        |  AND ABS((e.value - m.sx / m.n)
+        |          / (sqrt(m.n * m.sxx - m.sx * m.sx) / m.n)) > 3
+        |ORDER BY e.event_id""".stripMargin,
+    "q127_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS lo,
+        |    MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  GREATEST(b.lo, LEAST(b.hi, e.value)) AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
     "q121_drift" ->
       """WITH c AS (
         |  SELECT epoch_us(ts) // 604800000000 AS week, event_type, COUNT(*) AS n

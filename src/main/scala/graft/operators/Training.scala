@@ -539,6 +539,53 @@ object Training {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** BM25-flavored keyword search: rank documents for a fixed
+    * two-term query (one rare term, one common) with the classic
+    * saturated-tf × idf score, computed ENTIRELY in scaled integer
+    * arithmetic so the oracle matches bit-for-bit — BM25's
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 becomes
+    * (tf·220·W·1000) DIV (100·W·tf + 3000·W + 9000·dl·N) after
+    * multiplying through by 100·W (W = corpus words, N = docs, so
+    * avgdl = W/N never materializes as a float), and idf is the
+    * scaled ratio (N·1000) DIV df. Retrieval completes the q90
+    * inverted-index / q83 TF-IDF story: per-QUERY top documents
+    * rather than per-document top terms.
+    *
+    * Scale shape: the only corpus-sized passes are the word scan that
+    * derives per-doc lengths and the term-filtered tf aggregate; df
+    * and the two corpus totals broadcast, the candidate set (docs
+    * containing ≥1 query term) flows through one doc_id shuffle, and
+    * the top-10 is a TakeOrdered, never a global sort. (At 100 TB
+    * avgdl would be folded to a precomputed scalar rather than
+    * carrying W through the integer numerator — here the symbolic
+    * form is what keeps the arithmetic exact cross-engine.)
+    */
+  val q128_keyword_search: Q = (spark, dir) => {
+    import spark.implicits._
+    val terms = Seq("dup", "spark")
+    val words = docWords(spark, dir)
+      .select($"doc_id", explode($"w").as("word"))
+      .where(length($"word") > 0)
+    val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("w_total"))
+    val tf = words.where($"word".isin(terms: _*))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("part",
+        expr("((n_docs * 1000) DIV df) * ((tf * 220 * w_total * 1000) DIV " +
+          "(100 * w_total * tf + 3000 * w_total + 9000 * dl * n_docs))"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"part").as("score"))
+    scored.orderBy($"score".desc, $"doc_id").limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"rank")
+  }
+
   /** Deterministic span masking (T5-style corruption, training prep):
     * every word at 1-based position p with p % 7 == 3 becomes the
     * sentinel token. Pinning the mask by position (not RNG) is what
@@ -733,6 +780,34 @@ object Training {
         |  FROM tf t JOIN df d USING (word))
         |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tf, score
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q128_keyword_search" ->
+      // the same scaled-integer BM25; w_total cast back to BIGINT up
+      // front (DuckDB SUM widens to HUGEINT) and score cast at the end
+      """WITH words AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS w_total
+        |        FROM dl),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words
+        |       WHERE word IN ('dup', 'spark') GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_terms,
+        |    CAST(SUM(
+        |      ((tot.n_docs * 1000) // d.df) *
+        |      ((t.tf * 220 * tot.w_total * 1000) //
+        |       (100 * tot.w_total * t.tf + 3000 * tot.w_total
+        |        + 9000 * l.dl * tot.n_docs))) AS BIGINT) AS score
+        |  FROM tf t JOIN df d USING (word) JOIN dl l USING (doc_id)
+        |       CROSS JOIN tot
+        |  GROUP BY t.doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+        |    AS rank,
+        |  doc_id, n_terms, score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q84_mask_spans" ->
       """WITH t AS (
         |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
@@ -764,5 +839,6 @@ object Training {
     "q84_mask_spans" -> q84_mask_spans,
     "q85_incremental_dedup" -> q85_incremental_dedup,
     "q91_cc_twophase" -> q91_cc_twophase,
-    "q114_dedup_keep_policy" -> q114_dedup_keep_policy)
+    "q114_dedup_keep_policy" -> q114_dedup_keep_policy,
+    "q128_keyword_search" -> q128_keyword_search)
 }

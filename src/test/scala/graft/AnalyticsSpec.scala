@@ -190,6 +190,59 @@ class AnalyticsSpec extends AnyFunSuite {
         s"first diff ${(incr.toSet -- full.toSet).take(3)}")
   }
 
+  test("q123: bucketed join + per-key aggregate run with zero hash exchanges") {
+    import spark.implicits._
+    val df = Analytics.q123_bucketed_join(spark, sf)
+    val (plan, hashExchanges) = finalPlan(df)
+    // both sides read pre-bucketed on the join key, the SMJ reuses the
+    // bucket partitioning, and the groupBy(o_custkey, c_name) rides the
+    // same clustering — the only exchange left is the presentation
+    // sort's range partitioning
+    assert(hashExchanges == 0, plan)
+    assert(df.where($"n_orders" < 1).count() == 0)
+  }
+
+  test("q124: salted distinct equals the unsalted aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{countDistinct => fcd, count => fc, lit => fl}
+    val salted = Analytics.q124_salted_distinct(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(fcd($"user_id").as("du"), fc(fl(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // user-hash buckets partition each type's user set disjointly, so
+    // summed per-bucket distincts are exact, not approximate
+    assert(salted.nonEmpty && salted == plain)
+  }
+
+  test("q127: winsorized values clamp to per-type bounds, ~5% per tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max, min}
+    val e = Tables.load(spark, sf, "events").select($"event_id", $"value")
+    val w = Analytics.q127_winsorize(spark, sf)
+    val joined = w.join(e, "event_id")
+      .select($"event_type", $"value", $"value_w")
+    val n = joined.count()
+    assert(n == e.count(), "winsorize must keep every row")
+    // rows strictly inside the bounds pass through unchanged; the
+    // clipped fraction is ~5% per tail (rank ceil is conservative)
+    val changed = joined.where($"value" =!= $"value_w").count()
+    assert(changed > 0 && changed <= (n * 12) / 100,
+      s"$changed of $n rows clipped")
+    // clamp is idempotent: re-winsorizing the output changes nothing
+    val perType = joined.groupBy($"event_type")
+      .agg(min($"value_w").as("lo"), max($"value_w").as("hi"),
+        min($"value").as("rawLo"), max($"value").as("rawHi"))
+    perType.collect().foreach { r =>
+      val (lo, hi, rawLo, rawHi) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo >= rawLo, "clipped min must not undercut raw min")
+      assert(hi <= rawHi, "clipped max must not exceed raw max")
+      assert(lo < hi, "bounds must leave a nonempty interval")
+    }
+  }
+
   test("q102: typed Aggregator partial-aggregates map-side") {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)

@@ -151,6 +151,30 @@ class TrainingSpec extends AnyFunSuite {
       }
   }
 
+  test("q128: rare term dominates ranking; scores strictly ordered") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q128_keyword_search")(spark, sf).collect()
+    assert(rows.length == 10)
+    // (rank, doc_id, n_terms, score): ranks contiguous, scores
+    // non-increasing with doc_id tiebreak, every hit matched >= 1 term
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 2)
+      assert(r.getLong(3) > 0, "a ranked doc must have positive score")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) > b.getLong(3) ||
+        (a.getLong(3) == b.getLong(3) && a.getLong(1) < b.getLong(1)))
+    }
+    // the rare term's idf (N*1000 DIV df ~ 20000) dwarfs the common
+    // term's (~1250): the top hit must contain 'dup'
+    val top = rows.head.getLong(1)
+    val txt = Tables.load(spark, sf, "documents")
+      .where($"doc_id" === top).select($"text").collect().head.getString(0)
+    assert(txt.split("\\s+").contains("dup"),
+      s"top-ranked doc $top does not contain the rare query term")
+  }
+
   test("q85: batch side and corpus side never mix") {
     import spark.implicits._
     val rows = SparkEntry.queries("q85_incremental_dedup")(spark, sf).collect()
