@@ -148,6 +148,62 @@ object TextOps {
       .limit(20)
   }
 
+  /** Tokenizer vocabulary build: corpus word frequencies + document
+    * frequencies, min-count filtered, with dense contiguous token ids
+    * assigned by (count desc, token) — ids 0–3 reserved for the
+    * special tokens (pad/unk/bos/eos) every tokenizer ships. The id
+    * assignment is a global row_number over the VOCABULARY (already
+    * aggregated: orders of magnitude smaller than the corpus — the
+    * single-partition window is over vocab-sized data, the corpus
+    * itself sees only the one word-count shuffle with map-side
+    * combine).
+    */
+  val q129_vocab_build: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .where(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
+      .where($"n" >= 5)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy($"n".desc, $"token")) + 3).cast("int"))
+      .select($"token_id", $"token", $"n", $"df")
+      .orderBy($"token_id")
+  }
+
+  /** Word co-occurrence counts within a ±2 token window (the GloVe /
+    * word2vec statistics pass), formed MAP-SIDE from each document's
+    * own token array — a shifted-pair transform per distance, no
+    * positional self-join (which at 100 TB would shuffle every token
+    * twice and pair through a skewed doc_id key). The only shuffle is
+    * the final pair-count aggregate (map-side combined, vocab²-bounded
+    * keys); top-20 is a TakeOrdered with a total (n desc, w1, w2)
+    * order.
+    */
+  val q130_cooccurrence: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = Tables.load(spark, dir, "documents")
+      .where(length(trim($"text")) > 0)
+      .select(split(lower(trim($"text")), "\\s+").as("w"))
+      .select(explode(expr(
+        """concat(
+          |  CASE WHEN size(w) >= 2
+          |       THEN transform(sequence(1, size(w) - 1),
+          |                      i -> struct(w[i-1] AS w1, w[i] AS w2))
+          |       ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END,
+          |  CASE WHEN size(w) >= 3
+          |       THEN transform(sequence(1, size(w) - 2),
+          |                      i -> struct(w[i-1] AS w1, w[i+1] AS w2))
+          |       ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END)"""
+          .stripMargin)).as("p"))
+    pairs.select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   /** Fixed-window document chunking with overlap (stride 120, window
     * 160) — the RAG/training prep step that turns documents into
     * model-sized pieces. Pure per-row explode: no shuffle, scales
@@ -445,6 +501,30 @@ object TextOps {
         |  SELECT unnest([substr(text, x, 3) for x in range(1, length(text) - 1)]) AS ngram
         |  FROM documents) t
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "q129_vocab_build" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+        |  FROM words WHERE LENGTH(token) > 0
+        |  GROUP BY token HAVING COUNT(*) >= 5)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) + 3 AS INTEGER)
+        |    AS token_id,
+        |  token, n, df
+        |FROM v ORDER BY token_id""".stripMargin,
+    "q130_cooccurrence" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE LENGTH(trim(text)) > 0),
+        |idx AS (SELECT w, unnest(generate_series(1, len(w))) AS i FROM t),
+        |p AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2 FROM idx WHERE i + 1 <= len(w)
+        |  UNION ALL
+        |  SELECT w[i] AS w1, w[i + 2] AS w2 FROM idx WHERE i + 2 <= len(w))
+        |SELECT w1, w2, COUNT(*) AS n FROM p
+        |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "q54_word_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
@@ -499,5 +579,7 @@ object TextOps {
     "q115_contamination_fraction" -> q115_contamination_fraction,
     "q71_repetition" -> q71_repetition,
     "q75_unigram_quality" -> q75_unigram_quality,
-    "q76_heavy_hitters" -> q76_heavy_hitters)
+    "q76_heavy_hitters" -> q76_heavy_hitters,
+    "q129_vocab_build" -> q129_vocab_build,
+    "q130_cooccurrence" -> q130_cooccurrence)
 }

@@ -59,7 +59,10 @@ object ScaleAudit {
     // and collapses the funnel at the lang stage — a fixture artifact,
     // not a scaling result). Content words still get per-copy suffixes,
     // so the dedup/decontamination stages see genuinely new text.
-    val keepVocab = "the|and|of|is|to|der|die|das|und|ist|le|la|les|et|est|el|los|las|es|y|a|or|in"
+    // 'dup' and 'spark' (the q128 query terms) are preserved alongside
+    // the language/quality markers so the funnel fixture also measures
+    // keyword search at mult-x MATCH volume, not just mult-x scan
+    val keepVocab = "the|and|of|is|to|der|die|das|und|ist|le|la|les|et|est|el|los|las|es|y|a|or|in|dup|spark"
     val funnelCopies = (0 until mult).map { c =>
       docs.select(
         ($"doc_id" + lit(c.toLong * 10000000L)).as("doc_id"),
@@ -100,14 +103,27 @@ object ScaleAudit {
     // orders/lineitem: key-shifted copies -> mult disjoint graph
     // components for q104 (PageRank is per-component, so the derived
     // fixture is mult independent copies of the base graph; work per
-    // iteration must scale linearly with the edge count)
+    // iteration must scale linearly with the edge count). Dates and
+    // totalprice ride along unchanged so the incremental-agg (q125)
+    // and bucketed-join (q123) audits see mult-x rows per day / per
+    // customer-set.
     val ord = graft.Tables.load(spark, base, "orders")
-      .select($"o_orderkey", $"o_custkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
     (0 until mult).map { c =>
       ord.select(($"o_orderkey" + lit(c.toLong * 100000000L)).as("o_orderkey"),
-        ($"o_custkey" + lit(c.toLong * 10000000L)).as("o_custkey"))
+        ($"o_custkey" + lit(c.toLong * 10000000L)).as("o_custkey"),
+        $"o_orderdate", $"o_totalprice")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    // customer: key-shifted copies matching the orders shift, so the
+    // q123 bucketed join sees a mult-x dimension with mult-x facts
+    val cust = graft.Tables.load(spark, base, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    (0 until mult).map { c =>
+      cust.select(($"c_custkey" + lit(c.toLong * 10000000L)).as("c_custkey"),
+        concat($"c_name", lit(s"_$c")).as("c_name"), $"c_acctbal")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/customer.parquet")
     val line = graft.Tables.load(spark, base, "lineitem")
       .select($"l_orderkey", $"l_suppkey")
     (0 until mult).map { c =>
@@ -121,11 +137,20 @@ object ScaleAudit {
       val r = f
       ((System.nanoTime() - t0) / 1e9, r)
     }
-    // steady-state: run twice, report the second
+    // steady-state: run twice, report the second — then clean up ALL
+    // spark-side caches/persisted RDDs so no measurement free-rides
+    // (or suffers GC pressure from) an earlier query's state. Round-7
+    // lesson: without this, the 8x q104 measured 42 s in-audit vs
+    // 3.5 s in a fresh JVM — pure accumulated-block-manager artifact,
+    // the same class as round 5's bench pollution. Driver-side memo
+    // artifacts (centroids, Blooms, Staging dirs) are deliberately
+    // kept: those are the index economics being measured.
     def bench(name: String, dir: String, q: (SparkSession, String) => DataFrame): Unit = {
       time(q(spark, dir).count())
       val (t, n) = time(q(spark, dir).count())
       println(f"[audit] $name dir=$dir rows=$n time=$t%.2f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     for (dir <- Seq(base, work)) {
@@ -142,21 +167,47 @@ object ScaleAudit {
       println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
         s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
       bench("q104_pagerank", dir, graft.SparkEntry.queries("q104_pagerank"))
-      spark.catalog.clearCache() // q113 must not free-ride q104's caches
+      // bench() clears caches after every query, so q113 never
+      // free-rides q104's persisted edges (and vice versa)
       bench("q113_incremental_pagerank", dir,
         graft.SparkEntry.queries("q113_incremental_pagerank"))
-      spark.catalog.clearCache()
       bench("q95_knn_pq", dir, graft.SparkEntry.queries("q95_knn_pq"))
       bench("q29_dedup_minhash", dir, graft.SparkEntry.queries("q29_dedup_minhash"))
       bench("q31_dedup_ngram", dir, graft.SparkEntry.queries("q31_dedup_ngram"))
       bench("q59_dedup_embedding_ivf", dir, graft.SparkEntry.queries("q59_dedup_embedding_ivf"))
       bench("q67_interval_join", dir, graft.SparkEntry.queries("q67_interval_join"))
-      // q67 chunked vs unchunked: identical pair sets, bounded tasks
-      val (tc, nc) = time(graft.operators.Extras
-        .intervalJoinOn(spark, dir, 3600L * 1000000L, 1024L).count())
-      val (tu, nu) = time(graft.operators.Extras
-        .intervalJoinOn(spark, dir, 3600L * 1000000L, Long.MaxValue / 4).count())
+      // round-7 additions: staged-layout joins/aggregates and the
+      // corpus-scan retrieval/scoring paths. q123/q125 pay their
+      // one-time staging in the warmup run; the reported steady state
+      // is the layout's point (no fact-table shuffle / no history
+      // rescan). q128's query terms match only copy-0 docs in the
+      // derived fixture (content words are suffixed per copy), which
+      // is the regime that matters: corpus grows mult-x while the
+      // match set stays fixed, so the measured cost is the scan side.
+      bench("q123_bucketed_join", dir, graft.SparkEntry.queries("q123_bucketed_join"))
+      bench("q125_incremental_agg", dir, graft.SparkEntry.queries("q125_incremental_agg"))
+      bench("q124_salted_distinct", dir, graft.SparkEntry.queries("q124_salted_distinct"))
+      bench("q126_anomaly_zscore", dir, graft.SparkEntry.queries("q126_anomaly_zscore"))
+      bench("q127_winsorize", dir, graft.SparkEntry.queries("q127_winsorize"))
+      // NOTE: the derived fixture suffixes every content word, so the
+      // q128 query terms match NOTHING at mult-x — the measured cost
+      // there is purely the corpus-side scans (per-doc lengths +
+      // term-filtered tf), which is the scaling term that matters;
+      // the full path at mult-x match volume runs against the funnel
+      // fixture below, whose keepVocab preserves the query terms.
+      bench("q128_keyword_search", dir, graft.SparkEntry.queries("q128_keyword_search"))
+      // q67 chunked vs unchunked: identical pair sets, bounded tasks.
+      // Warm each variant once (bench() cleaned all caches), then time.
+      def timedPairs(chunk: Long) = {
+        graft.operators.Extras.intervalJoinOn(spark, dir, 3600L * 1000000L, chunk).count()
+        time(graft.operators.Extras
+          .intervalJoinOn(spark, dir, 3600L * 1000000L, chunk).count())
+      }
+      val (tc, nc) = timedPairs(1024L)
+      val (tu, nu) = timedPairs(Long.MaxValue / 4)
       println(f"[audit] q67 chunked=$tc%.2f s ($nc pairs) unchunked=$tu%.2f s ($nu pairs)")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     // q109 runs against the marker-preserving funnel fixture — the
@@ -168,7 +219,7 @@ object ScaleAudit {
         .collect().map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" ")
       println(s"[audit] q109 stages: $stages")
       bench("q109_curation_pipeline", dir, graft.SparkEntry.queries("q109_curation_pipeline"))
-      spark.catalog.clearCache()
+      bench("q128_keyword_search", dir, graft.SparkEntry.queries("q128_keyword_search"))
     }
     spark.stop()
   }
