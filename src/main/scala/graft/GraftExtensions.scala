@@ -87,6 +87,7 @@ object GraftExtensions {
     "be_int" -> (xs => BeIntExpr(xs.head, intArg(xs, 1, 0, "be_int"))),
     "le_int" -> (xs => LeIntExpr(xs.head, intArg(xs, 1, 0, "le_int"))),
     "le_short" -> (xs => LeShortExpr(xs.head, intArg(xs, 1, 0, "le_short"))),
+    "pcm_samples" -> (xs => PcmSamplesExpr(xs.head, intArg(xs, 1, 44, "pcm_samples"))),
     "heavy_hitters" -> (xs => HeavyHittersAgg(xs.head,
       intArg(xs, 1, 64, "heavy_hitters")).toAggregateExpression()),
     "asof_backward" -> graft.plans.AsOfMatch.builder("backward") _,

@@ -400,6 +400,23 @@ object TextKernels {
     (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
   }
 
+  /** Decode the little-endian SIGNED int16 PCM sample stream starting
+    * at `off` (i.e. everything after a canonical 44-byte WAV header).
+    * One kernel call materializes the whole sample array; per-sample
+    * analysis then stays in Catalyst higher-order functions.
+    */
+  def pcmSamples(bytes: Array[Byte], off: Int): ArrayData = {
+    val n = math.max(0, (bytes.length - off) / 2)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((bytes(off + 2 * i) & 0xFF) |
+        ((bytes(off + 2 * i + 1) & 0xFF) << 8)).toShort).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------------------- vectors
   /** Deterministic pseudo-random hyperplane coefficient for plane p,
     * dimension d (splitmix-derived, mapped to [-1, 1)).

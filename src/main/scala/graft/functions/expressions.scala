@@ -198,6 +198,23 @@ case class LeShortExpr(child: Expression, offset: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Little-endian signed-int16 PCM sample decode: the whole sample
+  * stream after `offset` as array<int>, so frame/energy analysis runs
+  * in Catalyst higher-order functions over ONE codegen'd kernel call
+  * (vs. a per-sample le_short plan, which would need a non-foldable
+  * offset inside the lambda).
+  */
+case class PcmSamplesExpr(child: Expression, offset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pcm_samples"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.pcmSamples(v.asInstanceOf[Array[Byte]], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.pcmSamples($c, $offset)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** IVF coarse-quantizer cell assignment as a map-only kernel: the
   * centroid matrix (flattened [k x dim]) rides inside the expression
   * and ships with the serialized plan to every executor — a broadcast
@@ -315,6 +332,7 @@ object GraftFunctions {
   def be_int(a: Column, offset: Int): Column = c(BeIntExpr(e(a), offset))
   def le_int(a: Column, offset: Int): Column = c(LeIntExpr(e(a), offset))
   def le_short(a: Column, offset: Int): Column = c(LeShortExpr(e(a), offset))
+  def pcm_samples(a: Column, offset: Int): Column = c(PcmSamplesExpr(e(a), offset))
   def best_cell(a: Column, cents: Array[Double], k: Int): Column =
     c(BestCellExpr(e(a), cents, k))
   def nearest_cell(a: Column, cents: Array[Double], k: Int): Column =

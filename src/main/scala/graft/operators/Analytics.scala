@@ -787,7 +787,65 @@ object Analytics {
       .orderBy($"event_id")
   }
 
+  /** Mutual top-k neighbor graph + triangle census — the graph-quality
+    * audit over a k-NN-style similarity graph (here: suppliers weighted
+    * by co-served distinct customers; the same shape audits an
+    * embedding k-NN graph before graph-based label propagation). Two
+    * scale guarantees do all the work: (1) per-node top-8 truncation +
+    * the mutuality filter bound every degree at 8, so the graph is
+    * O(8n) edges no matter how dense the raw co-occurrence is (probed:
+    * the raw supplier co-service graph is near-COMPLETE at every SF —
+    * counting triangles on it would be Θ(n³)); (2) edges are oriented
+    * lowest-(degree,id)-rank → highest before the wedge self-join, so
+    * each wedge is enumerated exactly once from its lowest-rank vertex
+    * and per-node wedge fan-out is C(8,2) — the degree-orientation
+    * trick that makes triangle counting feasible on power-law graphs.
+    * Output: one exact global census row (nodes, edges, oriented
+    * wedges, triangles).
+    */
+  val q133_knn_triangles: Q = (spark, dir) => {
+    import spark.implicits._
+    val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      .distinct()
+    val pw = cs.as("x").join(cs.as("y"), $"x.c" === $"y.c" && $"x.s" < $"y.s")
+      .groupBy($"x.s".as("s1"), $"y.s".as("s2")).agg(count(lit(1)).as("w"))
+    val dirs = pw.select($"s1".as("u"), $"s2".as("nbr"), $"w")
+      .union(pw.select($"s2".as("u"), $"s1".as("nbr"), $"w"))
+    val topk = dirs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"u").orderBy($"w".desc, $"nbr")))
+      .where($"rn" <= 8).select($"u", $"nbr")
+    // mutual edge: both directed picks exist -> canonical pair seen twice
+    val e = topk.select(least($"u", $"nbr").as("a"), greatest($"u", $"nbr").as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" === 2).select($"a", $"b").persist()
+    val deg = e.select($"a".as("n")).union(e.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // total (degree, id) order packed into one BIGINT rank
+    val o = e.join(deg.select($"n".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"d".as("db")), "b")
+      .selectExpr(
+        "CASE WHEN da * 1000000000 + a < db * 1000000000 + b THEN a ELSE b END AS lo",
+        "CASE WHEN da * 1000000000 + a < db * 1000000000 + b THEN b ELSE a END AS hi",
+        """CASE WHEN da * 1000000000 + a < db * 1000000000 + b
+          |     THEN db * 1000000000 + b ELSE da * 1000000000 + a END AS rhi"""
+          .stripMargin)
+      .persist()
+    val wedge = o.as("x").join(o.as("y"),
+        $"x.lo" === $"y.lo" && $"x.rhi" < $"y.rhi")
+      .select($"x.hi".as("v"), $"y.hi".as("w"))
+    val tri = wedge.join(o, $"v" === $"lo" && $"w" === $"hi")
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_knn_triangles" -> q133_knn_triangles,
     "q123_bucketed_join" -> q123_bucketed_join,
     "q124_salted_distinct" -> q124_salted_distinct,
     "q125_incremental_agg" -> q125_incremental_agg,
@@ -845,6 +903,44 @@ object Analytics {
       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q133_knn_triangles" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pw AS (
+        |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS w
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT s1 AS u, s2 AS nbr, w FROM pw
+        |  UNION ALL SELECT s2, s1, w FROM pw),
+        |topk AS (
+        |  SELECT u, nbr FROM (
+        |    SELECT u, nbr, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, nbr) AS rn
+        |    FROM dirs) WHERE rn <= 8),
+        |e AS (
+        |  SELECT LEAST(u, nbr) AS a, GREATEST(u, nbr) AS b
+        |  FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN da.d * 1000000000 + e.a < db.d * 1000000000 + e.b
+        |              THEN e.a ELSE e.b END AS lo,
+        |         CASE WHEN da.d * 1000000000 + e.a < db.d * 1000000000 + e.b
+        |              THEN e.b ELSE e.a END AS hi,
+        |         CASE WHEN da.d * 1000000000 + e.a < db.d * 1000000000 + e.b
+        |              THEN db.d * 1000000000 + e.b ELSE da.d * 1000000000 + e.a END AS rhi
+        |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        |wedge AS (
+        |  SELECT x.hi AS v, y.hi AS w
+        |  FROM o x JOIN o y ON x.lo = y.lo AND x.rhi < y.rhi),
+        |tri AS (
+        |  SELECT COUNT(*) AS t FROM wedge JOIN o
+        |  ON wedge.v = o.lo AND wedge.w = o.hi)
+        |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges,
+        |  CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
     "q123_bucketed_join" ->
       // plain join+rollup: the bucketed layout changes the PLAN
       // (zero hash exchanges), never the result

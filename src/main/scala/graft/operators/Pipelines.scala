@@ -221,7 +221,85 @@ object Pipelines {
       .orderBy($"doc_id")
   }
 
+  /** PCM sample-level audio analysis — the step AFTER q74's header
+    * parse: decode the little-endian int16 sample stream out of each
+    * WAV payload (REAL byte-level decode via the `pcm_samples` kernel,
+    * one codegen'd call per row) and compute per-file energy, peak
+    * amplitude, and silence-frame counts (64-sample frames, |peak| <
+    * 256 threshold) — the silence-trim / loudness-filter pass an audio
+    * training-data pipeline runs before transcription. The synthesized
+    * payloads carry a spec-valid 44-byte header plus a deterministic
+    * integer sample stream (quiet frames amplitude-reduced via `% 64`,
+    * sign semantics identical in Scala/Spark/DuckDB), so the oracle
+    * re-derives every metric arithmetically while the engine parses
+    * actual bytes. Narrow map end-to-end: decode + HOF frame analysis,
+    * no shuffle until the presentation sort. At 100 TB the sample
+    * arrays never leave their input partition.
+    */
+  val q131_audio_energy: Q = (spark, dir) => {
+    import spark.implicits._
+    def wavBytes(id: Long): Array[Byte] = {
+      val n = (64 * (1 + id % 4)).toInt
+      val sampleRate = 16000
+      val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1.toShort).putShort(1.toShort)
+      b.putInt(sampleRate).putInt(sampleRate * 2)
+      b.putShort(2.toShort).putShort(16.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0L
+      while (i < n) {
+        val raw = ((id * 31 + i * 17 + (i * i) % 97) % 2048) - 1024
+        val v = if ((id + i / 64) % 3 == 0) raw % 64 else raw
+        b.putShort(v.toShort)
+        i += 1
+      }
+      b.array()
+    }
+    import graft.functions.GraftFunctions.pcm_samples
+    graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, wavBytes(id))))
+      .toDF("doc_id", "payload")
+      .select($"doc_id", pcm_samples($"payload", 44).as("samples"))
+      .selectExpr(
+        "doc_id",
+        "size(samples) AS n_samples",
+        "aggregate(samples, CAST(0 AS BIGINT), (acc, s) -> acc + CAST(s AS BIGINT) * s) AS energy",
+        "array_max(transform(samples, s -> abs(s))) AS peak",
+        "CAST(size(samples) DIV 64 AS INT) AS frames",
+        """CAST(size(filter(sequence(CAST(0 AS BIGINT), size(samples) DIV 64 - 1),
+          |  f -> array_max(transform(slice(samples, CAST(f * 64 + 1 AS INT), 64),
+          |                           s -> abs(s))) < 256)) AS INT) AS silence_frames"""
+          .stripMargin)
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q131_audio_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(64 * (1 + doc_id % 4) AS INTEGER) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+        |sv AS (
+        |  SELECT doc_id, n, i // 64 AS f,
+        |    CASE WHEN (doc_id + i // 64) % 3 = 0
+        |         THEN (((doc_id * 31 + i * 17 + (i * i) % 97) % 2048) - 1024) % 64
+        |         ELSE ((doc_id * 31 + i * 17 + (i * i) % 97) % 2048) - 1024
+        |    END AS v
+        |  FROM s),
+        |fr AS (
+        |  SELECT doc_id, n, f, MAX(ABS(v)) AS fmax, SUM(v * v) AS fe
+        |  FROM sv GROUP BY 1, 2, 3)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(SUM(fe) AS BIGINT) AS energy,
+        |  CAST(MAX(fmax) AS INTEGER) AS peak,
+        |  CAST(COUNT(*) AS INTEGER) AS frames,
+        |  CAST(SUM(CASE WHEN fmax < 256 THEN 1 ELSE 0 END) AS INTEGER) AS silence_frames
+        |FROM fr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "q74_wav_header" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -279,5 +357,6 @@ object Pipelines {
     "q35_ndjson_roundtrip" -> q35_ndjson_roundtrip,
     "q36_offline_lookup" -> q36_offline_lookup,
     "q60_image_header" -> q60_image_header,
-    "q74_wav_header" -> q74_wav_header)
+    "q74_wav_header" -> q74_wav_header,
+    "q131_audio_energy" -> q131_audio_energy)
 }

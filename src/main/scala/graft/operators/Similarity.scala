@@ -387,7 +387,108 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** K-means over the embedding corpus — 2 unrolled Lloyd iterations,
+    * k=4, then a final assignment/inertia pass: the coarse clustering a
+    * SemDeDup-style curation run does before per-cluster dedup (and the
+    * same computation that seeds the q47/q59 IVF index, here under the
+    * value-exact oracle gate instead of a recall floor). All arithmetic
+    * is on floor-quantized 1e-6 integer embeddings, so assignment,
+    * centroid update (truncating integer mean) and inertia are
+    * bit-identical cross-engine — no float accumulation order anywhere.
+    *
+    * Distributed shape per iteration: centroids collect to the driver
+    * (k×dim longs) and ride back as a literal in a map-only argmin —
+    * the broadcast-centroids pattern of every distributed Lloyd
+    * implementation; the update is one map-side-combined shuffle keyed
+    * by (cluster, dim) — k·dim = 256 keys regardless of corpus size.
+    * At 100 TB nothing in the loop scales with anything but the corpus
+    * scan. Empty clusters keep their previous centroid (deterministic
+    * by construction on both engines).
+    */
+  val q132_kmeans: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 4
+    val v = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q")
+      .persist()
+    val seeds: Array[Array[Long]] = v.orderBy($"vec_id").limit(k)
+      .select($"q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.length == k, s"q132: corpus under $dir has < $k vectors")
+    // (dist-to-each-centroid array, argmin-first-index, min-dist)
+    def scored(cents: Array[Array[Long]]): DataFrame = {
+      val dists = array(cents.map { c =>
+        aggregate(
+          zip_with($"q", array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d)
+      }: _*)
+      v.select($"vec_id", $"q", dists.as("dists"))
+        .selectExpr("vec_id", "q",
+          "CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cluster",
+          "array_min(dists) AS dist")
+    }
+    def update(cents: Array[Array[Long]]): Array[Array[Long]] = {
+      val got = scored(cents)
+        .select($"cluster", posexplode($"q").as(Seq("d", "x")))
+        .groupBy($"cluster", $"d")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .selectExpr("cluster", "d", "sx DIV n AS c")
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      Array.tabulate(k, 64)((c, d) => got.getOrElse((c, d), cents(c)(d)))
+    }
+    val c2 = update(update(seeds))
+    val norm1 = c2.map(_.map(math.abs).sum)
+    scored(c2)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), sum($"dist").as("inertia"))
+      .withColumn("c_norm1",
+        element_at(array(norm1.map(lit(_)): _*), $"cluster" + 1))
+      .orderBy($"cluster")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q132_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, d, q
+        |  FROM v WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        |a1 AS (
+        |  SELECT vec_id, cl, dist FROM (
+        |    SELECT vec_id, cl, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |          FROM v JOIN c0 c ON v.d = c.d GROUP BY 1, 2)) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c0.cl, c0.d, COALESCE(u.nq, c0.q) AS q FROM c0 LEFT JOIN
+        |    (SELECT a.cl, v.d, SUM(v.q) // COUNT(*) AS nq
+        |     FROM a1 a JOIN v ON a.vec_id = v.vec_id GROUP BY 1, 2) u
+        |  ON c0.cl = u.cl AND c0.d = u.d),
+        |a2 AS (
+        |  SELECT vec_id, cl, dist FROM (
+        |    SELECT vec_id, cl, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |          FROM v JOIN c1 c ON v.d = c.d GROUP BY 1, 2)) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c1.cl, c1.d, COALESCE(u.nq, c1.q) AS q FROM c1 LEFT JOIN
+        |    (SELECT a.cl, v.d, SUM(v.q) // COUNT(*) AS nq
+        |     FROM a2 a JOIN v ON a.vec_id = v.vec_id GROUP BY 1, 2) u
+        |  ON c1.cl = u.cl AND c1.d = u.d),
+        |a3 AS (
+        |  SELECT vec_id, cl, dist FROM (
+        |    SELECT vec_id, cl, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |          FROM v JOIN c2 c ON v.d = c.d GROUP BY 1, 2)) WHERE rn = 1)
+        |SELECT a3.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(a3.dist) AS BIGINT) AS inertia,
+        |  (SELECT CAST(SUM(ABS(q)) AS BIGINT) FROM c2 WHERE c2.cl = a3.cl) AS c_norm1
+        |FROM a3 GROUP BY a3.cl ORDER BY a3.cl""".stripMargin,
     "q120_hard_negatives" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -438,5 +539,6 @@ object Similarity {
     "q47_knn_ivf" -> q47_knn_ivf,
     "q95_knn_pq" -> q95_knn_pq,
     "q117_matryoshka" -> q117_matryoshka,
-    "q120_hard_negatives" -> q120_hard_negatives)
+    "q120_hard_negatives" -> q120_hard_negatives,
+    "q132_kmeans" -> q132_kmeans)
 }

@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 130)
-    assert(SparkEntry.oracleSql.size == 121) // 9 rows-only by design
+    assert(SparkEntry.queries.size == 133)
+    assert(SparkEntry.oracleSql.size == 124) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
