@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Curation, Dedup, Extras, Pipelines, Relational, Similarity, TextOps, Training}
+import graft.operators.{Analytics, Curation, Dedup, Extras, GraphOps, Pipelines, Relational, Similarity, TextOps, Training}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Pipelines.queries ++ Extras.queries ++
-      Training.queries ++ Curation.queries ++ Analytics.queries
+      Training.queries ++ Curation.queries ++ Analytics.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +36,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Pipelines.oracles ++ Extras.oracles ++
-      Training.oracles ++ Curation.oracles ++ Analytics.oracles
+      Training.oracles ++ Curation.oracles ++ Analytics.oracles ++ GraphOps.oracles
 }

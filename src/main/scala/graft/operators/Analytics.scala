@@ -803,6 +803,66 @@ object Analytics {
     * Output: one exact global census row (nodes, edges, oriented
     * wedges, triangles).
     */
+  /** q137: integer-exact exponential decay smoothing (EWMA, α=1/2)
+    * of each user's last 20 event values — the feature-store
+    * "recency-weighted activity" signal. The weight of the k-th most
+    * recent event is the exact power 2^(20-k) (a BIGINT shift), the
+    * value rides as exact cents, and the reported smoothed value is
+    * the single integer division num DIV den — no float pow, so the
+    * oracle hash-matches bit-for-bit. Events beyond the 20th carry
+    * weight < 2^0 of the newest and are truncated, which is what
+    * bounds the state.
+    *
+    * Scale shape: one hash exchange on user_id (entity key — grows
+    * with the data, never a low-cardinality attribute), one sort, one
+    * row_number pass, then a per-user aggregate over at most 20 rows.
+    * The streaming twin is a `mapGroupsWithState` keeping the same
+    * 20-deep weight ring per key.
+    */
+  val q137_ewma: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 20)
+      .select($"user_id", $"cents", expr("shiftleft(CAST(1 AS BIGINT), 20 - rn)").as("wt"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sum(cents * wt) DIV sum(wt)").as("ewma_cents"))
+      .orderBy($"user_id")
+  }
+
+  /** q138: last-touch marketing attribution — every `purchase` is
+    * credited to the user's most recent PRECEDING touch event
+    * (`click` or `view`); purchases with no prior touch fall into the
+    * `none` channel. The lookup is a conditional IGNORE NULLS
+    * last_value over a `ROWS ... 1 PRECEDING` frame (the q112 LOCF
+    * device scoped to an event-type predicate), so no self-join and
+    * no as-of join against a filtered copy of the table — the
+    * attribution and the revenue rollup happen in one pass.
+    *
+    * Scale shape: one hash exchange on user_id + one sorted window
+    * pass, then a 3-row aggregate; value sums ride DECIMAL(18,6)
+    * accumulators (float retraction is order-dependent; decimal is
+    * exact cross-engine).
+    */
+  val q138_attribution: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .withColumn("channel",
+        last(when($"event_type".isin("click", "view"), $"event_type"),
+          ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .groupBy(coalesce($"channel", lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(dsum6($"value"), 4).as("attributed_value"))
+      .orderBy($"channel")
+  }
+
   val q133_knn_triangles: Q = (spark, dir) => {
     import spark.implicits._
     val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
@@ -845,6 +905,8 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "q137_ewma" -> q137_ewma,
+    "q138_attribution" -> q138_attribution,
     "q133_knn_triangles" -> q133_knn_triangles,
     "q123_bucketed_join" -> q123_bucketed_join,
     "q124_salted_distinct" -> q124_salted_distinct,
@@ -903,6 +965,34 @@ object Analytics {
       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q137_ewma" ->
+      // weights are exact BIGINT shifts; HUGEINT sums cast back down
+      // before the integer division mirrors Spark's DIV
+      """WITH r AS (
+        |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(cents * (CAST(1 AS BIGINT) << (20 - rn))) AS BIGINT)
+        |       // CAST(SUM(CAST(1 AS BIGINT) << (20 - rn)) AS BIGINT) AS BIGINT)
+        |    AS ewma_cents
+        |FROM r WHERE rn <= 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q138_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT COALESCE(channel, 'none') AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY COALESCE(channel, 'none') ORDER BY channel""".stripMargin,
     "q133_knn_triangles" ->
       """WITH cs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s

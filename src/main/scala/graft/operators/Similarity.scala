@@ -448,7 +448,76 @@ object Similarity {
       .orderBy($"cluster")
   }
 
+  /** q136: signed-random-projection (SRP) sketch + Hamming near-dup —
+    * the ORACLE-GATED integer twin of the hash-based LSH family (q33
+    * cosine-LSH ANN, q30 text SimHash, both rows-only by nature).
+    * Embeddings are scaled to exact BIGINTs, each of 16 hyperplane
+    * signs comes from a shared LCG formula (`((b*2654435761 +
+    * i*40503) % 97) % 2`) that both engines evaluate in BIGINT
+    * arithmetic, so the 16-bit code — and therefore every Hamming
+    * pair — is bit-identical to the DuckDB oracle.
+    *
+    * Scale shape: code derivation is map-only whole-stage-codegen (16
+    * integer dot products per row, no shuffle, no UDF). Pair
+    * generation is the q30 pigeonhole applied to SRP codes: a
+    * Hamming<=2 pair must agree on one of three code chunks (6/5/5
+    * bits), so candidates meet in an equi-join on (chunk_idx, chunk
+    * value) — never an all-pairs product — and the exact
+    * `bit_count(xor)` filter runs only inside buckets. The oracle
+    * does the all-pairs quadratic check, which is exactly the
+    * brute-force the blocking must reproduce losslessly.
+    */
+  val q136_srp_sketch: Q = (spark, dir) => {
+    import spark.implicits._
+    val sv = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv")
+    val projs = (0 until 16).map { b =>
+      s"""aggregate(sequence(1, size(sv)), CAST(0 AS BIGINT),
+         |(acc, i) -> acc + sv[i - 1] *
+         |  (CASE WHEN (($b * 2654435761 + i * 40503) % 97) % 2 = 0
+         |        THEN 1 ELSE -1 END))""".stripMargin.replace("\n", " ")
+    }
+    val codeExpr = projs.zipWithIndex
+      .map { case (p, b) => s"(CASE WHEN ($p) > 0 THEN ${1L << b} ELSE 0 END)" }
+      .mkString(" + ")
+    val coded = sv.selectExpr("vec_id", s"CAST($codeExpr AS BIGINT) AS code").persist()
+    val chunks = coded.select($"vec_id", $"code", explode(expr(
+        """array(struct(0 AS ci, code % 64 AS cv),
+          |      struct(1 AS ci, (code DIV 64) % 32 AS cv),
+          |      struct(2 AS ci, (code DIV 2048) % 32 AS cv))""".stripMargin)).as("ch"))
+      .select($"vec_id", $"code", $"ch.ci".as("ci"), $"ch.cv".as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        $"a.ci" === $"b.ci" && $"a.cv" === $"b.cv" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        expr("CAST(bit_count(a.code ^ b.code) AS INT)").as("hamming"))
+      .distinct()
+      .where($"hamming" <= 2)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val srpOracle: String = {
+    val projs = (0 until 16).map { b =>
+      s"CAST(list_sum([sv[i] * (CASE WHEN (($b * 2654435761 + i * 40503) % 97) % 2 = 0" +
+        " THEN 1 ELSE -1 END) for i in range(1, len(sv) + 1)]) AS BIGINT)"
+    }
+    val code = projs.zipWithIndex
+      .map { case (p, b) => s"(CASE WHEN $p > 0 THEN ${1L << b} ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS sv
+       |  FROM embeddings),
+       |coded AS (SELECT vec_id, CAST($code AS BIGINT) AS code FROM sv)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+       |FROM coded a JOIN coded b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(a.code, b.code)) <= 2
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q136_srp_sketch" -> srpOracle,
     "q132_kmeans" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -540,5 +609,6 @@ object Similarity {
     "q95_knn_pq" -> q95_knn_pq,
     "q117_matryoshka" -> q117_matryoshka,
     "q120_hard_negatives" -> q120_hard_negatives,
-    "q132_kmeans" -> q132_kmeans)
+    "q132_kmeans" -> q132_kmeans,
+    "q136_srp_sketch" -> q136_srp_sketch)
 }

@@ -204,6 +204,49 @@ object TextOps {
       .limit(20)
   }
 
+  /** q135: bigram-LM coherence scoring — the bigram upgrade of q75's
+    * unigram quality signal. The corpus bigram table C2(w1,w2) and its
+    * first-word rollup C1(w1) define an integer conditional-
+    * probability proxy `(C2 * 1e6) DIV C1` per adjacent word pair; a
+    * document's coherence is the integer mean of its bigram scores,
+    * and the query reports the per-source mean — low-coherence
+    * sources are where word salad / boilerplate concentrates.
+    *
+    * All-integer arithmetic (counts, DIV) so the DuckDB oracle
+    * hash-matches exactly — no float log-prob anywhere.
+    *
+    * Scale shape: bigram extraction is a map-only transform (the q130
+    * kernel); C1 is a re-aggregate of C2, never a second corpus scan.
+    * The per-bigram score join shuffles on the composite (w1, w2) key
+    * — naturally salted, every stopword pair lands on its own
+    * partition. The C1 join keys on w1 alone and is therefore the
+    * skew point ("the" dominates); AQE skew-join splits it at scale,
+    * and C1 is vocabulary-sized so it broadcasts outright below
+    * ~10 GB vocabularies.
+    */
+  val q135_bigram_coherence: Q = (spark, dir) => {
+    import spark.implicits._
+    val bi = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)").as("w"))
+      .where(size($"w") >= 2)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select($"doc_id", $"source", $"b.w1", $"b.w2")
+    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val scored = bi
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select($"doc_id", $"source", expr("(c2 * 1000000) DIV c1").as("part"))
+    scored.groupBy($"doc_id", $"source")
+      .agg(expr("sum(part) DIV count(1)").as("coh"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), expr("sum(coh) DIV count(1)").as("avg_coherence"))
+      .orderBy($"source")
+  }
+
   /** Fixed-window document chunking with overlap (stride 120, window
     * 160) — the RAG/training prep step that turns documents into
     * model-sized pieces. Pure per-row explode: no shuffle, scales
@@ -564,7 +607,31 @@ object TextOps {
         |    WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
         |    WHEN c_es > 0 THEN 'es'
         |    ELSE 'und' END AS pred_lang
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q135_bigram_coherence" ->
+      // parallel unnest zips the two comprehension lists; // mirrors
+      // Spark's DIV at every step, with HUGEINT sums cast back down
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, source,
+        |    unnest([w[x] for x in range(1, len(w))]) AS w1,
+        |    unnest([w[x + 1] for x in range(1, len(w))]) AS w2
+        |  FROM w WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |scored AS (
+        |  SELECT doc_id, source, (c2.c2 * 1000000) // c1.c1 AS part
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |coh AS (
+        |  SELECT doc_id, source, CAST(SUM(part) // COUNT(*) AS BIGINT) AS coh
+        |  FROM scored GROUP BY doc_id, source)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(coh) // COUNT(*) AS BIGINT) AS avg_coherence
+        |FROM coh GROUP BY source ORDER BY source""".stripMargin)
 
   val queries: Map[String, Q] = Map(
     "q24_token_count" -> q24_token_count,
@@ -581,5 +648,6 @@ object TextOps {
     "q75_unigram_quality" -> q75_unigram_quality,
     "q76_heavy_hitters" -> q76_heavy_hitters,
     "q129_vocab_build" -> q129_vocab_build,
-    "q130_cooccurrence" -> q130_cooccurrence)
+    "q130_cooccurrence" -> q130_cooccurrence,
+    "q135_bigram_coherence" -> q135_bigram_coherence)
 }

@@ -243,6 +243,70 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q134: BFS histogram equals a driver-side reference BFS") {
+    import spark.implicits._
+    val res = graft.operators.GraphOps.q134_bfs_hops(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference BFS over the collected pair index
+    val cs = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    cs.foreach { case (c, s) => adj(c) = s :: adj(c); adj(s) = c :: adj(s) }
+    val nodes = adj.keySet.toSet
+    var dist = nodes.filter(n => n <= 20 && n % 2 == 0).map(_ -> 0).toMap
+    var frontier = dist.keySet
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj).filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    val unreached = nodes.filterNot(dist.contains)
+    val expect = (dist.groupBy(_._2).map { case (h, m) =>
+        (h, m.size.toLong, m.keys.sum)
+      }.toSeq ++
+      (if (unreached.nonEmpty) Seq((-1, unreached.size.toLong, unreached.sum))
+       else Nil)).sortBy(_._1)
+    assert(res == expect, s"got $res, expected $expect")
+  }
+
+  test("q137: one exchange; EWMA is a weighted mean of <= 20 recency rows") {
+    import spark.implicits._
+    val df = Analytics.q137_ewma(spark, sf)
+    val (plan, hashExchanges) = finalPlan(df)
+    // the user_id window exchange; the groupBy(user_id) reuses it
+    assert(hashExchanges == 1, plan)
+    val rows = df.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 <= 20),
+      "EWMA state must truncate at 20 events")
+    // weighted-mean bounds: ewma lies within the user's cents range
+    val bounds = Tables.load(spark, sf, "events")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "min(CAST(ROUND(value * 100) AS BIGINT))").as("lo"),
+        org.apache.spark.sql.functions.expr(
+          "max(CAST(ROUND(value * 100) AS BIGINT))").as("hi"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (u, _, ewma) =>
+      val (lo, hi) = bounds(u)
+      assert(ewma >= lo - 1 && ewma <= hi,
+        s"user $u ewma $ewma outside [$lo, $hi]")
+    }
+  }
+
+  test("q138: every purchase is attributed exactly once") {
+    import spark.implicits._
+    val rows = Analytics.q138_attribution(spark, sf)
+      .select($"channel", $"n_purchases").as[(String, Long)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set("click", "view", "none")))
+    val purchases = Tables.load(spark, sf, "events")
+      .where($"event_type" === "purchase").count()
+    assert(rows.map(_._2).sum == purchases,
+      "attribution must partition the purchase set")
+  }
+
   test("q102: typed Aggregator partial-aggregates map-side") {
     val df = Analytics.q102_weighted_mean(spark, sf)
     val (plan, _) = finalPlan(df)

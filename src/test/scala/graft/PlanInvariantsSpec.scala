@@ -110,6 +110,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled for a join:\n$p")
   }
 
+  test("q136: SRP pairs meet in a chunk equi-join, never a cross product") {
+    val p = plan("q136_srp_sketch")
+    // code derivation is codegen'd integer math on the scan side; the
+    // only pairing mechanism allowed is the (chunk_idx, chunk_value)
+    // equi-join — a regression to all-pairs would show up as a
+    // cartesian/nested-loop node
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+  }
+
   test("scan-family queries stay map-only (presentation sort aside)") {
     // the per-document text/chunk analyses advertise linear scaling —
     // hold them to it: no hash shuffle anywhere in the plan

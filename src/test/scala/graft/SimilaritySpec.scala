@@ -77,4 +77,39 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(r0) <= 1.0 + 1e-12, s"renormed component |$r0| > 1")
     }
   }
+
+  test("q136: pigeonhole blocking reproduces brute-force Hamming<=2 exactly") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q136_srp_sketch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent driver-side reimplementation: same scaled ints, same
+    // LCG hyperplane signs, then the QUADRATIC pair scan the blocking
+    // must reproduce losslessly
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def srpCode(v: Array[Float]): Long = {
+      (0 until 16).foldLeft(0L) { (code, b) =>
+        var acc = 0L
+        var i = 1
+        while (i <= v.length) {
+          val sv = BigDecimal(v(i - 1).toDouble * 1000000.0)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          val sgn = if (((b * 2654435761L + i * 40503L) % 97) % 2 == 0) 1L else -1L
+          acc += sv * sgn
+          i += 1
+        }
+        if (acc > 0) code | (1L << b) else code
+      }
+    }
+    val codes = embs.map { case (id, v) => (id, srpCode(v)) }
+    val brute = (for {
+      (ia, ca) <- codes; (ib, cb) <- codes
+      if ia < ib
+      h = java.lang.Long.bitCount(ca ^ cb)
+      if h <= 2
+    } yield (ia, ib, h)).toSet
+    assert(got == brute,
+      s"blocked=${got.size} brute=${brute.size}; diff=${(got diff brute).take(3)} ${(brute diff got).take(3)}")
+  }
 }
