@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 138-query bench sweep at sf0.1 churns enough
+  // between clearCache() calls that an 8g heap spends late-run time in
+  // GC (measured: scattered 2-30x inflation on cheap queries in the
+  // q6x-q8x alphabetical band); the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

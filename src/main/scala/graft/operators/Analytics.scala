@@ -816,8 +816,9 @@ object Analytics {
     * Scale shape: one hash exchange on user_id (entity key — grows
     * with the data, never a low-cardinality attribute), one sort, one
     * row_number pass, then a per-user aggregate over at most 20 rows.
-    * The streaming twin is a `mapGroupsWithState` keeping the same
-    * 20-deep weight ring per key.
+    * The streaming twin is [[graft.streaming.EventsStream.ewmaStream]]
+    * — `mapGroupsWithState` keeping the same 20-deep ring per key,
+    * spec-pinned equal to this query across multi-batch arrival.
     */
   val q137_ewma: Q = (spark, dir) => {
     import spark.implicits._

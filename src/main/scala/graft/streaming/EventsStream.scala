@@ -153,6 +153,52 @@ object EventsStream {
       }
   }
 
+  final case class EwmaSample(ts: Long, event_id: Long, cents: Long)
+  final case class EwmaState(recent: Seq[EwmaSample], updates: Long)
+  final case class EwmaUpdate(user_id: Long, n_events: Long,
+      ewma_cents: Long, n_updates: Long)
+
+  /** Streaming twin of batch q137 (`Analytics.q137_ewma`): per-user
+    * α=1/2 EWMA over the 20 most recent event values, maintained as
+    * keyed state via `mapGroupsWithState`. State per key is the
+    * bounded 20-deep (ts, event_id, cents) ring — CONSTANT memory per
+    * user, no watermark needed — and the merge is order-independent:
+    * the ring after any arrival order equals the top-20 by (ts,
+    * event_id) over all events seen, because merging a batch can only
+    * insert rows that belong in the top-20 and evict rows that don't.
+    * Late data therefore folds in exactly (unlike append-mode
+    * windows); the emitted update stream carries `n_updates` so a
+    * consumer (and the spec) can identify each key's latest row.
+    * Cents/weights/division mirror the batch query bit-for-bit:
+    * `ROUND(value*100)` cents computed by the same Spark SQL
+    * expression, exact power-of-two BIGINT weights, one final integer
+    * division.
+    */
+  def ewmaStream(events: DataFrame): Dataset[EwmaUpdate] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.selectExpr("user_id", "ts", "event_id",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[EwmaState, EwmaUpdate](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val prev = state.getOption.getOrElse(EwmaState(Nil, 0L))
+          val merged = (prev.recent ++ it.map(t => EwmaSample(t._2, t._3, t._4)))
+            .sortBy(s => (-s.ts, -s.event_id)).take(20)
+          val next = EwmaState(merged, prev.updates + 1)
+          state.update(next)
+          var num = 0L
+          var den = 0L
+          merged.zipWithIndex.foreach { case (s, idx) =>
+            val w = 1L << (19 - idx)
+            num += s.cents * w
+            den += w
+          }
+          EwmaUpdate(uid, merged.size.toLong, num / den, next.updates)
+      }
+  }
+
   /** Stream-STATIC broadcast enrichment — the most common streaming
     * join: each event decorated from a small static dimension
     * (broadcast; re-read per micro-batch if the underlying files

@@ -209,6 +209,35 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} enriched purchases != batch ${batch.size}")
   }
 
+  test("streaming EWMA matches batch q137 exactly (multi-batch, bounded state)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // a 6-part stage + maxFilesPerTrigger=2 forces SEVERAL micro-
+    // batches in arbitrary file order, so the cross-batch ring merge
+    // (including late-data folding) is exercised, not just the
+    // single-batch case
+    val multiDir = Files.createTempDirectory("events_ewma_stream").toString
+    Tables.load(spark, sf, "events").repartition(6)
+      .write.mode("overwrite").json(multiDir)
+    val src = spark.readStream.schema(EventsStream.eventSchema)
+      .option("maxFilesPerTrigger", "2").json(multiDir)
+    val q = EventsStream.ewmaStream(src)
+      .writeStream.outputMode("update").format("memory").queryName("ewma_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val updates = spark.table("ewma_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(updates.map(_._4).max > 1, "expected more than one micro-batch per key")
+    val streamedFinal = updates.groupBy(_._1).map { case (_, rows) =>
+      val last = rows.maxBy(_._4)
+      (last._1, last._2, last._3)
+    }.toSet
+    val batch = SparkEntry.queries("q137_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamedFinal == batch,
+      s"streamed ${streamedFinal.size} final rows != batch ${batch.size}")
+  }
+
   test("foreachBatch JDBC sink: stream lands in Derby exactly as staged") {
     import org.apache.spark.sql.functions._
     import graft.sources.JdbcSink
