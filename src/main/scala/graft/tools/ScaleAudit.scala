@@ -196,6 +196,23 @@ object ScaleAudit {
       // the full path at mult-x match volume runs against the funnel
       // fixture below, whose keepVocab preserves the query terms.
       bench("q128_keyword_search", dir, graft.SparkEntry.queries("q128_keyword_search"))
+      // round-7 graph/text/sketch additions. q134: seeds live in copy
+      // 0 only, so the reached set stays copy-0-sized while the
+      // per-round edge-relaxation join scans mult-x edges — wall
+      // should track the edge count (the frontier term is constant by
+      // construction). q135: per-copy word suffixes make bigram
+      // vocabularies disjoint, so the C2/C1 stat tables AND the
+      // bigram stream grow mult-x together — the all-shuffle-join
+      // path must stay linear. q136: rotated copies decorrelate
+      // codes; chunk-bucket occupancy grows mult-x, so candidates
+      // grow ~mult^2/buckets — the audit makes the code-width
+      // tradeoff visible (16-bit codes are sized to the test corpus;
+      // production sizes bits ~ log2(n) to hold bucket occupancy
+      // flat, exactly like IVF cell counts).
+      bench("q134_bfs_hops", dir, graft.SparkEntry.queries("q134_bfs_hops"))
+      bench("q135_bigram_coherence", dir, graft.SparkEntry.queries("q135_bigram_coherence"))
+      bench("q136_srp_sketch", dir, graft.SparkEntry.queries("q136_srp_sketch"))
+      bench("q137_ewma", dir, graft.SparkEntry.queries("q137_ewma"))
       // q67 chunked vs unchunked: identical pair sets, bounded tasks.
       // Warm each variant once (bench() cleaned all caches), then time.
       def timedPairs(chunk: Long) = {
