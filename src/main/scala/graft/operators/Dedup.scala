@@ -175,6 +175,81 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q139: exact set-similarity self-join (token-set Jaccard >= 0.9)
+    * via PREFIX FILTERING — the AllPairs/PPJoin candidate-generation
+    * strategy (Bayardo et al., WWW'07; Xiao et al., WWW'08), the
+    * third blocking family next to q29's LSH bands and q31's
+    * (source, length-bucket) blocks. Tokens get a global RARE-FIRST
+    * order (df asc, token asc); a doc's prefix is its `t - ceil(0.9t)
+    * + 1` rarest tokens (~t/10); two docs can reach Jaccard >= 0.9
+    * only if their prefixes share a token (inter >= ceil(0.9 t_a), so
+    * the earliest common token sits at position <= t_a - inter + 1 <=
+    * p_a in a's rare-first order, and symmetrically for b), so the
+    * prefix equi-join plus the 10*min >= 9*max length filter is a
+    * LOSSLESS candidate generator and the exact array-intersect
+    * verify only runs inside candidates. The Jaccard test is the
+    * integer cross-multiplication `19*inter >= 9*(t_a + t_b)` — no
+    * floats anywhere, so the all-pairs DuckDB oracle hash-matches.
+    * (The 0.9 threshold is also what the CORPUS demands: the
+    * synthetic docs draw from one shared vocabulary, so 73% of ALL
+    * pairs clear tau=0.5 — at that tau the join is semantically
+    * degenerate and every blocking is moot.)
+    *
+    * Scale shape: the decisive property vs a plain token join is WHAT
+    * joins — prefixes hold each doc's RAREST tokens, so stopword-
+    * sized join buckets never form (the "the"-bucket that makes a
+    * naive token self-join quadratic is excluded by construction
+    * unless a doc is more than half stopwords). The df table and the
+    * global rank are vocabulary-sized (the q129 stance); candidates
+    * shuffle on the token-rank key; the verify joins the candidate
+    * pair list against the per-doc sorted-token arrays (doc-keyed
+    * shuffles) and finishes map-side.
+    */
+  val q139_setsim_join: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(array_distinct(
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)"))).as("tok"))
+      .persist()
+    // global rare-first order; vocabulary-sized single-partition window
+    val ranked = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .withColumn("trank", row_number().over(Window.orderBy($"df", $"tok")))
+      .select($"tok", $"trank")
+    val dt = toks.join(ranked, "tok").select($"doc_id", $"trank")
+    val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("t"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"trank")
+    val prefix = dt.join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wDoc))
+      .where($"rn" <= expr("t - (9 * t + 9) DIV 10 + 1"))
+      .select($"doc_id", $"trank", $"t", $"rn")
+    // PPJoin position filter: at a pair's EARLIEST common token the
+    // remaining overlap is at most 1 + min(t_a - rn_a, t_b - rn_b)
+    // (everything common sits at or after that token in both rare-
+    // first orders), so a row where even that bound misses the
+    // required overlap ceil(9/19*(t_a+t_b)) cannot be a true pair's
+    // earliest match — and every true pair's earliest match passes,
+    // so the pruned join + distinct is still lossless (spec-pinned
+    // against the brute force).
+    val cands = prefix.as("a").join(prefix.as("b"),
+        $"a.trank" === $"b.trank" && $"a.doc_id" < $"b.doc_id" &&
+          least($"a.t", $"b.t") * 10 >= greatest($"a.t", $"b.t") * 9 &&
+          (lit(1) + least($"a.t" - $"a.rn", $"b.t" - $"b.rn")) * 19 >=
+            ($"a.t" + $"b.t") * 9)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val arrs = dt.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"trank")).as("toks"), count(lit(1)).as("n"))
+    cands
+      .join(arrs.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na")), "doc_a")
+      .join(arrs.select($"doc_id".as("doc_b"), $"toks".as("tb"), $"n".as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"ta", $"tb")))
+      .where(expr("19 * inter >= 9 * (na + nb)"))
+      .select($"doc_a", $"doc_b", $"inter",
+        ($"na" + $"nb" - $"inter").as("uni"),
+        expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: every pair with
     * cosine >= 0.45 (the corpus is weakly clustered — max pair cosine
     * ~0.5 — so the threshold sits just under the top of the real
@@ -291,6 +366,31 @@ object Dedup {
           |WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
           |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.3
           |ORDER BY doc_a, doc_b""".stripMargin),
+    "q139_setsim_join" ->
+      // brute-force token self-join (no prefix filter) — exactly the
+      // quadratic path the blocking must reproduce losslessly; all
+      // arithmetic is the same integer cross-multiplication
+      """WITH w AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+        |s AS (SELECT doc_id, len(toks) AS n FROM w),
+        |pair AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS INTEGER) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+        |  CAST((CAST(inter AS BIGINT) * 1000) // (sa.n + sb.n - inter) AS BIGINT)
+        |    AS jac_x1000
+        |FROM pair
+        |JOIN s sa ON pair.doc_a = sa.doc_id
+        |JOIN s sb ON pair.doc_b = sb.doc_id
+        |WHERE 19 * inter >= 9 * (sa.n + sb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q58_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -307,5 +407,6 @@ object Dedup {
     "q30_dedup_simhash" -> q30_dedup_simhash,
     "q31_dedup_ngram" -> q31_dedup_ngram,
     "q58_dedup_embedding" -> q58_dedup_embedding,
-    "q59_dedup_embedding_ivf" -> q59_dedup_embedding_ivf)
+    "q59_dedup_embedding_ivf" -> q59_dedup_embedding_ivf,
+    "q139_setsim_join" -> q139_setsim_join)
 }

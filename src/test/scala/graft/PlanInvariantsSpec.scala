@@ -120,6 +120,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
   }
 
+  test("q139: candidates meet in the prefix-token equi-join, never a cross product") {
+    val p = plan("q139_setsim_join")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+  }
+
   test("scan-family queries stay map-only (presentation sort aside)") {
     // the per-document text/chunk analyses advertise linear scaling —
     // hold them to it: no hash shuffle anywhere in the plan

@@ -281,6 +281,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(chunked == rows(1000000L), "chunked result differs from unchunked")
   }
 
+  test("q139: prefix filtering reproduces brute-force Jaccard>=0.9 exactly") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q139_setsim_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // driver-side brute force over the collected token sets — the
+    // quadratic scan the prefix-join blocking must reproduce losslessly
+    val sets = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "array_distinct(filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)) AS toks")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib
+      inter = (sa intersect sb).size
+      if 19 * inter >= 9 * (sa.size + sb.size)
+    } yield (ia, ib, inter, (sa.size + sb.size - inter).toLong)).toSet
+    assert(got == brute,
+      s"blocked=${got.size} brute=${brute.size}; sample diff=${(brute diff got).take(3)}")
+    // and the filter did real work: candidates carry only rare tokens,
+    // so the pair list must be far below the all-pairs count
+    assert(got.size < sets.length.toLong * (sets.length - 1) / 8)
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     import spark.implicits._
     // a selective dim filter should inject a bloom filter on the fact
