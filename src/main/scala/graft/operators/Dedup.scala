@@ -250,6 +250,62 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q140: sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD'95)
+    * — the fourth classic blocking family (after q29 LSH bands, q31
+    * length buckets, q139 prefix filtering): sort the corpus by a
+    * discriminating key (first 24 chars of the normalized text,
+    * doc_id tiebreak for a total order), then compare only records
+    * within a fixed window of W=8 positions in that order; survivors
+    * are exact-verified with the q139 integer Jaccard test. The
+    * method trades recall for a HARD O(n*W) candidate bound — near-
+    * dups whose first 24 chars diverge are missed by design (that is
+    * the recall knob: more passes with different keys, not a bigger
+    * window), which is why it is the cheap first pass of a multi-pass
+    * pipeline rather than a replacement for q139.
+    *
+    * Scale shape: the global ordinal comes from a range-sort +
+    * `zipWithIndex` (two lightweight jobs, zero single-task windows —
+    * the F12 stance), and the W-neighborhood pairs meet in a BANDED
+    * equi-join on `idx DIV W` (each right row explodes to its own and
+    * previous block, so every in-window pair meets exactly once, no
+    * distinct needed). Work is n*W candidate rows however large the
+    * corpus — no skew possible, every block has exactly W rows.
+    */
+  val q140_sorted_neighborhood: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val W = 8
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        expr("array_distinct(filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0))")
+          .as("toks"),
+        substring(lower(trim($"text")), 1, 24).as("k"))
+    val sorted = docs.sort($"k", $"doc_id").select($"doc_id", $"toks")
+    val schema = sorted.schema.add("idx", LongType, nullable = false)
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val withBlk = indexed.selectExpr("doc_id", "toks", "idx", s"idx DIV $W AS blk")
+    val left = withBlk
+      .select($"doc_id".as("id_a"), $"toks".as("ta"), $"idx".as("ia"), $"blk")
+    val right = withBlk
+      .select($"doc_id".as("id_b"), $"toks".as("tb"), $"idx".as("ib"),
+        $"blk".as("blk_b"))
+      .withColumn("blk", explode(array($"blk_b" - 1, $"blk_b")))
+    left.join(right, Seq("blk"))
+      .where($"ib" > $"ia" && $"ib" - $"ia" <= W)
+      .withColumn("inter", size(array_intersect($"ta", $"tb")))
+      .withColumn("na", size($"ta"))
+      .withColumn("nb", size($"tb"))
+      .where(expr("19 * inter >= 9 * (na + nb)"))
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"), $"inter",
+        ($"na" + $"nb" - $"inter").cast("long").as("uni"),
+        expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: every pair with
     * cosine >= 0.45 (the corpus is weakly clustered — max pair cosine
     * ~0.5 — so the threshold sits just under the top of the real
@@ -391,6 +447,30 @@ object Dedup {
         |JOIN s sb ON pair.doc_b = sb.doc_id
         |WHERE 19 * inter >= 9 * (sa.n + sb.n)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q140_sorted_neighborhood" ->
+      // same total order (binary string compare + doc_id tiebreak),
+      // window expressed as a range join on the row_number ordinal
+      """WITH w AS (
+        |  SELECT doc_id, lower(trim(text)) AS norm,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, toks,
+        |    ROW_NUMBER() OVER (ORDER BY substr(norm, 1, 24), doc_id) - 1 AS idx
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS inter,
+        |    CAST(len(a.toks) AS INTEGER) AS na, CAST(len(b.toks) AS INTEGER) AS nb
+        |  FROM r a JOIN r b ON b.idx > a.idx AND b.idx - a.idx <= 8)
+        |SELECT LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b, inter,
+        |  CAST(na + nb - inter AS BIGINT) AS uni,
+        |  CAST((CAST(inter AS BIGINT) * 1000) // (na + nb - inter) AS BIGINT)
+        |    AS jac_x1000
+        |FROM p WHERE 19 * inter >= 9 * (na + nb)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q58_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -408,5 +488,6 @@ object Dedup {
     "q31_dedup_ngram" -> q31_dedup_ngram,
     "q58_dedup_embedding" -> q58_dedup_embedding,
     "q59_dedup_embedding_ivf" -> q59_dedup_embedding_ivf,
-    "q139_setsim_join" -> q139_setsim_join)
+    "q139_setsim_join" -> q139_setsim_join,
+    "q140_sorted_neighborhood" -> q140_sorted_neighborhood)
 }

@@ -305,6 +305,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.size < sets.length.toLong * (sets.length - 1) / 8)
   }
 
+  test("q140: sorted-neighborhood pairs are a subset of the exact q139 join") {
+    // same tokenization, same tau=0.9 integer test — every pair the
+    // window finds must also be in the exhaustive prefix-filtered
+    // join, and the window must find a nontrivial share of them
+    // (recall here, NOT 100%: divergent 24-char prefixes are missed
+    // by design)
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val exact = pairs("q139_setsim_join")
+    val snm = pairs("q140_sorted_neighborhood")
+    assert(snm.nonEmpty && snm.subsetOf(exact),
+      s"window found ${(snm diff exact).size} pairs the exact join lacks")
+    assert(snm.size * 100 >= exact.size,
+      s"recall ${snm.size}/${exact.size} below 1% — sort key not discriminating")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     import spark.implicits._
     // a selective dim filter should inject a bloom filter on the fact
