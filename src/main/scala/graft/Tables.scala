@@ -14,12 +14,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as epoch-nanos Long instead. Queries
-      // needing a timestamp derive one via `ts DIV 1000` -> micros.
+      // Driver datasets have shipped events.ts as parquet
+      // TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
+      // as epoch-nanos Long via nanosAsLong) and as tz-naive
+      // TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ). All
+      // query code and every DuckDB oracle treats ts as epoch-nanos
+      // BIGINT of the naive-UTC instant, so normalize both physical
+      // encodings to that one logical type here — the single choke
+      // point every events consumer goes through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // timestampdiff on two NTZ values is timezone-independent.
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+        case _ =>
+          // TIMESTAMP_LTZ (isAdjustedToUTC=true): unix_micros is exact.
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "unix_micros(ts) * 1000L"))
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
   /** Register every table as a temp view (for the SQL surface / EP3). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

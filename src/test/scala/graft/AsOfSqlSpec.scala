@@ -156,7 +156,10 @@ class AsOfSqlSpec extends AnyFunSuite {
           |ORDER BY p_event""".stripMargin)
       val physical = sql.queryExecution.executedPlan.toString
       assert(physical.contains("AsOfJoin"), s"custom exec missing:\n$physical")
-      assert(physical.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint>"),
+      // ts's physical type varies by driver dataset vintage (bigint
+      // nanos vs timestamp_ntz micros) — pin the pruning, not the type
+      assert("ReadSchema: struct<event_id:bigint,ts:[a-z_0-9]+,user_id:bigint>".r
+        .findFirstIn(physical).isDefined,
         s"left scan not pruned to key/time/projected columns:\n$physical")
       assert(!physical.contains("props"), s"wide column survived pruning:\n$physical")
       // one output row per left row (left-outer as-of)

@@ -50,11 +50,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     val expected = Relational.queries.size + TextOps.queries.size +
       Dedup.queries.size + Similarity.queries.size +
       Pipelines.queries.size + Extras.queries.size + Training.queries.size +
-      Curation.queries.size + Analytics.queries.size
+      Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 133)
-    assert(SparkEntry.oracleSql.size == 124) // 9 rows-only by design
+    assert(SparkEntry.queries.size == 140)
+    assert(SparkEntry.oracleSql.size == 131) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
