@@ -438,7 +438,40 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** k-anonymity audit (Sweeney 2002) over the customer dimension:
+    * group by the quasi-identifier tuple (market segment, nation,
+    * account-balance band) and flag every group smaller than k=5 —
+    * the groups a release would have to suppress or generalize
+    * because their members are re-identifiable. The compliance
+    * sibling of q87's PII redaction: q87 scrubs direct identifiers,
+    * this measures indirect ones.
+    *
+    * Scale shape: one hash aggregate with map-side combine — the
+    * shuffle carries one row per surviving QI group, never per
+    * customer. Banding (FLOOR(bal/5000)) is the generalization step
+    * itself, so the cardinality of the output is bounded by the QI
+    * domain product, independent of table size. At 100 TB: same one
+    * exchange, output still tiny.
+    */
+  val q142_k_anonymity: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .groupBy($"c_mktsegment".as("segment"), $"c_nationkey".as("nation"),
+        floor($"c_acctbal" / 5000).as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("suppressed", when($"k" < 5, 1).otherwise(0))
+      .orderBy($"segment", $"nation", $"bal_band")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q142_k_anonymity" ->
+      """SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |  CAST(FLOOR(c_acctbal / 5000) AS BIGINT) AS bal_band,
+        |  COUNT(*) AS k,
+        |  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY segment, nation, bal_band""".stripMargin,
     "q122_group_split" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -614,5 +647,6 @@ object Curation {
     "q122_group_split" -> q122_group_split,
     "q93_snapshot_diff" -> q93_snapshot_diff,
     "q96_scd2" -> q96_scd2,
-    "q97_dq_report" -> q97_dq_report)
+    "q97_dq_report" -> q97_dq_report,
+    "q142_k_anonymity" -> q142_k_anonymity)
 }

@@ -496,6 +496,73 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Multi-vector late-interaction scoring (MaxSim, Khattab &
+    * Zaharia 2020 — ColBERT): treat each 64-dim embedding as 8
+    * sub-vectors of 8 dims; score(q, d) = Σ_i max_j <q_i, d_j>. The
+    * retrieval model where a query sub-vector matches its best doc
+    * sub-vector independently — the third search modality next to
+    * single-vector cosine (q32) and token-set overlap (q128/q139).
+    * All arithmetic on floor-quantized 1e-6 integer embeddings —
+    * bit-identical to the DuckDB oracle.
+    *
+    * Scale shape: identical to q32's exact-kNN scaffold — the 4-query
+    * batch broadcasts, the corpus never shuffles, and the 512
+    * integer multiplies per pair run inside whole-stage codegen
+    * (nested higher-order functions, no UDF). Per-query top-3 via
+    * the (score desc, vec_id) window on the tiny post-filter set. At
+    * 100 TB: one corpus scan per query batch, map-only. A production
+    * deployment quantizes sub-vectors to PQ codes first (q95) — this
+    * is the exact variant that gates that approximation.
+    */
+  val q143_maxsim: Q = (spark, dir) => {
+    import spark.implicits._
+    val quant = "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where($"vec_id" < 4)
+      .selectExpr("vec_id AS q_id", s"$quant AS qq")
+    val maxsim =
+      """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc +
+        |  array_max(transform(sequence(0, 7), j ->
+        |    aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+        |      (a, t) -> a + qq[i * 8 + t] * dq[j * 8 + t]))))""".stripMargin
+        .replace("\n", " ")
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    emb.selectExpr("vec_id", s"$quant AS dq")
+      .crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .selectExpr("q_id", "vec_id", s"CAST(($maxsim) AS BIGINT) AS score")
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where($"rank" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"rank", $"score")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val maxsimOracle: String = {
+    val chunkMax = (0 until 8).map { i =>
+      val dots = (0 until 8).map { j =>
+        s"list_sum([qq[${i * 8} + t] * dq[${j * 8} + t] for t in range(1, 9)])"
+      }
+      s"GREATEST(${dots.mkString(", ")})"
+    }.mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id,
+       |    [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qq
+       |  FROM embeddings WHERE vec_id < 4),
+       |d AS (
+       |  SELECT vec_id,
+       |    [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS dq
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.q_id, d.vec_id, CAST($chunkMax AS BIGINT) AS score
+       |  FROM q CROSS JOIN d WHERE d.vec_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank, score
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   private val srpOracle: String = {
     val projs = (0 until 16).map { b =>
       s"CAST(list_sum([sv[i] * (CASE WHEN (($b * 2654435761 + i * 40503) % 97) % 2 = 0" +
@@ -518,6 +585,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q136_srp_sketch" -> srpOracle,
+    "q143_maxsim" -> maxsimOracle,
     "q132_kmeans" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -610,5 +678,6 @@ object Similarity {
     "q117_matryoshka" -> q117_matryoshka,
     "q120_hard_negatives" -> q120_hard_negatives,
     "q132_kmeans" -> q132_kmeans,
-    "q136_srp_sketch" -> q136_srp_sketch)
+    "q136_srp_sketch" -> q136_srp_sketch,
+    "q143_maxsim" -> q143_maxsim)
 }

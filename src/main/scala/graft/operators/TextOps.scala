@@ -449,7 +449,79 @@ object TextOps {
       .orderBy($"n".desc, $"token")
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1.1;
+    * the reference's validation layer checks per-field rules the same
+    * way, `validate_dataframes.py`): each document gets one boolean
+    * column PER RULE plus the final keep decision, so a curation run
+    * can report per-rule rejection rates, not just a survivor list.
+    * Differs from q25 (composite 0-4 score) by emitting the full rule
+    * vector — the shape every production filter cascade logs.
+    *
+    * Rules (all integer cross-multiplied — no float ratios to drift
+    * cross-engine): word count in [20,90]; mean word length in [4,10]
+    * (4·n <= chars <= 10·n); >=80% alphabetic words (10·alpha >= 8·n);
+    * >=2 stopword hits; no word above 20% dominance (5·max_freq <= n).
+    *
+    * Scale shape: one map-only scan — every rule is a higher-order
+    * function over the per-row token array (no explode, no shuffle,
+    * no UDF). The dominance rule is O(distinct·n) per row on a
+    * bounded-length document, still whole-stage-codegen. At 100 TB
+    * this is scan-bound and embarrassingly parallel.
+    */
+  val q141_gopher_rules: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        split(trim($"text"), "\\s+").as("words"),
+        length(regexp_replace($"text", "\\s", "")).as("wchars"),
+        size(regexp_extract_all($"text",
+          lit("\\b(the|a|of|and|or|in)\\b"), lit(0))).as("stops"))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"), $"wchars", $"stops",
+        expr("size(filter(words, x -> x RLIKE '[a-z]'))").as("alpha_words"),
+        expr("array_max(transform(array_distinct(words)," +
+          " w -> size(filter(words, x -> x = w))))").as("max_freq"))
+      .select($"doc_id", $"n_words",
+        when($"n_words".between(20, 90), 1).otherwise(0).as("r_wordcount"),
+        when(lit(4) * $"n_words" <= $"wchars" &&
+          $"wchars" <= lit(10) * $"n_words", 1).otherwise(0).as("r_meanlen"),
+        when(lit(10) * $"alpha_words" >= lit(8) * $"n_words", 1)
+          .otherwise(0).as("r_alpha"),
+        when($"stops" >= 2, 1).otherwise(0).as("r_stopword"),
+        when(lit(5) * $"max_freq" <= $"n_words", 1)
+          .otherwise(0).as("r_dominance"))
+      .withColumn("keep",
+        $"r_wordcount" * $"r_meanlen" * $"r_alpha" *
+          $"r_stopword" * $"r_dominance")
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q141_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS wchars,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) AS stops
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(words) AS n_words, wchars, stops,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    list_max([len(list_filter(words, x -> x = w))
+        |              for w in list_distinct(words)]) AS max_freq
+        |  FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS INTEGER) AS r_wordcount,
+        |  CAST(CASE WHEN 4 * n_words <= wchars AND wchars <= 10 * n_words THEN 1 ELSE 0 END AS INTEGER) AS r_meanlen,
+        |  CAST(CASE WHEN 10 * alpha_words >= 8 * n_words THEN 1 ELSE 0 END AS INTEGER) AS r_alpha,
+        |  CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS INTEGER) AS r_stopword,
+        |  CAST(CASE WHEN 5 * max_freq <= n_words THEN 1 ELSE 0 END AS INTEGER) AS r_dominance,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+        |     * CASE WHEN 4 * n_words <= wchars AND wchars <= 10 * n_words THEN 1 ELSE 0 END
+        |     * CASE WHEN 10 * alpha_words >= 8 * n_words THEN 1 ELSE 0 END
+        |     * CASE WHEN stops >= 2 THEN 1 ELSE 0 END
+        |     * CASE WHEN 5 * max_freq <= n_words THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q76_heavy_hitters" ->
       """WITH w AS (
         |  SELECT token
@@ -649,5 +721,6 @@ object TextOps {
     "q76_heavy_hitters" -> q76_heavy_hitters,
     "q129_vocab_build" -> q129_vocab_build,
     "q130_cooccurrence" -> q130_cooccurrence,
-    "q135_bigram_coherence" -> q135_bigram_coherence)
+    "q135_bigram_coherence" -> q135_bigram_coherence,
+    "q141_gopher_rules" -> q141_gopher_rules)
 }

@@ -126,6 +126,30 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
   }
 
+  test("q141: every quality rule evaluates in the one scan, no shuffle") {
+    val p = plan("q141_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rule evaluation introduced a shuffle:\n$p")
+    assert(!p.contains("Generate"), s"token array exploded:\n$p")
+  }
+
+  test("q142: QI audit is one partial-agg shuffle, output bounded by QI domain") {
+    val p = plan("q142_k_anonymity")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side combine before the QI shuffle:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, s"extra shuffles:\n$p")
+  }
+
+  test("q143: corpus never shuffles for MaxSim — queries broadcast, scoring map-only") {
+    val p = plan("q143_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query batch not broadcast against the corpus scan:\n$p")
+    // the only hash exchange allowed is the per-query top-k window on
+    // the already-scored rows (q_id has 4 values)
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"corpus-side shuffle crept in:\n$p")
+  }
+
   test("scan-family queries stay map-only (presentation sort aside)") {
     // the per-document text/chunk analyses advertise linear scaling —
     // hold them to it: no hash shuffle anywhere in the plan
