@@ -388,6 +388,79 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** q144: asymmetric CONTAINMENT self-join — emit the ordered pair
+    * (a, b) when |A∩B| >= ceil(0.7·|A|) over distinct word-3-gram
+    * shingle sets: "most of document a's content appears inside
+    * document b", the sub-document-duplication question Jaccard
+    * (q31/q139) cannot ask because its symmetric denominator lets a
+    * big container dilute the score. Shingles, not tokens: the corpus
+    * shares one vocabulary, so token-set containment is degenerate
+    * (89k of 250k ordered pairs at sf0.001) while 3-gram containment
+    * isolates the ~50 genuinely duplicated passages.
+    *
+    * Candidate generation adapts q139's prefix filter to asymmetric
+    * semantics (Chaudhuri et al., ICDE'06): only the PROBE side (a)
+    * takes a prefix — its `t - ceil(0.7t) + 1` rarest shingles in the
+    * global (df, gram) order — while the INDEXED side (b) posts ALL
+    * its shingles, because no length bound on b can prune a
+    * containment candidate. Lossless: a true pair shares >=
+    * ceil(0.7·ta) grams, a's non-shared grams number <= prefixLen-1,
+    * so some prefix gram of a is in b's postings. The position filter
+    * reuses the q139 argument — both sides sort by the SAME global
+    * order, so at the pair's earliest common gram, inter <= 1 +
+    * min(ta-ra, tb-rb). Survivors are exact-verified by
+    * array_intersect with the integer test 10·inter >= 7·ta.
+    *
+    * Scale shape: the join keys are a's RAREST shingles (df-ascending
+    * prefix), so the b-postings buckets they touch are small by
+    * construction — the stopword-shingle postings exist but are never
+    * probed. Shuffles: gram df count, per-doc position window, the
+    * probe join, and the verify joins — all keyed, no cross product
+    * (spec-pinned). Shingle vocabulary is corpus-sized, so no global
+    * rank table is materialized (unlike q139's vocabulary-sized one):
+    * the prefix choice needs only (df, gram) ORDER, carried by the
+    * per-doc window.
+    */
+  val q144_containment_join: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (tn, td) = (7, 10) // tau = 0.7
+    val sh = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .where(size($"ws") >= 3)
+      .select($"doc_id", expr(
+        """array_distinct(transform(sequence(0, size(ws) - 3),
+          |  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])))""".stripMargin
+          .replace("\n", " ")).as("grams"))
+      .persist()
+    val dg = sh.select($"doc_id", explode($"grams").as("g"))
+    val dfs = dg.groupBy($"g").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"g")
+    val posed = dg.join(dfs, "g")
+      .join(sh.select($"doc_id", size($"grams").as("t")), "doc_id")
+      .withColumn("rn", row_number().over(wDoc))
+    val probeA = posed
+      .where($"rn" <= expr(s"t - ($tn * t + $td - 1) DIV $td + 1"))
+      .select($"g", $"doc_id".as("doc_a"), $"t".as("ta"), $"rn".as("ra"))
+    val fullB = posed
+      .select($"g", $"doc_id".as("doc_b"), $"t".as("tb"), $"rn".as("rb"))
+    val cands = probeA.join(fullB, "g")
+      .where($"doc_a" =!= $"doc_b" &&
+        $"tb" * td >= $"ta" * tn &&
+        (lit(1) + least($"ta" - $"ra", $"tb" - $"rb")) * td >= $"ta" * tn)
+      .select($"doc_a", $"doc_b").distinct()
+    cands
+      .join(sh.select($"doc_id".as("doc_a"), $"grams".as("ga")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"grams".as("gb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ga", $"gb")).as("inter"), size($"ga").as("ta"))
+      .where($"inter" * td >= $"ta" * tn)
+      .withColumn("cont_x1000",
+        expr("(CAST(inter AS BIGINT) * 1000) DIV ta"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   private val gramsCte =
     """WITH g AS (
       |  SELECT doc_id, text, source, n_chars,
@@ -395,6 +468,27 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q144_containment_join" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    for i in range(1, len(ws) - 1)]) AS grams
+        |  FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(grams) AS t FROM sh)
+        |SELECT p.doc_a, p.doc_b, CAST(p.inter AS INTEGER) AS inter,
+        |  CAST(sa.t AS INTEGER) AS ta,
+        |  CAST((p.inter * 1000) // sa.t AS BIGINT) AS cont_x1000
+        |FROM pairs p JOIN sz sa ON p.doc_a = sa.doc_id
+        |WHERE p.inter * 10 >= sa.t * 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q28_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
@@ -489,5 +583,6 @@ object Dedup {
     "q58_dedup_embedding" -> q58_dedup_embedding,
     "q59_dedup_embedding_ivf" -> q59_dedup_embedding_ivf,
     "q139_setsim_join" -> q139_setsim_join,
-    "q140_sorted_neighborhood" -> q140_sorted_neighborhood)
+    "q140_sorted_neighborhood" -> q140_sorted_neighborhood,
+    "q144_containment_join" -> q144_containment_join)
 }

@@ -126,6 +126,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
   }
 
+  test("q144: containment candidates meet in the probe-gram equi-join, never a cross product") {
+    val p = plan("q144_containment_join")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+  }
+
   test("q141: every quality rule evaluates in the one scan, no shuffle") {
     val p = plan("q141_gopher_rules")
     assert(!p.contains("Exchange hashpartitioning"),

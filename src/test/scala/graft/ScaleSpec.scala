@@ -305,6 +305,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.size < sets.length.toLong * (sets.length - 1) / 8)
   }
 
+  test("q144: asymmetric prefix probe reproduces brute-force containment exactly") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q144_containment_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // driver-side brute force over the collected 3-gram shingle sets
+    val sets = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0) AS ws")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.size >= 3)
+      .map { case (id, ws) =>
+        (id, ws.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib
+      inter = (sa intersect sb).size
+      if 10 * inter >= 7 * sa.size
+    } yield (ia, ib, inter, sa.size)).toSet
+    assert(got == brute,
+      s"blocked=${got.size} brute=${brute.size}; sample diff=${(brute diff got).take(3)}")
+    // the probe join touched only rare-shingle postings — candidate
+    // output must sit far below the ordered all-pairs count
+    assert(got.size < sets.length.toLong * (sets.length - 1) / 8)
+  }
+
   test("q140: sorted-neighborhood pairs are a subset of the exact q139 join") {
     // same tokenization, same tau=0.9 integer test — every pair the
     // window finds must also be in the exhaustive prefix-filtered
