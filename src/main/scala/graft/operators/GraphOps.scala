@@ -72,10 +72,92 @@ object GraphOps {
       .orderBy($"hops")
   }
 
+  /** q145: personalized PageRank (PPR) — the seeded variant of q104:
+    * the 15% restart mass returns to a SEED SET (customers with
+    * custkey % 10 = 0) instead of spreading uniformly, so rank
+    * concentrates around the seeds and answers "how close is this
+    * node to the trusted set" — the trust-propagation/seed-expansion
+    * primitive of web-spam and data-curation pipelines (TrustRank,
+    * Gyöngyi et al., VLDB'04). Same scaled-integer arithmetic as
+    * q104 (Total = 1e12, contributions `rank DIV degree`, damping
+    * `(85·cs) DIV 100`) so DuckDB reproduces every division exactly.
+    *
+    * Unlike q104, the rank vector is SPARSE: only nodes reachable
+    * from the seeds appear (absent node = rank 0). Work per
+    * iteration is proportional to the FRONTIER's out-edges, not the
+    * graph — at 100 TB a 3-hop PPR from a small seed set touches a
+    * tiny graph fraction, and the per-iteration shape (one keyed
+    * join + one aggregation shuffle, seed base re-added by a
+    * node-keyed union-aggregate) preserves that sparsity; no
+    * full-node-set scan anywhere after seed selection.
+    */
+  val q145_ppr: Q = (spark, dir) => {
+    import spark.implicits._
+    val Total = 1000000000000L
+    val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().persist()
+    val edges = cs.select($"c".as("src"), $"s".as("dst"))
+      .union(cs.select($"s".as("src"), $"c".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree")).persist()
+    val edgesDeg = edges.join(deg, "src").persist()
+    val seeds = deg.select($"src".as("node"))
+      .where($"node" % 2 === 0 && expr("(node DIV 2) % 10 = 0"))
+      .persist()
+    val nS = seeds.count()
+    require(nS > 0, s"q145: no seed customers under $dir")
+    val sbase = Total * 15 / 100 / nS
+    val init = seeds.select($"node", lit(Total / nS).as("rank"))
+    val ranked = (1 to 3).foldLeft(init) { (r, _) =>
+      edgesDeg
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select($"dst", expr("rank DIV degree").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("cs2"))
+        .select($"dst".as("node"), expr("(85 * cs2) DIV 100").as("v"))
+        .unionByName(seeds.select($"node", lit(sbase).as("v")))
+        .groupBy($"node").agg(sum($"v").as("rank"))
+    }
+    ranked.orderBy($"node")
+  }
+
+  private val pprOracle: String = {
+    val head =
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM cs
+        |      UNION ALL SELECT s AS src, c AS dst FROM cs),
+        |deg AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.degree FROM e JOIN deg d ON e.src = d.src),
+        |seeds AS (SELECT src AS node FROM deg
+        |          WHERE src % 2 = 0 AND (src // 2) % 10 = 0),
+        |p AS (SELECT COUNT(*) AS ns FROM seeds),
+        |r0 AS (SELECT node,
+        |         (SELECT 1000000000000 // ns FROM p) AS rank FROM seeds)""".stripMargin
+    val steps = (1 to 3).map { i =>
+      s"""r$i AS (
+         |  SELECT node, CAST(SUM(v) AS BIGINT) AS rank FROM (
+         |    SELECT ed.dst AS node,
+         |      (85 * SUM(r.rank // ed.degree)) // 100 AS v
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst
+         |    UNION ALL
+         |    SELECT node,
+         |      (SELECT (1000000000000 * 15 // 100) // ns FROM p) FROM seeds) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q134_bfs_hops" -> q134_bfs_hops)
+    "q134_bfs_hops" -> q134_bfs_hops,
+    "q145_ppr" -> q145_ppr)
 
   val oracles: Map[String, String] = Map(
+    "q145_ppr" -> pprOracle,
     "q134_bfs_hops" ->
       // recursive-CTE BFS: UNION (not UNION ALL) dedups (node, hop)
       // pairs so the frontier is bounded by nodes x 5 hops; MIN(hop)

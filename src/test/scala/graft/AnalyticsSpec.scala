@@ -272,6 +272,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(res == expect, s"got $res, expected $expect")
   }
 
+  test("q145: PPR mass conserves approximately and concentrates on seeds") {
+    import spark.implicits._
+    val Total = 1000000000000L
+    val rows = graft.operators.GraphOps.q145_ppr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // integer truncation only ever LOSES mass: total rank <= Total,
+    // and within 1% of it on a connected graph (3 damped iterations)
+    val mass = rows.map(_._2).sum
+    assert(mass <= Total && mass >= Total * 90 / 100,
+      s"rank mass $mass vs $Total — restart/damping arithmetic broken")
+    // personalization: the average seed rank must exceed the average
+    // non-seed rank (the restart mass returns only to seeds)
+    val (seedR, otherR) = rows.partition { case (n, _) => n % 2 == 0 && (n / 2) % 10 == 0 }
+    assert(seedR.nonEmpty && otherR.nonEmpty)
+    val seedAvg = seedR.map(_._2).sum / seedR.length
+    val otherAvg = otherR.map(_._2).sum / otherR.length
+    assert(seedAvg > otherAvg,
+      s"seed avg $seedAvg <= non-seed avg $otherAvg — not personalized")
+  }
+
   test("q137: one exchange; EWMA is a weighted mean of <= 20 recency rows") {
     import spark.implicits._
     val df = Analytics.q137_ewma(spark, sf)
