@@ -463,7 +463,85 @@ object Curation {
       .orderBy($"segment", $"nation", $"bal_band")
   }
 
+  /** Dataset card (Gebru et al. 2021 "Datasheets for Datasets"): the
+    * per-source profile block a corpus release publishes — volume
+    * (docs, tokens), redundancy (exact-dup doc count via the q28
+    * normalization), language diversity (Gini-Simpson index — chosen
+    * over Shannon entropy because 1000·(1 - Σc²/n²) is integer-exact
+    * cross-engine while -Σ p·log p is float-rounding territory), and
+    * the length distribution's p50/p90 as DISCRETE order statistics
+    * (the value at rank (n+1) DIV 2 / (9n+9) DIV 10 — both engines
+    * pick an actual element, no interpolation to disagree on).
+    *
+    * Scale shape: three aggregation paths over one scan — (source)
+    * roll-up with countDistinct for dups, (source, lang) two-level
+    * for the diversity sum, a per-source window for the order
+    * statistics — joined on the source key (5 rows). The window is
+    * the only per-row sort and it partitions by source; at 100 TB
+    * the exact percentiles would switch to the q61 quantile sketch,
+    * which is the documented trade (card stats tolerate epsilon).
+    */
+  val q146_dataset_card: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm"),
+        size(expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
+          .cast("long").as("toks"))
+    val vol = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        (count(lit(1)) - countDistinct($"norm")).as("dup_docs"))
+    val langs = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c" * $"c").as("ss"), sum($"c").as("n"))
+      .select($"source",
+        expr("CAST(1000 - (1000 * ss) DIV (n * n) AS BIGINT)").as("gini_x1000"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+    val ranked = docs.select($"source", $"n_chars")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    val p50 = ranked.where(expr("rn = (n + 1) DIV 2"))
+      .select($"source", $"n_chars".as("p50_chars"))
+    val p90 = ranked.where(expr("rn = (9 * n + 9) DIV 10"))
+      .select($"source", $"n_chars".as("p90_chars"))
+    vol.join(langs, "source").join(p50, "source").join(p90, "source")
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q146_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |vol AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |    COUNT(*) - COUNT(DISTINCT norm) AS dup_docs
+        |  FROM d GROUP BY source),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY source, lang),
+        |langs AS (
+        |  SELECT source,
+        |    CAST(1000 - (1000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS BIGINT)
+        |      AS gini_x1000
+        |  FROM lc GROUP BY source),
+        |ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |p50 AS (SELECT source, n_chars AS p50_chars FROM ranked
+        |        WHERE rn = (n + 1) // 2),
+        |p90 AS (SELECT source, n_chars AS p90_chars FROM ranked
+        |        WHERE rn = (9 * n + 9) // 10)
+        |SELECT v.source, v.n_docs, v.n_tokens, v.dup_docs, l.gini_x1000,
+        |  p50.p50_chars, p90.p90_chars
+        |FROM vol v JOIN langs l ON v.source = l.source
+        |JOIN p50 ON v.source = p50.source
+        |JOIN p90 ON v.source = p90.source
+        |ORDER BY v.source""".stripMargin,
     "q142_k_anonymity" ->
       """SELECT c_mktsegment AS segment, c_nationkey AS nation,
         |  CAST(FLOOR(c_acctbal / 5000) AS BIGINT) AS bal_band,
@@ -648,5 +726,6 @@ object Curation {
     "q93_snapshot_diff" -> q93_snapshot_diff,
     "q96_scd2" -> q96_scd2,
     "q97_dq_report" -> q97_dq_report,
-    "q142_k_anonymity" -> q142_k_anonymity)
+    "q142_k_anonymity" -> q142_k_anonymity,
+    "q146_dataset_card" -> q146_dataset_card)
 }
