@@ -81,6 +81,8 @@ object GraftExtensions {
     "cosine_sim" -> (xs => CosineSimExpr(xs.head, xs(1))),
     "lsh_buckets" -> (xs => LshBucketsExpr(xs.head,
       intArg(xs, 1, 6, "lsh_buckets"), intArg(xs, 2, 12, "lsh_buckets"))),
+    "cdc_chunks" -> (xs => CdcChunksExpr(xs.head,
+      intArg(xs, 1, 8, "cdc_chunks"), intArg(xs, 2, 16, "cdc_chunks"))),
     "top_k_by" -> (xs => TopKByAgg(xs.head, xs(1),
       intArg(xs, 2, 3, "top_k_by")).toAggregateExpression()),
     "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))),

@@ -574,6 +574,54 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOfRange(idx, 0, n))
   }
 
+  /** Content-defined chunking: split `s` at every position where the
+    * polynomial hash of the trailing `w`-char window satisfies
+    * `(hash mod 1000003) mod div == 0` (Rabin-style CDC — the chunk
+    * boundaries depend only on LOCAL window content, so an identical
+    * passage embedded at any offset in another document produces the
+    * same interior chunks; that shift-invariance is what makes
+    * chunk-hash dedup find moved/embedded duplication that whole-doc
+    * hashing misses). Single O(n) rolling pass: the window hash
+    * updates as h' = (h - c_out·31^(w-1))·31 + c_in mod P — no
+    * per-position rescan. Boundary positions are window ENDS in
+    * [w, n-1] (a cut at n would duplicate the final chunk edge).
+    *
+    * Hash parity with the SQL oracle's per-position sum holds for
+    * BMP text (both sides read UTF-16/code-point values; the corpus
+    * is ASCII).
+    */
+  def cdcChunks(s: UTF8String, w: Int, div: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n <= w) return new GenericArrayData(Array[Any](UTF8String.fromString(str)))
+    val P = 1000003L
+    val B = 31L
+    var bw = 1L // 31^(w-1) mod P
+    var k = 1
+    while (k < w) { bw = bw * B % P; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + str.charAt(i)) % P; i += 1 }
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    // i is the 0-based index AFTER the current window [i-w, i-1];
+    // window end in 1-based terms is i, so record a cut at i
+    i = w
+    while (i < n) {
+      if (h % div == 0) cuts += i
+      h = ((h - str.charAt(i - w) * bw % P + P * B) * B + str.charAt(i)) % P
+      i += 1
+    }
+    // the window ending at n-1 (1-based n) is deliberately not a cut
+    cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var c = 0
+    while (c < cuts.length - 1) {
+      out(c) = UTF8String.fromString(str.substring(cuts(c), cuts(c + 1)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity between two float vectors, accumulated in double
     * in index order (deterministic, matches a sequential oracle).
     */

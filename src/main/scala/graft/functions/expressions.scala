@@ -308,6 +308,23 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Content-defined chunk splitter (see TextKernels.cdcChunks): one
+  * O(n) rolling-hash pass per document, boundaries wherever the
+  * trailing w-char window hash hits the divisor — shift-invariant, so
+  * embedded duplicate passages chunk identically at any offset.
+  */
+case class CdcChunksExpr(child: Expression, w: Int, div: Int)
+    extends UnaryExpression {
+  require(w > 0 && div > 0, "cdc_chunks: window and divisor must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.cdcChunks(v.asInstanceOf[UTF8String], w, div)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.cdcChunks($c, $w, $div)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   private def c(e: Expression): Column = GraftBridge.column(e)
@@ -329,6 +346,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
+  def cdc_chunks(a: Column, w: Int = 8, div: Int = 16): Column =
+    c(CdcChunksExpr(e(a), w, div))
   def be_int(a: Column, offset: Int): Column = c(BeIntExpr(e(a), offset))
   def le_int(a: Column, offset: Int): Column = c(LeIntExpr(e(a), offset))
   def le_short(a: Column, offset: Int): Column = c(LeShortExpr(e(a), offset))

@@ -496,7 +496,64 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Content-defined chunking dedup stats (Rabin-style CDC — the
+    * storage-dedup device of LBFS/Venti applied to corpus curation):
+    * split every document at rolling-hash boundaries (`cdc_chunks`
+    * kernel, O(n) single pass, window 8 / divisor 16 ≈ 16-char
+    * expected chunks) and measure per-source chunk-level redundancy.
+    * Because boundaries depend only on local window content, a
+    * passage duplicated at a DIFFERENT offset in another document
+    * yields identical interior chunks — chunk-hash dedup therefore
+    * catches moved/embedded duplication that whole-document hashing
+    * (q28) misses and pairwise similarity (q31/q139) only finds
+    * quadratically. Chunking the 100 TB corpus is one map-only scan;
+    * the stats are a (source, chunk) two-level aggregate with
+    * map-side combine.
+    */
+  val q147_cdc_chunks: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"source",
+        explode(graft.functions.GraftFunctions.cdc_chunks($"text", 8, 16))
+          .as("chunk"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct($"chunk").as("n_distinct"),
+        (count(lit(1)) - countDistinct($"chunk")).as("dup_chunks"),
+        expr("CAST((1000 * (COUNT(1) - COUNT(DISTINCT chunk))) DIV COUNT(1) AS BIGINT)")
+          .as("dup_x1000"),
+        expr("CAST(SUM(LENGTH(chunk)) DIV COUNT(1) AS BIGINT)").as("avg_len"))
+      .orderBy($"source")
+  }
+
+  private val cdcOracle: String = {
+    val w31 = (0 to 7).map(j => math.pow(31, 7 - j).toLong)
+      .mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id, source, text, length(text) AS n,
+       |    [i for i in range(8, length(text))
+       |       if (list_sum([ascii(substr(text, i - 7 + j, 1)) * ($w31)[j + 1]
+       |                     for j in range(0, 8)]) % 1000003) % 16 = 0] AS bs
+       |  FROM documents),
+       |cuts AS (
+       |  SELECT doc_id, source, text,
+       |    list_prepend(0, list_append(bs, n)) AS cs
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, source,
+       |    unnest([substr(text, cs[k] + 1, cs[k + 1] - cs[k])
+       |            for k in range(1, len(cs))]) AS chunk
+       |  FROM cuts)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |  COUNT(DISTINCT chunk) AS n_distinct,
+       |  COUNT(*) - COUNT(DISTINCT chunk) AS dup_chunks,
+       |  CAST((1000 * (COUNT(*) - COUNT(DISTINCT chunk))) // COUNT(*) AS BIGINT) AS dup_x1000,
+       |  CAST(SUM(length(chunk)) // COUNT(*) AS BIGINT) AS avg_len
+       |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q147_cdc_chunks" -> cdcOracle,
     "q141_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -722,5 +779,6 @@ object TextOps {
     "q129_vocab_build" -> q129_vocab_build,
     "q130_cooccurrence" -> q130_cooccurrence,
     "q135_bigram_coherence" -> q135_bigram_coherence,
-    "q141_gopher_rules" -> q141_gopher_rules)
+    "q141_gopher_rules" -> q141_gopher_rules,
+    "q147_cdc_chunks" -> q147_cdc_chunks)
 }

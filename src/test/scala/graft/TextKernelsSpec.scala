@@ -146,6 +146,44 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.cosineSim(v(0f, 0f), v(1f, 0f)) == 0.0) // zero-norm guard
   }
 
+  // ---- cdcChunks: the O(n) rolling pass must agree with a brute
+  // per-position polynomial hash, chunks must reassemble the input,
+  // and boundaries must be shift-invariant (the CDC property).
+  test("cdc_chunks: matches brute-force boundaries and reassembles the text") {
+    val (w, div, p, b) = (8, 16, 1000003L, 31L)
+    def bruteCuts(s: String): Seq[Int] = {
+      val pow = (0 until w).map(j => (0 until w - 1 - j)
+        .foldLeft(1L)((a, _) => a * b % p))
+      (w until s.length).filter { i => // 1-based window end i in [w, n-1]
+        val h = (0 until w).foldLeft(0L)((a, j) =>
+          (a + s.charAt(i - w + j) * pow(j)) % p)
+        h % div == 0
+      }
+    }
+    forAll(asciiStr) { s =>
+      val got = {
+        val a = TextKernels.cdcChunks(u(s), w, div)
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      assert(got.mkString == s, "chunks must reassemble the input")
+      assert(got.forall(_.nonEmpty) || s.isEmpty || got == Seq(""))
+      val cuts = got.init.scanLeft(0)(_ + _.length).drop(1)
+      assert(cuts == bruteCuts(s), s"boundaries differ for '$s'")
+    }
+    // shift invariance: an embedded passage chunks identically far
+    // from its edges — interior cuts of the passage appear at the
+    // shifted offsets regardless of prefix
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    val inner = bruteCuts(passage).filter(c => c >= w && c <= passage.length - 1)
+    Seq("XX", "prefix-of-different-length-", "").foreach { pre =>
+      val shifted = bruteCuts(pre + passage)
+        .filter(c => c >= pre.length + w && c <= pre.length + passage.length - 1)
+        .map(_ - pre.length)
+      assert(inner.toSet.subsetOf(shifted.toSet),
+        s"interior boundaries not shift-invariant under prefix '$pre'")
+    }
+  }
+
   // ---- IVF kernels (best_cell / top_cells): agree with a plain
   // reference ranking by (dot desc, cell asc), including ties — the
   // in-kernel selection sort permutes positions, so tie order is the
