@@ -405,39 +405,54 @@ object Similarity {
     * scan. Empty clusters keep their previous centroid (deterministic
     * by construction on both engines).
     */
+  /** Shared Lloyd machinery (q132 exact k-means, q148 SemDeDup):
+    * floor-quantized 1e-6 integer embeddings, assignment via a
+    * broadcast-centroid map-only argmin, centroid update via one
+    * map-side-combined (cluster, dim) shuffle (k·64 keys regardless
+    * of corpus size), truncating integer means, empty clusters keep
+    * their previous centroid.
+    */
+  private def kmScored(v: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val dists = array(cents.map { c =>
+      aggregate(
+        zip_with(col("q"), array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+    }: _*)
+    v.select(col("vec_id"), col("q"), dists.as("dists"))
+      .selectExpr("vec_id", "q",
+        "CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cluster",
+        "array_min(dists) AS dist")
+  }
+
+  private def kmUpdate(v: DataFrame, cents: Array[Array[Long]], k: Int): Array[Array[Long]] = {
+    val got = kmScored(v, cents)
+      .select(col("cluster"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .selectExpr("cluster", "d", "sx DIV n AS c")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    Array.tabulate(k, 64)((c, d) => got.getOrElse((c, d), cents(c)(d)))
+  }
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q")
+
+  private def kmSeeds(v: DataFrame, k: Int): Array[Array[Long]] =
+    v.orderBy(col("vec_id")).limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
   val q132_kmeans: Q = (spark, dir) => {
     import spark.implicits._
     val k = 4
-    val v = Tables.load(spark, dir, "embeddings")
-      .selectExpr("vec_id",
-        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q")
-      .persist()
-    val seeds: Array[Array[Long]] = v.orderBy($"vec_id").limit(k)
-      .select($"q").collect()
-      .map(_.getSeq[Long](0).toArray)
+    val v = quantized(spark, dir).persist()
+    val seeds = kmSeeds(v, k)
     require(seeds.length == k, s"q132: corpus under $dir has < $k vectors")
-    // (dist-to-each-centroid array, argmin-first-index, min-dist)
-    def scored(cents: Array[Array[Long]]): DataFrame = {
-      val dists = array(cents.map { c =>
-        aggregate(
-          zip_with($"q", array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, d) => acc + d)
-      }: _*)
-      v.select($"vec_id", $"q", dists.as("dists"))
-        .selectExpr("vec_id", "q",
-          "CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cluster",
-          "array_min(dists) AS dist")
-    }
-    def update(cents: Array[Array[Long]]): Array[Array[Long]] = {
-      val got = scored(cents)
-        .select($"cluster", posexplode($"q").as(Seq("d", "x")))
-        .groupBy($"cluster", $"d")
-        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
-        .selectExpr("cluster", "d", "sx DIV n AS c")
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
-      Array.tabulate(k, 64)((c, d) => got.getOrElse((c, d), cents(c)(d)))
-    }
+    def scored(cents: Array[Array[Long]]): DataFrame = kmScored(v, cents)
+    def update(cents: Array[Array[Long]]): Array[Array[Long]] = kmUpdate(v, cents, k)
     val c2 = update(update(seeds))
     val norm1 = c2.map(_.map(math.abs).sum)
     scored(c2)
@@ -446,6 +461,61 @@ object Similarity {
       .withColumn("c_norm1",
         element_at(array(norm1.map(lit(_)): _*), $"cluster" + 1))
       .orderBy($"cluster")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding corpus coarsely (k=16, one exact-integer Lloyd update
+    * over the q132 machinery), then remove near-duplicates ONLY
+    * within clusters — the clustering turns the quadratic all-pairs
+    * problem into k independent (n/k)² blocks, which is the entire
+    * scalability argument of the paper. Within a cluster, a pair
+    * duplicates when cos >= 0.45 (q58's threshold), tested in exact
+    * integer arithmetic: dot > 0 AND 400·dot² >= 81·na²·nb² on the
+    * 1e-6-quantized vectors, computed in DECIMAL(38,0) so neither
+    * engine overflows or rounds. Greedy keep-lowest-id per pair (the
+    * q114 keep-policy device); pairs split across clusters are missed
+    * by design — that recall trade is the method, measured in
+    * SimilaritySpec against q58's exact global pair list.
+    *
+    * Scale shape: assignment is the broadcast-centroid map-only
+    * argmin; the pair join is blocked on the cluster key (k buckets,
+    * each (n/k)²); everything downstream is cluster-keyed aggregates.
+    * At 100 TB one raises k with corpus size (the q136 audit's
+    * log2(n) lesson) — blocks stay constant-sized and the join never
+    * degenerates.
+    */
+  val q148_semdedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 16
+    val v = quantized(spark, dir).persist()
+    val seeds = kmSeeds(v, k)
+    require(seeds.length == k, s"q148: corpus under $dir has < $k vectors")
+    val c1 = kmUpdate(v, seeds, k)
+    val assigned = kmScored(v, c1)
+      .select($"vec_id", $"cluster".as("cl"), $"q",
+        aggregate(zip_with($"q", $"q", (x, y) => x * y),
+          lit(0L), (acc, d) => acc + d).as("n2"))
+      .persist()
+    val a = assigned
+      .select($"cl", $"vec_id".as("va"), $"q".as("qa"), $"n2".as("na2"))
+    val b = assigned
+      .select($"cl", $"vec_id".as("vb"), $"q".as("qb"), $"n2".as("nb2"))
+    val dups = a.join(b, Seq("cl")).where($"va" < $"vb")
+      .withColumn("dot", aggregate(zip_with($"qa", $"qb", (x, y) => x * y),
+        lit(0L), (acc, d) => acc + d))
+      .where($"dot" > 0 && expr(
+        """400 * CAST(dot AS DECIMAL(20,0)) * CAST(dot AS DECIMAL(20,0)) >=
+          |81 * CAST(na2 AS DECIMAL(20,0)) * CAST(nb2 AS DECIMAL(20,0))""".stripMargin
+          .replace("\n", " ")))
+      .select($"cl", $"vb".as("vec_id"), lit(1).as("dr"))
+      .distinct()
+    assigned.select($"cl", $"vec_id")
+      .join(dups, Seq("cl", "vec_id"), "left")
+      .groupBy($"cl")
+      .agg(count(lit(1)).as("n_members"),
+        count($"dr").as("n_dropped"),
+        sum(when($"dr".isNull, $"vec_id")).as("survivor_sum"))
+      .orderBy($"cl")
   }
 
   /** q136: signed-random-projection (SRP) sketch + Hamming near-dup —
@@ -537,6 +607,48 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  private val semdedupOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, d, q
+      |  FROM v WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |a1 AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |    FROM (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+      |          FROM v JOIN c0 c ON v.d = c.d GROUP BY 1, 2)) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT c0.cl, c0.d, COALESCE(u.nq, c0.q) AS q FROM c0 LEFT JOIN
+      |    (SELECT a.cl, v.d, SUM(v.q) // COUNT(*) AS nq
+      |     FROM a1 a JOIN v ON a.vec_id = v.vec_id GROUP BY 1, 2) u
+      |  ON c0.cl = u.cl AND c0.d = u.d),
+      |a2 AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |    FROM (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+      |          FROM v JOIN c1 c ON v.d = c.d GROUP BY 1, 2)) WHERE rn = 1),
+      |qv AS (
+      |  SELECT a2.vec_id, a2.cl,
+      |    [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in e.embedding] AS qq
+      |  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id),
+      |pairs AS (
+      |  SELECT a.cl, a.vec_id AS va, b.vec_id AS vb,
+      |    CAST(list_sum([a.qq[i] * b.qq[i] for i in range(1, 65)]) AS HUGEINT) AS dot,
+      |    CAST(list_sum([a.qq[i] * a.qq[i] for i in range(1, 65)]) AS HUGEINT) AS na2,
+      |    CAST(list_sum([b.qq[i] * b.qq[i] for i in range(1, 65)]) AS HUGEINT) AS nb2
+      |  FROM qv a JOIN qv b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+      |dups AS (
+      |  SELECT DISTINCT cl, vb FROM pairs
+      |  WHERE dot > 0 AND 400 * dot * dot >= 81 * na2 * nb2)
+      |SELECT q.cl, COUNT(*) AS n_members,
+      |  COUNT(*) FILTER (d.vb IS NOT NULL) AS n_dropped,
+      |  CAST(SUM(q.vec_id) FILTER (d.vb IS NULL) AS BIGINT) AS survivor_sum
+      |FROM qv q LEFT JOIN dups d ON q.cl = d.cl AND q.vec_id = d.vb
+      |GROUP BY q.cl ORDER BY q.cl""".stripMargin
+
   private val maxsimOracle: String = {
     val chunkMax = (0 until 8).map { i =>
       val dots = (0 until 8).map { j =>
@@ -586,6 +698,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q136_srp_sketch" -> srpOracle,
     "q143_maxsim" -> maxsimOracle,
+    "q148_semdedup" -> semdedupOracle,
     "q132_kmeans" ->
       """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
@@ -679,5 +792,6 @@ object Similarity {
     "q120_hard_negatives" -> q120_hard_negatives,
     "q132_kmeans" -> q132_kmeans,
     "q136_srp_sketch" -> q136_srp_sketch,
-    "q143_maxsim" -> q143_maxsim)
+    "q143_maxsim" -> q143_maxsim,
+    "q148_semdedup" -> q148_semdedup)
 }

@@ -78,6 +78,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q148: SemDeDup drops are sound (subset of exact pairs) with pinned recall") {
+    // soundness: every dropped vector is the HIGHER member of some
+    // exact cos>=0.45 pair (q58's global quadratic baseline at the
+    // same threshold) — within-cluster blocking may MISS pairs but
+    // can never invent one
+    val drops = SparkEntry.queries("q148_semdedup")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(drops.map(_._2).sum == 500, "members must partition the corpus")
+    val exact = SparkEntry.queries("q58_dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactHi = exact.map(_._2)
+    val nDropped = drops.map(_._3).sum
+    // recall floor: the planted dups are tight at sf0.001, so the
+    // clustered pass must drop at least one when exact pairs exist
+    // (cross-cluster pairs are the designed miss)
+    if (exact.nonEmpty) assert(nDropped >= 1,
+      s"exact baseline has ${exact.size} pairs but SemDeDup dropped none")
+    assert(nDropped <= exactHi.size,
+      "more drops than exact higher-members — blocking invented a pair")
+  }
+
   test("q136: pigeonhole blocking reproduces brute-force Hamming<=2 exactly") {
     import spark.implicits._
     val got = SparkEntry.queries("q136_srp_sketch")(spark, sf).collect()
