@@ -508,7 +508,59 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** 2-D skyline (Pareto frontier, Börzsönyi et al. ICDE'01) over the
+    * curation dimensions (word count, stopword count): keep every
+    * document no other document weakly dominates with at least one
+    * strict improvement — the multi-criteria "best documents" query
+    * a single weighted score (q25) cannot express, because the
+    * frontier is exactly the set of optimal docs under EVERY monotone
+    * weighting. Duplicate dimension points never dominate each other
+    * (no strict edge), so tied frontier docs all survive.
+    *
+    * Scale shape: the classic sweep needs a global order — run it
+    * over the GROUPED dimension table instead of the corpus: one
+    * map-side-combined groupBy(w) to (w, max s) — at most
+    * |distinct w| rows — then the running strictly-greater-w max in
+    * one window over that dimension-cardinality table, then a
+    * broadcast-joinable lookup back onto the corpus scan. The corpus
+    * itself is never globally sorted; the single-partition window
+    * touches only the tiny grouped table (the F12 stance applied to
+    * skylines).
+    */
+  val q149_skyline: Q = (spark, dir) => {
+    import spark.implicits._
+    val f = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")).as("w"),
+        size(regexp_extract_all($"text",
+          lit("\\b(the|a|of|and|or|in)\\b"), lit(0))).as("s"))
+    val grouped = f.groupBy($"w").agg(max($"s").as("maxs"))
+    val win = Window.orderBy($"w".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val doms = grouped.withColumn("m1", max($"maxs").over(win))
+    f.join(broadcast(doms), "w")
+      // undominated: no strictly-greater-w point has s' >= s, and no
+      // same-w point has s' > s
+      .where(($"m1".isNull || $"m1" < $"s") && $"maxs" === $"s")
+      .select($"doc_id", $"w".as("n_words"), $"s".as("n_stopwords"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q149_skyline" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> length(x) > 0)) AS w,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) AS s
+        |  FROM documents)
+        |SELECT p.doc_id, CAST(p.w AS INTEGER) AS n_words,
+        |  CAST(p.s AS INTEGER) AS n_stopwords
+        |FROM f p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM f q
+        |  WHERE q.w >= p.w AND q.s >= p.s AND (q.w > p.w OR q.s > p.s))
+        |ORDER BY p.doc_id""".stripMargin,
     "q146_dataset_card" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang, n_chars,
@@ -727,5 +779,6 @@ object Curation {
     "q96_scd2" -> q96_scd2,
     "q97_dq_report" -> q97_dq_report,
     "q142_k_anonymity" -> q142_k_anonymity,
-    "q146_dataset_card" -> q146_dataset_card)
+    "q146_dataset_card" -> q146_dataset_card,
+    "q149_skyline" -> q149_skyline)
 }

@@ -20,6 +20,37 @@ import graft.Tables
 object GraphOps {
   import Relational.Q
 
+  /** The full customer-supplier graph's pair index + degree table,
+    * staged to parquet once per dataset fingerprint ([[graft.Staging]],
+    * the q99/q113 economics): every traversal query (q134 BFS, q145
+    * PPR) starts from the same derived graph, and a steady-state
+    * pipeline holds that index next to the data instead of re-paying
+    * the lineitem×orders join + distinct on every traversal. q104
+    * deliberately does NOT use this — it is the from-scratch full
+    * recompute that q113's incremental path is measured against.
+    */
+  private def stagedGraph(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val fp = Tables.fingerprint(dir, "lineitem") + "|" +
+      Tables.fingerprint(dir, "orders")
+    val d = graft.Staging.stage(s"graph_full#$dir", fp) { d =>
+      val cs = Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+        .join(Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+        .distinct().persist()
+      cs.write.parquet(s"$d/pairs")
+      cs.select($"c".as("src")).union(cs.select($"s".as("src")))
+        .groupBy($"src").agg(count(lit(1)).as("degree"))
+        .write.parquet(s"$d/degree")
+      cs.unpersist(blocking = false)
+    }
+    (spark.read.parquet(s"$d/pairs"), spark.read.parquet(s"$d/degree"))
+  }
+
   /** q134: multi-source BFS hop histogram, 4 relaxation rounds.
     *
     * Seeds are the graph nodes with `node <= 20 AND node % 2 = 0`
@@ -42,24 +73,31 @@ object GraphOps {
     */
   val q134_bfs_hops: Q = (spark, dir) => {
     import spark.implicits._
-    val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-      .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct().persist()
+    val (cs, deg) = stagedGraph(spark, dir)
     val edges = cs.select($"c".as("src"), $"s".as("dst"))
       .union(cs.select($"s".as("src"), $"c".as("dst")))
       .persist()
-    val nodes = edges.select($"src".as("node")).distinct()
+    val nodes = deg.select($"src".as("node"))
     val seeds = nodes.where($"node" <= 20 && $"node" % 2 === 0)
     require(seeds.limit(1).count() > 0, s"q134: no seed nodes under $dir")
-    val init = seeds.select($"node", lit(0).as("hop"))
-    val labels = (1 to 4).foldLeft(init) { (lab, _) =>
-      val relaxed = edges
-        .join(lab.withColumnRenamed("node", "src"), "src")
-        .select($"dst".as("node"), ($"hop" + 1).as("hop"))
-      lab.union(relaxed).groupBy($"node").agg(min($"hop").as("hop"))
-        .localCheckpoint()
+    val init = seeds.select($"node", lit(0).as("hop")).localCheckpoint()
+    // frontier BFS: each round joins edges against only the nodes
+    // REACHED LAST ROUND (not the full label set), and the anti-join
+    // against settled labels keeps the frontier shrinking — on a
+    // dense graph the later rounds are near-free because the
+    // frontier empties once everything is reached
+    val (labels, _) = (1 to 4).foldLeft((init, init)) {
+      case ((lab, frontier), h) =>
+        val reached = edges
+          .join(frontier.select($"node".as("src")), "src")
+          .select($"dst".as("node")).distinct()
+        // persist (lazy), not localCheckpoint: the labels checkpoint
+        // below materializes it in the same job, and the next round's
+        // edge join reads it from cache — no extra eager job per round
+        val newFrontier = reached.join(lab, Seq("node"), "left_anti")
+          .select($"node", lit(h).as("hop"))
+          .persist()
+        (lab.union(newFrontier).localCheckpoint(), newFrontier)
     }
     val hist = labels.groupBy($"hop")
       .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
@@ -94,14 +132,9 @@ object GraphOps {
   val q145_ppr: Q = (spark, dir) => {
     import spark.implicits._
     val Total = 1000000000000L
-    val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-      .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct().persist()
+    val (cs, deg) = stagedGraph(spark, dir)
     val edges = cs.select($"c".as("src"), $"s".as("dst"))
       .union(cs.select($"s".as("src"), $"c".as("dst")))
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree")).persist()
     val edgesDeg = edges.join(deg, "src").persist()
     val seeds = deg.select($"src".as("node"))
       .where($"node" % 2 === 0 && expr("(node DIV 2) % 10 = 0"))
