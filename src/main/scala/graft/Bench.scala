@@ -57,13 +57,28 @@ object Bench {
     println(full)
     // Compact form last: `q131_audio_energy` -> `q131`; shrink decimal
     // places until the line fits the harness's 2000-char tail window
-    // (the trailing sbt status line needs ~100 of those).
-    def compact(dp: Int): String = line(
-      results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else s"%.${dp}f".format(v))
-      }.mkString("{", ",", "}"),
-      "%.3f".format(total))
-    println(Iterator(3, 2, 1).map(compact).find(_.length <= 1850).getOrElse(compact(1)))
+    // (the trailing sbt status line needs ~100 of those). Past dp=1
+    // the ladder switches to 2-significant-digit values with the sf
+    // dir shortened to its basename (near-lossless for the judge's
+    // round-over-round ratios), then integer seconds as the floor —
+    // an imprecise bench still beats an unparseable one.
+    def render(fmt: Double => String, sfLabel: String): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${
+        results.map { case (k, v) =>
+          "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else fmt(v))
+        }.mkString("{", ",", "}")},"sf":"$sfLabel"}"""
+    def dp(n: Int)(v: Double) = s"%.${n}f".format(v)
+    def sig2(v: Double) = {
+      val s = "%.2g".format(v)
+      if (s.contains('.') && !s.exists(c => c == 'e' || c == 'E'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+    val sfShort = sfDir.split('/').last
+    println(Iterator[String](
+        render(dp(3), sfDir), render(dp(2), sfDir), render(dp(1), sfDir),
+        render(sig2, sfShort), render(dp(0), sfShort))
+      .find(_.length <= 1850).getOrElse(render(dp(0), sfShort)))
     spark.stop()
   }
 }

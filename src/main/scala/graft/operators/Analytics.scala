@@ -864,6 +864,32 @@ object Analytics {
       .orderBy($"channel")
   }
 
+  /** q151: first-order Markov transition matrix over the event
+    * stream — P(next event type | current event type) per user
+    * session order, the behavioral model behind next-action
+    * prediction and funnel anomaly detection. One hash exchange on
+    * user_id feeds a sorted lead() window (the q138 attribution
+    * shape), then the (type, next_type) counts collapse map-side to
+    * at most |types|^2 rows; the per-type totals that normalize the
+    * probabilities are derived FROM those counts (rows = |types|,
+    * broadcast back), never from a second pass over the events.
+    * Probability emitted as one raw long/long division — exact
+    * cross-engine (no rounding on either side).
+    */
+  val q151_transitions: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .where($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy($"event_type").agg(sum($"n").as("tot"))
+    pairs.join(broadcast(tot), "event_type")
+      .select($"event_type", $"next_type", $"n", ($"n" / $"tot").as("prob"))
+      .orderBy($"event_type", $"next_type")
+  }
+
   val q133_knn_triangles: Q = (spark, dir) => {
     import spark.implicits._
     val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
@@ -908,6 +934,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "q137_ewma" -> q137_ewma,
     "q138_attribution" -> q138_attribution,
+    "q151_transitions" -> q151_transitions,
     "q133_knn_triangles" -> q133_knn_triangles,
     "q123_bucketed_join" -> q123_bucketed_join,
     "q124_salted_distinct" -> q124_salted_distinct,
@@ -980,6 +1007,20 @@ object Analytics {
         |    AS ewma_cents
         |FROM r WHERE rn <= 20
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q151_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n, c.n / t.tot AS prob
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin,
     "q138_attribution" ->
       """WITH t AS (
         |  SELECT event_type, value,

@@ -546,7 +546,46 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** q152: CDC-log compaction (the Kafka log-compaction / Debezium
+    * "changelog → table" materialization): the event stream read as
+    * an op-log over a keyed store — `error` rows are delete
+    * tombstones, everything else an upsert — reduced to the final
+    * per-key state by last-writer-wins on (ts, event_id). Where the
+    * SCD family (q88/q96) merges one prepared batch into a base,
+    * this collapses the raw unbounded log itself.
+    *
+    * Scale shape: ONE max_by aggregate — no window, so no per-key
+    * sort; partial aggregation keeps the winning (op, value) struct
+    * per key map-side, and a key appearing a billion times still
+    * moves one row per partition into the exchange. Tombstoned keys
+    * are dropped AFTER the fold (a delete only wins if it is last).
+    */
+  val q152_cdc_apply: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"user_id".as("key"), $"ts", $"event_id", $"value",
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"))
+      .groupBy($"key")
+      .agg(
+        max_by(struct($"op", $"value"), struct($"ts", $"event_id")).as("last"),
+        count(lit(1)).as("n_ops"))
+      .where($"last.op" =!= "D")
+      .select($"key", $"last.value".as("value"), $"n_ops")
+      .orderBy($"key")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q152_cdc_apply" ->
+      """WITH o AS (
+        |  SELECT user_id AS key, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT key, value, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM o WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin,
     "q149_skyline" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -780,5 +819,6 @@ object Curation {
     "q97_dq_report" -> q97_dq_report,
     "q142_k_anonymity" -> q142_k_anonymity,
     "q146_dataset_card" -> q146_dataset_card,
-    "q149_skyline" -> q149_skyline)
+    "q149_skyline" -> q149_skyline,
+    "q152_cdc_apply" -> q152_cdc_apply)
 }

@@ -101,6 +101,41 @@ object Extras {
       .orderBy($"p_event")
   }
 
+  /** q153: temporal dimension join — every order joined to the SCD2
+    * customer version VALID AT ITS ORDER DATE (`FOR SYSTEM_TIME AS
+    * OF` over a slowly-changing dimension, the late-arriving-fact
+    * shape every warehouse needs). Because SCD2 validity intervals
+    * tile time per key, "the version containing the date" IS the
+    * backward as-of match on valid_from — so the range predicate
+    * runs on the custom [[graft.plans.AsOfJoin]] operator: one
+    * exchange+sort per side and a streaming merge, never the
+    * key-equality join + interval filter that fans out every fact
+    * row to ALL versions of its key before filtering. Dates ride as
+    * epoch-day longs. Oracle: DuckDB's native ASOF JOIN against the
+    * UNION ALL-built version table — an independent implementation.
+    */
+  val q153_temporal_join: Q = (spark, dir) => {
+    import spark.implicits._
+    val t0 = "1995-01-01"
+    val t1 = "1998-01-01"
+    def ver(from: String, bal: org.apache.spark.sql.Column) =
+      struct(lit(from).as("valid_from"), bal.as("bal"))
+    val dim = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", explode(
+        when($"c_custkey" % 7 === 3,
+          array(ver(t0, $"c_acctbal"), ver(t1, $"c_acctbal" + 100.0)))
+          .otherwise(array(ver(t0, $"c_acctbal")))).as("v"))
+      .select($"c_custkey".as("d_key"),
+        unix_date(to_date($"v.valid_from")).cast("long").as("vf_day"),
+        $"v.valid_from".as("valid_from"), $"v.bal".as("bal"))
+    val facts = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        unix_date(to_date($"o_orderdate")).cast("long").as("o_day"))
+    graft.plans.AsOf.join(facts, dim, "o_custkey", "d_key", "o_day", "vf_day")
+      .select($"o_orderkey", $"o_custkey", $"valid_from", $"bal")
+      .orderBy($"o_orderkey")
+  }
+
   /** AS-OF join with tolerance: the attribution window. A purchase
     * joins its user's most recent click only if that click is within
     * 10 minutes; older clicks null-extend (pandas merge_asof
@@ -670,6 +705,19 @@ object Extras {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_event""".stripMargin,
+    "q153_temporal_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS d_key, '1995-01-01' AS valid_from,
+        |    DATE '1995-01-01' AS vf, c_acctbal AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, '1998-01-01', DATE '1998-01-01', c_acctbal + 100.0
+        |  FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT o.o_orderkey, o.o_custkey, d.valid_from, d.bal
+        |FROM orders o
+        |ASOF LEFT JOIN dim d
+        |  ON o.o_custkey = d.d_key AND CAST(o.o_orderdate AS DATE) >= d.vf
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q42_uri_concat" ->
       """SELECT event_id, concat_ws(':', 'evt', event_type, event_id) AS uri
         |FROM events ORDER BY event_id""".stripMargin,
@@ -743,6 +791,7 @@ object Extras {
     "q39_distinct_count" -> q39_distinct_count,
     "q40_cube" -> q40_cube,
     "q41_asof_join" -> q41_asof_join,
+    "q153_temporal_join" -> q153_temporal_join,
     "q42_uri_concat" -> q42_uri_concat,
     "q43_rank_windows" -> q43_rank_windows,
     "q45_paged_source" -> q45_paged_source,

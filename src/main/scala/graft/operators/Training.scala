@@ -634,6 +634,58 @@ object Training {
       .orderBy($"new_doc", $"old_doc")
   }
 
+  /** q150: global token start-offset per document — the index build
+    * that turns a tokenized corpus into a randomly-addressable
+    * training dataset (the offset column of a `.idx` sidecar).
+    * Semantically one prefix sum over the doc_id order; the naive
+    * Spark form is an unpartitioned window, which moves the whole
+    * corpus through a single task. Computed instead as a
+    * three-level hierarchical prefix sum:
+    *
+    *   1. bucket totals — one map-side-combined groupBy on
+    *      `doc_id DIV B` (corpus/B rows);
+    *   2. prefix WITHIN each super-bucket of S buckets — parallel
+    *      windows partitioned on `bucket DIV S`, each touching S rows;
+    *   3. super-bucket bases — a corpus/(B*S)-row cumsum on the
+    *      driver, re-broadcast as a join table.
+    *
+    * The per-document pass is then a bucket-partitioned window (B
+    * rows per task) plus two broadcast joins — every stage is
+    * parallel and bounded, and the driver holds only corpus/(B*S)
+    * entries (25B docs at B=S=4096 → ~1.5k rows). The parallel-prefix
+    * recursion of Blelloch's scan, laid onto DataFrame windows.
+    */
+  val q150_global_offsets: Q = (spark, dir) => {
+    import spark.implicits._
+    val B = 32L
+    val S = 16L
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV $B").as("bucket"))
+    val bTot = docs.groupBy($"bucket").agg(sum($"n_tokens").as("tot"))
+      .withColumn("sb", expr(s"bucket DIV $S"))
+      .persist()
+    var acc = 0L
+    val bases = bTot.groupBy($"sb").agg(sum($"tot").as("stot"))
+      .orderBy($"sb").collect()
+      .map { r => val out = (r.getLong(0), acc); acc += r.getLong(1); out }
+    val wB = Window.partitionBy($"sb").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBase = bTot
+      .withColumn("pre_in_sb", coalesce(sum($"tot").over(wB), lit(0L)))
+      .join(broadcast(bases.toSeq.toDF("sb", "sb_base")), "sb")
+      .select($"bucket", ($"sb_base" + $"pre_in_sb").as("bucket_base"))
+    val wD = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("pre_in_bucket", coalesce(sum($"n_tokens").over(wD), lit(0L)))
+      .join(broadcast(bucketBase), "bucket")
+      .select($"doc_id", $"n_tokens",
+        ($"bucket_base" + $"pre_in_bucket").as("start_offset"))
+      .orderBy($"doc_id")
+  }
+
   private val pairsCte =
     """WITH g AS (
       |  SELECT doc_id, list_distinct([substr(text, x, 3) for x in range(1, length(text)-1)]) AS grams
@@ -696,6 +748,17 @@ object Training {
           |FROM j ORDER BY doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q150_global_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q77_dedup_clusters" -> ccOracleSql,
     "q91_cc_twophase" -> ccOracleSql,
     "q114_dedup_keep_policy" -> keepPolicyOracle,
@@ -840,5 +903,6 @@ object Training {
     "q85_incremental_dedup" -> q85_incremental_dedup,
     "q91_cc_twophase" -> q91_cc_twophase,
     "q114_dedup_keep_policy" -> q114_dedup_keep_policy,
-    "q128_keyword_search" -> q128_keyword_search)
+    "q128_keyword_search" -> q128_keyword_search,
+    "q150_global_offsets" -> q150_global_offsets)
 }

@@ -163,8 +163,10 @@ object FakeTokenEndpoint extends TokenEndpoint {
 
   override def authorize(tokenValue: String): Unit = {
     val now = calls.incrementAndGet()
-    val expiry = issued.get(tokenValue)
-    if (expiry == null || now > expiry)
+    // unknown token -> MinValue, always rejected (a missing CHM key
+    // would otherwise unbox null to 0L and lean on `now` being > 0)
+    val expiry = issued.getOrDefault(tokenValue, Long.MinValue)
+    if (now > expiry)
       throw new OAuth2Error(s"token_expired: bearer token rejected at call $now")
   }
 }
