@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Analytics
@@ -336,5 +337,74 @@ class AnalyticsSpec extends AnyFunSuite {
     // shuffles raw rows has no partial_weightedmeanagg node)
     assert(plan.contains("partial_weightedmeanagg"), plan)
     assert(df.collect().length >= 2)
+  }
+
+  test("q149: skyline survivors are undominated; every drop has a dominator") {
+    import spark.implicits._
+    val survivors = operators.Curation.q149_skyline(spark, sf)
+      .select($"n_words".cast("long"), $"n_stopwords".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val all = Tables.load(spark, sf, "documents")
+      .select(
+        size(split(trim($"text"), "\\s+")).cast("long"),
+        size(regexp_extract_all($"text",
+          lit("\\b(the|a|of|and|or|in)\\b"), lit(0))).cast("long"))
+      .as[(Long, Long)].collect()
+    def dominates(a: (Long, Long), b: (Long, Long)) =
+      a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+    for (s <- survivors; p <- all)
+      assert(!dominates(p, s), s"survivor $s dominated by $p")
+    for (p <- all if !survivors.contains(p))
+      assert(all.exists(q => dominates(q, p)), s"dropped $p has no dominator")
+  }
+
+  test("q150: offsets are the exact prefix sum in doc_id order, from 0") {
+    import spark.implicits._
+    val rows = operators.Training.q150_global_offsets(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.head._3 == 0L, "first document must start at offset 0")
+    rows.sliding(2).foreach { case Array((_, n, off), (id2, _, off2)) =>
+      assert(off2 == off + n, s"offset gap at doc $id2")
+    }
+  }
+
+  test("q152: tombstoned keys are absent; survivors carry the last value") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val lastOps = Tables.load(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    val out = operators.Curation.q152_cdc_apply(spark, sf)
+      .select($"key", $"value").as[(Long, Double)].collect().toMap
+    lastOps.foreach { case (k, (ev, v)) =>
+      if (ev == "error") assert(!out.contains(k), s"tombstoned key $k survived")
+      else assert(out(k) == v, s"key $k lost last-writer value")
+    }
+    assert(out.keySet == lastOps.filter(_._2._1 != "error").keySet)
+  }
+
+  test("q153: orders pick the SCD2 version valid at their order date") {
+    import spark.implicits._
+    val joined = operators.Extras.q153_temporal_join(spark, sf)
+    assert(joined.where($"bal".isNull).count() == 0,
+      "every fact must match a dimension version")
+    val base = Tables.load(spark, sf, "customer")
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    val sample = joined
+      .join(Tables.load(spark, sf, "orders")
+        .select($"o_orderkey", $"o_orderdate"), "o_orderkey")
+      .where($"o_custkey" % 7 === 3)
+      .select($"o_custkey", $"valid_from", $"bal",
+        ($"o_orderdate" >= lit("1998-01-01").cast("timestamp")).as("late"))
+      .collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val expected =
+        if (r.getBoolean(3)) base(r.getLong(0)) + 100.0 else base(r.getLong(0))
+      assert(r.getDouble(2) == expected,
+        s"custkey ${r.getLong(0)} got wrong version (${r.getString(1)})")
+    }
   }
 }
