@@ -762,7 +762,73 @@ object TextOps {
         |  CAST(SUM(coh) // COUNT(*) AS BIGINT) AS avg_coherence
         |FROM coh GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q155: BPE merge-table training (Sennrich et al. 2016, the GPT-2
+    * tokenizer recipe) — the first k=8 pair merges learned from the
+    * corpus, each output row the pair chosen at that step with its
+    * frequency-weighted count. The decisive scale property: after ONE
+    * corpus pass builds the (word, freq) vocabulary, every merge
+    * iteration runs over the VOCABULARY weighted by freq — bounded by
+    * Heaps' law while the corpus grows without bound — which is why
+    * tokenizer training is feasible at 100 TB at all.
+    *
+    * Per iteration: adjacent-pair emission is a map-only transform
+    * over each word's symbol array; the pair count is one
+    * map-side-combined aggregate (vocab²-bounded keys); the argmax
+    * (count desc, then pair asc — deterministic ties) is a ONE-ROW
+    * driver collect; the merge applies map-side as a greedy
+    * left-to-right fold (`functions.aggregate`, all built-in
+    * expressions), and the vocab localCheckpoints per step so the
+    * plan stays flat instead of nesting k fold expressions (the
+    * rollCheckpoint stance from connected components). No SQL oracle
+    * — a k-step iterative argmax is not SQL-expressible; the spec
+    * replays a driver-side reference BPE on the collected vocabulary
+    * and pins exact equality.
+    */
+  val q155_bpe_merges: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 8
+    var vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"), $"freq")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val best = vocab
+        // guard single-symbol words: sequence(1, 0) is DESCENDING
+        // [1, 0] in Spark, not empty
+        .select($"freq", explode(expr(
+          """if(size(syms) < 2, array(),
+            |  transform(sequence(1, size(syms) - 1),
+            |    i -> struct(element_at(syms, i) AS l,
+            |                element_at(syms, i + 1) AS r)))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r").limit(1).collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, l, r, cnt))
+      // greedy left-to-right non-overlap: the merged token (l+r)
+      // differs from l, so a fresh occurrence of the pair never
+      // re-consumes the symbol just produced
+      vocab = vocab.select(
+        aggregate($"syms", array().cast("array<string>"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))).as("syms"),
+        $"freq")
+        .localCheckpoint()
+    }
+    merges.result().toDF("step", "left", "right", "pair_count")
+      .orderBy($"step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_bpe_merges" -> q155_bpe_merges,
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,

@@ -634,6 +634,37 @@ object Training {
       .orderBy($"new_doc", $"old_doc")
   }
 
+  /** q154: corpus novelty attribution — every distinct word-5-gram is
+    * credited to the EARLIEST document carrying it (min doc_id =
+    * arrival order), and a document's novelty is the fraction of its
+    * grams it was first to contribute. The curation metric behind
+    * "how much new content does this crawl batch actually add": near
+    * 1.0 = fresh content, near 0 = restatement of the existing
+    * corpus. Complements q78 (which REMOVES repeated spans) by
+    * MEASURING each document's marginal contribution instead.
+    *
+    * Scale shape: the gram stream is aggregated twice and never
+    * joined back to the corpus — (gram → min doc_id) with map-side
+    * combine, then (first_doc → count); per-doc totals come off the
+    * same persisted distinct stream. The one corpus-sized exchange is
+    * the (doc_id, gram) distinct; everything after is
+    * count-aggregate-sized. No pairwise anything: novelty is a
+    * first-occurrence property, so the work is linear in grams where
+    * the similarity family (q31/q139) pays candidate pairs.
+    */
+  val q154_novelty: Q = (spark, dir) => {
+    import spark.implicits._
+    val g = posGrams(spark, dir).select($"doc_id", $"gram")
+      .distinct().persist()
+    val tot = g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val nn = g.groupBy($"gram").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    tot.join(nn, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"n_new", lit(0L)).as("n_new"))
+      .withColumn("novelty", $"n_new" / $"n_grams")
+      .orderBy($"doc_id")
+  }
+
   /** q150: global token start-offset per document — the index build
     * that turns a tokenized corpus into a randomly-addressable
     * training dataset (the offset column of a `.idx` sidecar).
@@ -748,6 +779,19 @@ object Training {
           |FROM j ORDER BY doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q154_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[x:x+4], ' ') AS gram
+        |  FROM w, unnest(range(1, len(w)-3)) AS t(x) WHERE len(w) >= 5),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+        |nn AS (SELECT doc_id, COUNT(*) AS n_new FROM (
+        |  SELECT gram, MIN(doc_id) AS doc_id FROM g GROUP BY 1) GROUP BY 1)
+        |SELECT t.doc_id, t.n_grams, COALESCE(nn.n_new, 0) AS n_new,
+        |  COALESCE(nn.n_new, 0) / t.n_grams AS novelty
+        |FROM tot t LEFT JOIN nn USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q150_global_offsets" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -904,5 +948,6 @@ object Training {
     "q91_cc_twophase" -> q91_cc_twophase,
     "q114_dedup_keep_policy" -> q114_dedup_keep_policy,
     "q128_keyword_search" -> q128_keyword_search,
-    "q150_global_offsets" -> q150_global_offsets)
+    "q150_global_offsets" -> q150_global_offsets,
+    "q154_novelty" -> q154_novelty)
 }

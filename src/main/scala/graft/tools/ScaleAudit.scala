@@ -213,6 +213,26 @@ object ScaleAudit {
       bench("q135_bigram_coherence", dir, graft.SparkEntry.queries("q135_bigram_coherence"))
       bench("q136_srp_sketch", dir, graft.SparkEntry.queries("q136_srp_sketch"))
       bench("q137_ewma", dir, graft.SparkEntry.queries("q137_ewma"))
+      // q139–q153 additions. q139/q144: token-set joins whose prefix
+      // blocks grow in COUNT (disjoint per-copy vocabularies), so
+      // pairs should stay ~linear like q31. q145: seeds are spread
+      // across all copies (node-id % 20 pattern repeats under the
+      // key shift), so restart mass and edges both grow mult-x —
+      // per-iteration cost must track edges. q148: rotated copies
+      // decorrelate embeddings, cluster count grows with the corpus,
+      // intra-cluster pair work stays bounded by cluster size.
+      // q150: pure hierarchical prefix — wall should track the scan.
+      // q152/q151: one aggregate / one window pass over mult-x
+      // events. q153: mult-x facts against a mult-x dimension through
+      // the as-of merge — one exchange+sort per side.
+      bench("q139_setsim_join", dir, graft.SparkEntry.queries("q139_setsim_join"))
+      bench("q144_containment_join", dir, graft.SparkEntry.queries("q144_containment_join"))
+      bench("q145_ppr", dir, graft.SparkEntry.queries("q145_ppr"))
+      bench("q148_semdedup", dir, graft.SparkEntry.queries("q148_semdedup"))
+      bench("q150_global_offsets", dir, graft.SparkEntry.queries("q150_global_offsets"))
+      bench("q151_transitions", dir, graft.SparkEntry.queries("q151_transitions"))
+      bench("q152_cdc_apply", dir, graft.SparkEntry.queries("q152_cdc_apply"))
+      bench("q153_temporal_join", dir, graft.SparkEntry.queries("q153_temporal_join"))
       // q67 chunked vs unchunked: identical pair sets, bounded tasks.
       // Warm each variant once (bench() cleaned all caches), then time.
       def timedPairs(chunk: Long) = {

@@ -385,6 +385,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.keySet == lastOps.filter(_._2._1 != "error").keySet)
   }
 
+  test("q155: distributed BPE merges equal a driver-side reference trainer") {
+    import spark.implicits._
+    val got = operators.TextOps.q155_bpe_merges(spark, sf)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // reference: classic single-machine BPE over the same vocabulary
+    var vocab = Tables.load(spark, sf, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+      .map { case (w, f) => (w.map(_.toString).toVector, f) }.toSeq
+    val expected = (1 to 8).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; Seq(a, b) <- syms.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (step, l, r, cnt)
+    }
+    assert(got == expected)
+  }
+
   test("q153: orders pick the SCD2 version valid at their order date") {
     import spark.implicits._
     val joined = operators.Extras.q153_temporal_join(spark, sf)
