@@ -890,6 +890,35 @@ object Analytics {
       .orderBy($"event_type", $"next_type")
   }
 
+  /** q157: join-key skew profile — the diagnostic a planner (or an
+    * engineer) reads before picking a strategy for a key: per-key
+    * frequencies reduced to the top-10 heavy keys plus the global
+    * skew indicators (distinct keys, max frequency, and Σcnt² — the
+    * expected collision mass of a hash join on this key, i.e. the
+    * quantity salting exists to bound; q124 is the remedy, this is
+    * the detector). One map-side-combined count aggregate; the
+    * summary derives from the per-key counts (key-cardinality input,
+    * single row out) and broadcasts back over the top-10 cut, whose
+    * rank window runs post-LIMIT on 10 rows. The base table is
+    * scanned once; nothing downstream exceeds key cardinality.
+    */
+  val q157_skew_profile: Q = (spark, dir) => {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+      max($"cnt").as("max_cnt"), sum($"cnt" * $"cnt").as("sum_sq"))
+    counts.orderBy($"cnt".desc, $"l_suppkey").limit(10)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"cnt".desc, $"l_suppkey")).cast("int"))
+      .crossJoin(broadcast(stats))
+      .select($"rank", $"l_suppkey".as("key"), $"cnt",
+        $"n_keys", $"n_rows", $"max_cnt", $"sum_sq")
+      .orderBy($"rank")
+  }
+
   val q133_knn_triangles: Q = (spark, dir) => {
     import spark.implicits._
     val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
@@ -935,6 +964,7 @@ object Analytics {
     "q137_ewma" -> q137_ewma,
     "q138_attribution" -> q138_attribution,
     "q151_transitions" -> q151_transitions,
+    "q157_skew_profile" -> q157_skew_profile,
     "q133_knn_triangles" -> q133_knn_triangles,
     "q123_bucketed_join" -> q123_bucketed_join,
     "q124_salted_distinct" -> q124_salted_distinct,
@@ -1007,6 +1037,21 @@ object Analytics {
         |    AS ewma_cents
         |FROM r WHERE rn <= 20
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q157_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+        |  FROM c),
+        |t AS (
+        |  SELECT l_suppkey, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rn
+        |  FROM c)
+        |SELECT CAST(t.rn AS INTEGER) AS rank, t.l_suppkey AS key, t.cnt,
+        |  s.n_keys, s.n_rows, s.max_cnt, s.sum_sq
+        |FROM t CROSS JOIN s WHERE t.rn <= 10 ORDER BY rank""".stripMargin,
     "q151_transitions" ->
       """WITH p AS (
         |  SELECT event_type,

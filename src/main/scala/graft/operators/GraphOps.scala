@@ -155,6 +155,70 @@ object GraphOps {
     ranked.orderBy($"node")
   }
 
+  /** q156: synchronous label propagation community detection
+    * (Raghavan et al. 2007) — 4 rounds, every node adopts the most
+    * frequent label among its NEIGHBORS with ties to the smallest
+    * label (the deterministic variant; the async/random classic is
+    * not reproducible cross-engine). Output is the community
+    * histogram with a membership checksum. Complements q77/q91:
+    * connected components finds "linked at all", LP finds densely
+    * linked regions WITHIN a component.
+    *
+    * Scale shape: per round, one edge⋈labels join, one (node, label)
+    * count aggregate with map-side combine, one max_by argmax per
+    * node — no window sort. Labels localCheckpoint per round (the
+    * q77/q91 discipline). At 100 TB: the edge list shuffles once per
+    * round on src; bucketing it on src makes every round
+    * zero-exchange on that side (q123 economics).
+    */
+  val q156_label_propagation: Q = (spark, dir) => {
+    import spark.implicits._
+    val (cs, deg) = stagedGraph(spark, dir)
+    val edges = cs.select($"c".as("src"), $"s".as("dst"))
+      .union(cs.select($"s".as("src"), $"c".as("dst")))
+      .persist()
+    val init = deg.select($"src".as("node"), $"src".as("lbl"))
+      .localCheckpoint()
+    val labels = (1 to 4).foldLeft(init) { (lab, _) =>
+      edges
+        .join(lab.withColumnRenamed("node", "src")
+          .withColumnRenamed("lbl", "slbl"), "src")
+        .groupBy($"dst", $"slbl").agg(count(lit(1)).as("c"))
+        .groupBy($"dst")
+        .agg(max_by($"slbl", struct($"c", -$"slbl")).as("lbl"))
+        .select($"dst".as("node"), $"lbl")
+        .localCheckpoint()
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), sum($"node").as("sum_node"))
+      .orderBy($"community")
+  }
+
+  private val lpOracle: String = {
+    val head =
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM cs
+        |      UNION ALL SELECT s AS src, c AS dst FROM cs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)""".stripMargin
+    val steps = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.dst AS node, l.lbl, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.lbl) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT lbl AS community, COUNT(*) AS n_members,
+       |  CAST(SUM(node) AS BIGINT) AS sum_node
+       |FROM l4 GROUP BY lbl ORDER BY community""".stripMargin
+  }
+
   private val pprOracle: String = {
     val head =
       """WITH cs AS (
@@ -187,10 +251,12 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     "q134_bfs_hops" -> q134_bfs_hops,
-    "q145_ppr" -> q145_ppr)
+    "q145_ppr" -> q145_ppr,
+    "q156_label_propagation" -> q156_label_propagation)
 
   val oracles: Map[String, String] = Map(
     "q145_ppr" -> pprOracle,
+    "q156_label_propagation" -> lpOracle,
     "q134_bfs_hops" ->
       // recursive-CTE BFS: UNION (not UNION ALL) dedups (node, hop)
       // pairs so the frontier is bounded by nodes x 5 hops; MIN(hop)

@@ -199,6 +199,45 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of batch q152 (`Curation.q152_cdc_apply`):
+    * changelog compaction as keyed state. Each key's state is ONE row
+    * — the (ts, event_id, op, value) of the last-writer op seen so
+    * far — so state is constant per key, no watermark needed, and the
+    * fold is order-independent: max-by (ts, event_id) over any
+    * arrival order equals the batch max_by. Tombstones ('error' ops)
+    * are KEPT in state, not dropped — a late update older than the
+    * tombstone must still lose — and surface as `deleted = true`
+    * updates so a downstream materializer can retract. The spec pins
+    * the final state row-for-row against the batch q152 output.
+    */
+  def cdcCompactStream(events: DataFrame): Dataset[CdcUpdate] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.selectExpr("user_id", "ts", "event_id",
+        "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op",
+        "value")
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcUpdate](GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          var cur = state.getOption.orNull
+          var nOps = if (cur == null) 0L else cur.n_ops
+          it.foreach { case (_, ts, eid, op, v) =>
+            nOps += 1
+            if (cur == null || ts > cur.ts || (ts == cur.ts && eid > cur.event_id))
+              cur = CdcState(ts, eid, op, v, nOps)
+          }
+          cur = cur.copy(n_ops = nOps)
+          state.update(cur)
+          CdcUpdate(key, cur.op == "D", cur.value, nOps)
+      }
+  }
+
+  final case class CdcState(ts: Long, event_id: Long, op: String,
+      value: Double, n_ops: Long)
+  final case class CdcUpdate(key: Long, deleted: Boolean, value: Double,
+      n_ops: Long)
+
   /** Stream-STATIC broadcast enrichment — the most common streaming
     * join: each event decorated from a small static dimension
     * (broadcast; re-read per micro-batch if the underlying files

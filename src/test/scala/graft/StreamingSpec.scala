@@ -238,6 +238,36 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamedFinal.size} final rows != batch ${batch.size}")
   }
 
+  test("streaming CDC compaction matches batch q152 (multi-batch, tombstones retained)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val multiDir = Files.createTempDirectory("events_cdc_stream").toString
+    Tables.load(spark, sf, "events").repartition(6)
+      .write.mode("overwrite").json(multiDir)
+    val src = spark.readStream.schema(EventsStream.eventSchema)
+      .option("maxFilesPerTrigger", "2").json(multiDir)
+    val q = EventsStream.cdcCompactStream(src)
+      .writeStream.outputMode("update").format("memory").queryName("cdc_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val updates = spark.table("cdc_spec").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2), r.getLong(3)))
+    assert(updates.map(_._4).max > 1, "expected more than one micro-batch per key")
+    // final state per key = the row with the highest op count
+    val finalState = updates.groupBy(_._1).map { case (_, rows) =>
+      rows.maxBy(_._4)
+    }
+    val streamedLive = finalState.filterNot(_._2)
+      .map(r => (r._1, r._3, r._4)).toSet
+    val batch = SparkEntry.queries("q152_cdc_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamedLive == batch,
+      s"streamed ${streamedLive.size} live keys != batch ${batch.size}")
+    // tombstoned keys exist in state (deleted=true), absent from batch
+    val tombstoned = finalState.filter(_._2).map(_._1).toSet
+    assert(tombstoned.nonEmpty, "fixture should contain tombstoned keys")
+    assert(tombstoned.intersect(batch.map(_._1)).isEmpty)
+  }
+
   test("foreachBatch JDBC sink: stream lands in Derby exactly as staged") {
     import org.apache.spark.sql.functions._
     import graft.sources.JdbcSink
