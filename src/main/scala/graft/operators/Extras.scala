@@ -280,6 +280,44 @@ object Extras {
     sessionFrame(spark, dir).orderBy($"user_id", $"session_id")
   }
 
+  /** q158: event throttling / alert dedup — per (user, event type),
+    * suppress every event within 1 h of the previously KEPT event,
+    * chained (a burst of events 20 min apart keeps only its first,
+    * however long the burst runs — the paging/alerting semantics
+    * "notify once per incident"). The chain makes this inexpressible
+    * as a plain lag() comparison against the previous EVENT; but a
+    * chain of <= 1 h gaps is exactly a q48 session: gap-split burst
+    * ids via the summed-boundary window device, then keep each
+    * burst's first event. Reported per burst: the kept event and how
+    * many it suppressed.
+    *
+    * Scale shape: one hash exchange on (user_id, event_type), two
+    * window passes over the same sort, one aggregate — identical
+    * economics to q48. The streaming twin is
+    * `EventsStream.sessionize` with emit-on-open semantics.
+    */
+  val q158_throttle: Q = (spark, dir) => {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000L
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", expr("ts DIV 1000").as("us"),
+        $"event_id")
+      .withColumn("nb",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("burst_id", sum($"nb")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"event_type", $"burst_id")
+      .agg(min(struct($"us", $"event_id")).as("f"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .select($"user_id", $"event_type", $"burst_id".cast("long").as("burst_id"),
+        $"f.event_id".as("kept_event"), $"f.us".as("kept_us"),
+        $"n_suppressed")
+      .orderBy($"user_id", $"event_type", $"burst_id")
+  }
+
   /** Interval-overlap join via time-bucket binning + in-bucket
     * chunking: co-active session pairs across users. Spark has no
     * native interval join — a naive `a.start <= b.end AND b.start <=
@@ -621,6 +659,27 @@ object Extras {
         | quantile_cont(o_totalprice, 0.5) AS p50,
         | quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q158_throttle" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |         THEN 1 ELSE 0 END AS nb
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(ts), event_id)),
+        |b AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    SUM(nb) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+        |  FROM t)
+        |SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+        |  CAST(MIN([us, event_id])[2] AS BIGINT) AS kept_event,
+        |  CAST(MIN([us, event_id])[1] AS BIGINT) AS kept_us,
+        |  COUNT(*) - 1 AS n_suppressed
+        |FROM b GROUP BY user_id, event_type, burst_id
+        |ORDER BY user_id, event_type, burst_id""".stripMargin,
     "q48_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
@@ -797,6 +856,7 @@ object Extras {
     "q45_paged_source" -> q45_paged_source,
     "q46_batched_lookup" -> q46_batched_lookup,
     "q48_sessionize" -> q48_sessionize,
+    "q158_throttle" -> q158_throttle,
     "q49_percentiles" -> q49_percentiles,
     "q50_histogram" -> q50_histogram,
     "q51_vector_stats" -> q51_vector_stats,

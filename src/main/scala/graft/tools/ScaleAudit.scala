@@ -233,6 +233,18 @@ object ScaleAudit {
       bench("q151_transitions", dir, graft.SparkEntry.queries("q151_transitions"))
       bench("q152_cdc_apply", dir, graft.SparkEntry.queries("q152_cdc_apply"))
       bench("q153_temporal_join", dir, graft.SparkEntry.queries("q153_temporal_join"))
+      // q154: gram stream 8x, two aggregates, no join back — wall
+      // should track grams. q155: the vocabulary (and so every merge
+      // iteration) is UNION of 8 disjoint suffixed copies — 8x vocab
+      // is the worst case for BPE (real corpora share vocabulary);
+      // wall must stay iteration-bound, not corpus-bound. q156: 8
+      // disjoint graph copies, per-round work tracks edges. q157:
+      // one aggregate over 8x rows, key cardinality 8x.
+      bench("q154_novelty", dir, graft.SparkEntry.queries("q154_novelty"))
+      bench("q155_bpe_merges", dir, graft.SparkEntry.queries("q155_bpe_merges"))
+      bench("q156_label_propagation", dir,
+        graft.SparkEntry.queries("q156_label_propagation"))
+      bench("q157_skew_profile", dir, graft.SparkEntry.queries("q157_skew_profile"))
       // q67 chunked vs unchunked: identical pair sets, bounded tasks.
       // Warm each variant once (bench() cleaned all caches), then time.
       def timedPairs(chunk: Long) = {
