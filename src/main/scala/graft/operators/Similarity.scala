@@ -695,7 +695,54 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q159: embedding-space drift between corpus halves (vec_id
+    * parity stands in for before/after a re-crawl or encoder
+    * upgrade): per-dimension mean shift on the 1e-6-quantized
+    * integer embeddings. Complements q121 (count-distribution drift)
+    * with representation drift — the check that catches a silently
+    * swapped encoder before a retrieval index is rebuilt against
+    * mixed geometry. The drift statistic is the CROSS-MULTIPLIED
+    * |sum_a·n_b − sum_b·n_a| — integer-exact, and deliberately
+    * division-free: Spark's `DIV` truncates toward zero while
+    * DuckDB's `//` floors, so signed mean division is exactly where
+    * the engines would quietly disagree. At 100 TB the sums ride
+    * DECIMAL accumulators; at test scale BIGINT has 6 orders of
+    * headroom.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the
+    * posexploded (dim, q) stream; 64 output rows; no joins.
+    */
+  val q159_embedding_drift: Q = (spark, dir) => {
+    import spark.implicits._
+    quantized(spark, dir)
+      .select($"vec_id", posexplode($"q").as(Seq("d", "qv")))
+      .groupBy($"d")
+      .agg(
+        count(when($"vec_id" % 2 === 0, 1)).as("n_a"),
+        count(when($"vec_id" % 2 =!= 0, 1)).as("n_b"),
+        sum(when($"vec_id" % 2 === 0, $"qv").otherwise(0L)).as("sum_a"),
+        sum(when($"vec_id" % 2 =!= 0, $"qv").otherwise(0L)).as("sum_b"))
+      .select($"d", $"n_a", $"n_b", $"sum_a", $"sum_b",
+        abs($"sum_a" * $"n_b" - $"sum_b" * $"n_a").as("drift_x"))
+      .orderBy($"d")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q159_embedding_drift" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT d,
+        |  COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_a,
+        |  COUNT(*) FILTER (WHERE vec_id % 2 <> 0) AS n_b,
+        |  CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END) AS BIGINT) AS sum_a,
+        |  CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN q ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(ABS(SUM(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END)
+        |           * COUNT(*) FILTER (WHERE vec_id % 2 <> 0)
+        |         - SUM(CASE WHEN vec_id % 2 <> 0 THEN q ELSE 0 END)
+        |           * COUNT(*) FILTER (WHERE vec_id % 2 = 0)) AS BIGINT) AS drift_x
+        |FROM v GROUP BY d ORDER BY d""".stripMargin,
     "q136_srp_sketch" -> srpOracle,
     "q143_maxsim" -> maxsimOracle,
     "q148_semdedup" -> semdedupOracle,
@@ -793,5 +840,6 @@ object Similarity {
     "q132_kmeans" -> q132_kmeans,
     "q136_srp_sketch" -> q136_srp_sketch,
     "q143_maxsim" -> q143_maxsim,
-    "q148_semdedup" -> q148_semdedup)
+    "q148_semdedup" -> q148_semdedup,
+    "q159_embedding_drift" -> q159_embedding_drift)
 }

@@ -553,6 +553,23 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q160_source_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE LENGTH(w) > 0),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY 1),
+        |ix AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+        |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.sa, i.sb, i.inter, x.n AS na, y.n AS nb,
+        |  i.inter / (x.n + y.n - i.inter) AS jaccard
+        |FROM ix i JOIN sizes x ON i.sa = x.source
+        |          JOIN sizes y ON i.sb = y.source
+        |ORDER BY sa, sb""".stripMargin,
     "q147_cdc_chunks" -> cdcOracle,
     "q141_gopher_rules" ->
       """WITH w AS (
@@ -827,7 +844,44 @@ object TextOps {
       .orderBy($"step")
   }
 
+  /** q160: cross-source vocabulary-overlap matrix — pairwise Jaccard
+    * between every two sources' distinct word vocabularies, the
+    * diagnostic behind data-mixing decisions (two "different" crawls
+    * with 0.9 vocabulary overlap are one domain for mixing purposes)
+    * and the source-level cousin of the doc-level dedup family.
+    *
+    * Scale shape: the corpus collapses to the distinct (source, word)
+    * stream once; per word the SORTED source set is one
+    * collect_set aggregate and the ordered source PAIRS are expanded
+    * MAP-SIDE from that array (bounded by |sources|² per word) — no
+    * word-keyed self-join, so a stopword present in every source
+    * costs |sources|² rows, not (docs-containing-it)². Totals join
+    * back by broadcast; the output is |sources|² rows.
+    */
+  val q160_source_overlap: Q = (spark, dir) => {
+    import spark.implicits._
+    val sv = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .distinct().persist()
+    val sizes = sv.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = sv.groupBy($"w").agg(sort_array(collect_set($"source")).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
+      .groupBy($"p.sa".as("sa"), $"p.sb".as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.toDF("sa", "na")), "sa")
+      .join(broadcast(sizes.toDF("sb", "nb")), "sb")
+      .select($"sa", $"sb", $"inter", $"na", $"nb",
+        ($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .orderBy($"sa", $"sb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q160_source_overlap" -> q160_source_overlap,
     "q155_bpe_merges" -> q155_bpe_merges,
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,
