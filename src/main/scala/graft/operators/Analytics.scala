@@ -890,6 +890,41 @@ object Analytics {
       .orderBy($"event_type", $"next_type")
   }
 
+  /** q161: decile analysis — orders NTILE(10)-bucketed by spend
+    * WITHIN their customer's market segment, rolled up to (segment,
+    * decile) revenue contribution: the "what do the top 10% of
+    * orders carry" cut that pricing/mix reviews start from. NTILE's
+    * distribution rule (leading buckets absorb the remainder) is
+    * ANSI-specified and implemented identically by Spark and DuckDB,
+    * so with a TOTAL order (price desc, orderkey) the bucket
+    * assignment — not just the aggregate — is oracle-exact.
+    *
+    * Scale shape: the segment comes from a broadcast dimension join
+    * (customer is the small side by construction); one hash exchange
+    * on segment feeds the per-segment sort; revenue sums ride
+    * DECIMAL(18,2). Segments are few and balanced here — a skewed
+    * partition key would call for the q124 salt + two-level ntile
+    * refinement, which q157 exists to detect.
+    */
+  val q161_decile_analysis: Q = (spark, dir) => {
+    import spark.implicits._
+    val seg = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"c_mktsegment", $"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"),
+        max($"o_totalprice").as("max_price"),
+        min($"o_totalprice").as("min_price"))
+      .orderBy($"c_mktsegment", $"decile")
+  }
+
   /** q157: join-key skew profile — the diagnostic a planner (or an
     * engineer) reads before picking a strategy for a key: per-key
     * frequencies reduced to the top-10 heavy keys plus the global
@@ -965,6 +1000,7 @@ object Analytics {
     "q138_attribution" -> q138_attribution,
     "q151_transitions" -> q151_transitions,
     "q157_skew_profile" -> q157_skew_profile,
+    "q161_decile_analysis" -> q161_decile_analysis,
     "q133_knn_triangles" -> q133_knn_triangles,
     "q123_bucketed_join" -> q123_bucketed_join,
     "q124_salted_distinct" -> q124_salted_distinct,
@@ -1037,6 +1073,18 @@ object Analytics {
         |    AS ewma_cents
         |FROM r WHERE rn <= 20
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q161_decile_analysis" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    NTILE(10) OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS decile
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, CAST(decile AS INTEGER) AS decile,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+        |FROM j GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin,
     "q157_skew_profile" ->
       """WITH c AS (
         |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
