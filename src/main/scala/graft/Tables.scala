@@ -23,6 +23,9 @@ object Tables {
       // encodings to that one logical type here — the single choke
       // point every events consumer goes through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Pin the session timezone at this choke point, BEFORE the
+      // read: see the TIMESTAMP_LTZ branch below for why.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => df
@@ -31,7 +34,16 @@ object Tables {
           df.withColumn("ts", org.apache.spark.sql.functions.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
         case _ =>
-          // TIMESTAMP_LTZ (isAdjustedToUTC=true): unix_micros is exact.
+          // TIMESTAMP_LTZ: unix_micros is exact when the parquet
+          // column is genuinely isAdjustedToUTC=true. But a vintage
+          // can also land here with TZ-NAIVE micros read as LTZ (e.g.
+          // inferTimestampNTZ disabled, or a writer that omitted the
+          // annotation) — then the naive value is interpreted in the
+          // SESSION timezone and ts would shift by the UTC offset.
+          // The session timezone is pinned to UTC above (before the
+          // read) so both cases yield the naive-UTC instant:
+          // true-UTC values are unaffected, naive-as-LTZ values get
+          // interpreted as UTC.
           df.withColumn("ts", org.apache.spark.sql.functions.expr(
             "unix_micros(ts) * 1000L"))
       }

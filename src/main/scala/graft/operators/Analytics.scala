@@ -239,14 +239,11 @@ object Analytics {
     // sf0.1). Spark's CacheManager keys on the canonicalized plan, so
     // repeat invocations share the entry — the same memoized-index
     // economics as the IVF centroids and decontamination Blooms.
-    val cs = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-      .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct().persist()
-    val edges = cs.select($"c".as("src"), $"s".as("dst"))
-      .union(cs.select($"s".as("src"), $"c".as("dst")))
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("degree")).persist()
+    // fromScratch = true IS the semantics here: q104 is the
+    // full-recompute baseline q113's incremental path is measured
+    // against — same [[BipartiteGraph]] formula, opposite flag.
+    val (cs, deg) = BipartiteGraph.graph(spark, dir, fromScratch = true)
+    val edges = BipartiteGraph.edgesOf(cs)
     val edgesDeg = edges.join(deg, "src").persist()
     // planning-time scalar off the persisted per-node table (one row
     // per src — no extra distinct over the edge-sized side). The
@@ -295,11 +292,9 @@ object Analytics {
   val q113_incremental_pagerank: Q = (spark, dir) => {
     import spark.implicits._
     val Total = 1000000000000L
-    val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-    val ord = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
-    def pairs(o: DataFrame) = li.join(o, $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct()
+    // the single derivation site, over the base/delta order split
+    def pairs(pred: org.apache.spark.sql.Column) =
+      BipartiteGraph.pairs(spark, dir, Some(pred))
     // The prior ingest's artifacts, staged to parquet ONCE per
     // dataset fingerprint ([[graft.Staging]]) exactly as a
     // steady-state pipeline would hold them next to the data — so
@@ -309,25 +304,21 @@ object Analytics {
     val baseDir = Staging.stage(s"q113_base_graph#$dir",
       Tables.fingerprint(dir, "lineitem") + "|" +
         Tables.fingerprint(dir, "orders")) { d =>
-        val bp = pairs(ord.where($"o_orderkey" % 10 =!= 0)).persist()
+        val bp = pairs($"o_orderkey" % 10 =!= 0).persist()
         bp.write.parquet(s"$d/pairs")
-        bp.select($"c".as("src")).union(bp.select($"s".as("src")))
-          .groupBy($"src").agg(count(lit(1)).as("degree"))
-          .write.parquet(s"$d/degree")
+        BipartiteGraph.degreesOf(bp).write.parquet(s"$d/degree")
         bp.unpersist(blocking = false)
       }
     val basePairs = spark.read.parquet(s"$baseDir/pairs")
     val baseDeg = spark.read.parquet(s"$baseDir/degree")
     // delta-sized: only genuinely new customer-supplier relationships
-    val newPairs = pairs(ord.where($"o_orderkey" % 10 === 0))
+    val newPairs = pairs($"o_orderkey" % 10 === 0)
       .join(basePairs, Seq("c", "s"), "left_anti").persist()
-    val deltaDeg = newPairs.select($"c".as("src")).union(newPairs.select($"s".as("src")))
-      .groupBy($"src").agg(count(lit(1)).as("degree"))
+    val deltaDeg = BipartiteGraph.degreesOf(newPairs)
     val mergedDeg = baseDeg.union(deltaDeg)
       .groupBy($"src").agg(sum($"degree").as("degree")).persist()
     val mergedCs = basePairs.union(newPairs)
-    val edges = mergedCs.select($"c".as("src"), $"s".as("dst"))
-      .union(mergedCs.select($"s".as("src"), $"c".as("dst")))
+    val edges = BipartiteGraph.edgesOf(mergedCs)
     val edgesDeg = edges.join(mergedDeg, "src").persist()
     val n = mergedDeg.count()
     require(n > 0, s"q113: empty merged customer-supplier graph under $dir")
@@ -961,8 +952,24 @@ object Analytics {
         $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
       .distinct()
-    val pw = cs.as("x").join(cs.as("y"), $"x.c" === $"y.c" && $"x.s" < $"y.s")
-      .groupBy($"x.s".as("s1"), $"y.s".as("s2")).agg(count(lit(1)).as("w"))
+    // Co-occurrence pairs via collect-list + MAP-SIDE expansion (the
+    // q160 device), not a customer-keyed self-JOIN: the join form
+    // piles every row of a heavy customer into one shuffle bucket and
+    // pays (suppliers-per-customer)² inside the join; here the
+    // ordered pairs expand from each customer's one sorted-set row in
+    // the map stage of the (s1, s2) count — bit-identical output
+    // (sorted set ⇒ s1 < s2, one struct per unordered pair per
+    // customer; AnalyticsSpec pins equivalence against the join
+    // formulation on the fixture). A pathological customer linked to
+    // ~everything would still emit its set² pairs from one task — at
+    // 100 TB that calls for splitting such rows' sets into chunks
+    // (the q124 salting analogue), detected by the q157 profile.
+    val pw = cs.groupBy($"c").agg(sort_array(collect_set($"s")).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+      .groupBy($"p.s1".as("s1"), $"p.s2".as("s2")).agg(count(lit(1)).as("w"))
     val dirs = pw.select($"s1".as("u"), $"s2".as("nbr"), $"w")
       .union(pw.select($"s2".as("u"), $"s1".as("nbr"), $"w"))
     val topk = dirs
@@ -989,10 +996,14 @@ object Analytics {
         $"x.lo" === $"y.lo" && $"x.rhi" < $"y.rhi")
       .select($"x.hi".as("v"), $"y.hi".as("w"))
     val tri = wedge.join(o, $"v" === $"lo" && $"w" === $"hi")
-    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+    val out = deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
         e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .localCheckpoint() // 1 row — drop the query-local caches below
+    e.unpersist(blocking = false)
+    o.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, Q] = Map(

@@ -478,10 +478,16 @@ object Curation {
     * for the diversity sum, a per-source window for the order
     * statistics — joined on the source key (5 rows). The window is
     * the only per-row sort and it partitions by source; at 100 TB
-    * the exact percentiles would switch to the q61 quantile sketch,
-    * which is the documented trade (card stats tolerate epsilon).
+    * the exact percentiles switch to the quantile SKETCH path
+    * (`exact = false` below — the q61 GK summary via
+    * `approx_percentile`): constant memory per source, one
+    * map-side-combined aggregate, no per-source sort anywhere. Card
+    * stats tolerate epsilon; CurationSpec pins the sketch card
+    * within 2% of the exact card on every percentile column and
+    * bit-equal on all non-percentile columns.
     */
-  val q146_dataset_card: Q = (spark, dir) => {
+  private[graft] def datasetCard(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars",
@@ -496,17 +502,32 @@ object Curation {
       .agg(sum($"c" * $"c").as("ss"), sum($"c").as("n"))
       .select($"source",
         expr("CAST(1000 - (1000 * ss) DIV (n * n) AS BIGINT)").as("gini_x1000"))
-    val w = Window.partitionBy($"source").orderBy($"n_chars")
-    val ranked = docs.select($"source", $"n_chars")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
-    val p50 = ranked.where(expr("rn = (n + 1) DIV 2"))
-      .select($"source", $"n_chars".as("p50_chars"))
-    val p90 = ranked.where(expr("rn = (9 * n + 9) DIV 10"))
-      .select($"source", $"n_chars".as("p90_chars"))
-    vol.join(langs, "source").join(p50, "source").join(p90, "source")
+    val pcts = if (exact) {
+      val w = Window.partitionBy($"source").orderBy($"n_chars")
+      val ranked = docs.select($"source", $"n_chars")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      ranked.where(expr("rn = (n + 1) DIV 2"))
+        .select($"source", $"n_chars".as("p50_chars"))
+        .join(ranked.where(expr("rn = (9 * n + 9) DIV 10"))
+          .select($"source", $"n_chars".as("p90_chars")), "source")
+    } else {
+      // GK quantile summary (the q61 sketch): rank error <= n/10000
+      // per source at constant memory — the 100 TB path, since the
+      // exact branch's per-source sort is the card's only
+      // corpus-sized sort
+      docs.groupBy($"source")
+        .agg(approx_percentile($"n_chars", array(lit(0.5), lit(0.9)),
+          lit(10000)).as("p"))
+        .select($"source", $"p".getItem(0).as("p50_chars"),
+          $"p".getItem(1).as("p90_chars"))
+    }
+    vol.join(langs, "source").join(pcts, "source")
       .orderBy($"source")
   }
+
+  val q146_dataset_card: Q = (spark, dir) =>
+    datasetCard(spark, dir, exact = true)
 
   /** 2-D skyline (Pareto frontier, Börzsönyi et al. ICDE'01) over the
     * curation dimensions (word count, stopword count): keep every

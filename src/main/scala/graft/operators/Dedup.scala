@@ -205,17 +205,36 @@ object Dedup {
     * pair list against the per-doc sorted-token arrays (doc-keyed
     * shuffles) and finishes map-side.
     */
-  val q139_setsim_join: Q = (spark, dir) => {
+  /** q139's (dt, prefix) streams — `dt` the per-doc token-rank pairs,
+    * `prefix` each doc's rare-first prefix rows (doc_id, trank, t, rn).
+    * Exposed `private[graft]` so ScaleAudit can profile the candidate
+    * join-key (trank) bucket occupancy over the SAME derivation the
+    * query joins on, instead of a drifting copy.
+    */
+  private[graft] def setsimStreams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
+    import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(array_distinct(
         expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)"))).as("tok"))
       .persist()
-    // global rare-first order; vocabulary-sized single-partition window
-    val ranked = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-      .withColumn("trank", row_number().over(Window.orderBy($"df", $"tok")))
-      .select($"tok", $"trank")
+    // Global rare-first order WITHOUT a single-partition window: the
+    // (df, tok) range-sort stays distributed and `zipWithIndex`
+    // assigns the global ordinal per partition (the q140/F12 device).
+    // Only the ORDER of trank matters downstream (prefix selection,
+    // candidate equi-join, sorted-array intersect) — the values never
+    // reach the output — so the 1-based dense ordinal is equivalent
+    // to the old vocabulary-wide row_number and this path keeps zero
+    // single-task stages.
+    val sortedV = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .sort($"df", $"tok").select($"tok")
+    val vSchema = sortedV.schema.add("trank", LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sortedV.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      vSchema)
     val dt = toks.join(ranked, "tok").select($"doc_id", $"trank")
     val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("t"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"trank")
@@ -223,6 +242,12 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .where($"rn" <= expr("t - (9 * t + 9) DIV 10 + 1"))
       .select($"doc_id", $"trank", $"t", $"rn")
+    (dt, prefix)
+  }
+
+  val q139_setsim_join: Q = (spark, dir) => {
+    import spark.implicits._
+    val (dt, prefix) = setsimStreams(spark, dir)
     // PPJoin position filter: at a pair's EARLIEST common token the
     // remaining overlap is at most 1 + min(t_a - rn_a, t_b - rn_b)
     // (everything common sits at or after that token in both rare-
@@ -271,7 +296,14 @@ object Dedup {
     * distinct needed). Work is n*W candidate rows however large the
     * corpus — no skew possible, every block has exactly W rows.
     */
-  val q140_sorted_neighborhood: Q = (spark, dir) => {
+  /** One sorted-neighborhood pass under an arbitrary sort key derived
+    * from the normalized text — the parameterized kernel behind q140
+    * (forward 24-char prefix) and q162's second pass (reversed-text
+    * prefix). Returns the verified pair set WITHOUT the presentation
+    * sort so passes compose with a union.
+    */
+  private def snmPass(spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
@@ -280,7 +312,7 @@ object Dedup {
       .select($"doc_id",
         expr("array_distinct(filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0))")
           .as("toks"),
-        substring(lower(trim($"text")), 1, 24).as("k"))
+        key(lower(trim($"text"))).as("k"))
     val sorted = docs.sort($"k", $"doc_id").select($"doc_id", $"toks")
     val schema = sorted.schema.add("idx", LongType, nullable = false)
     val indexed = spark.createDataFrame(
@@ -303,6 +335,33 @@ object Dedup {
         greatest($"id_a", $"id_b").as("doc_b"), $"inter",
         ($"na" + $"nb" - $"inter").cast("long").as("uni"),
         expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
+  }
+
+  val q140_sorted_neighborhood: Q = (spark, dir) => {
+    import spark.implicits._
+    snmPass(spark, dir, norm => substring(norm, 1, 24))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q162: MULTI-PASS sorted-neighborhood — the recall knob q140's
+    * scaladoc names ("more passes with different keys, not a bigger
+    * window"), shipped: pass 1 sorts by the forward 24-char prefix
+    * (exactly q140), pass 2 by the REVERSED-text 24-char prefix, so
+    * near-dups that diverge in their opening words but share their
+    * tails (changed titles, prepended boilerplate — the suffix-stable
+    * edit class) are invisible to pass 1 and caught by pass 2.
+    * Union of verified pairs (UNION is set-semantics: a pair found by
+    * both passes carries identical metric columns, so it collapses).
+    * Each pass keeps the hard O(n·W) candidate bound — P passes cost
+    * P linear sweeps, never a quadratic term (Hernandez & Stolfo
+    * SIGMOD'95 §4, the multi-pass recipe). Recall of 1 vs 2 passes
+    * against the exact q139 join is pinned in SimilaritySpec.
+    */
+  val q162_snm_multipass: Q = (spark, dir) => {
+    import spark.implicits._
+    snmPass(spark, dir, n => substring(n, 1, 24))
+      .unionByName(snmPass(spark, dir, n => substring(reverse(n), 1, 24)))
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -421,7 +480,13 @@ object Dedup {
     * the prefix choice needs only (df, gram) ORDER, carried by the
     * per-doc window.
     */
-  val q144_containment_join: Q = (spark, dir) => {
+  /** q144's (shingles, probeA, fullB) streams — exposed `private[graft]`
+    * so ScaleAudit profiles the probed-bucket occupancy (the join work
+    * is Σ probe_cnt·post_cnt per gram, over PROBED grams only) on the
+    * same derivation the query joins, not a drifting copy.
+    */
+  private[graft] def containmentStreams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val (tn, td) = (7, 10) // tau = 0.7
@@ -445,6 +510,13 @@ object Dedup {
       .select($"g", $"doc_id".as("doc_a"), $"t".as("ta"), $"rn".as("ra"))
     val fullB = posed
       .select($"g", $"doc_id".as("doc_b"), $"t".as("tb"), $"rn".as("rb"))
+    (sh, probeA, fullB)
+  }
+
+  val q144_containment_join: Q = (spark, dir) => {
+    import spark.implicits._
+    val (tn, td) = (7, 10) // tau = 0.7
+    val (sh, probeA, fullB) = containmentStreams(spark, dir)
     val cands = probeA.join(fullB, "g")
       .where($"doc_a" =!= $"doc_b" &&
         $"tb" * td >= $"ta" * tn &&

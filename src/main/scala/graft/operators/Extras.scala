@@ -113,10 +113,22 @@ object Extras {
     * row to ALL versions of its key before filtering. Dates ride as
     * epoch-day longs. Oracle: DuckDB's native ASOF JOIN against the
     * UNION ALL-built version table — an independent implementation.
+    *
+    * The base version's `valid_from` is DERIVED as min(o_orderdate) —
+    * a planning-time scalar (one min over a pruned single-column
+    * scan, same device as the S4/A4 total probe), NOT a hard-coded
+    * epoch — so every fact is covered by construction under any data
+    * vintage: no fact can predate the base version, hence no
+    * null-extended rows from the as-of LEFT join. The oracle derives
+    * the identical scalar with a CTE, keeping cross-engine parity
+    * vintage-independent. t1 (the one mid-history version bump) stays
+    * a constant; facts before it simply match the base version.
     */
   val q153_temporal_join: Q = (spark, dir) => {
     import spark.implicits._
-    val t0 = "1995-01-01"
+    val t0 = Tables.load(spark, dir, "orders")
+      .agg(min(to_date($"o_orderdate")).as("m"))
+      .first().getDate(0).toString
     val t1 = "1998-01-01"
     def ver(from: String, bal: org.apache.spark.sql.Column) =
       struct(lit(from).as("valid_from"), bal.as("bal"))
@@ -765,10 +777,11 @@ object Extras {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_event""".stripMargin,
     "q153_temporal_join" ->
-      """WITH dim AS (
-        |  SELECT c_custkey AS d_key, '1995-01-01' AS valid_from,
-        |    DATE '1995-01-01' AS vf, c_acctbal AS bal
-        |  FROM customer
+      """WITH t0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |dim AS (
+        |  SELECT c_custkey AS d_key, STRFTIME(t0.m, '%Y-%m-%d') AS valid_from,
+        |    t0.m AS vf, c_acctbal AS bal
+        |  FROM customer, t0
         |  UNION ALL
         |  SELECT c_custkey, '1998-01-01', DATE '1998-01-01', c_acctbal + 100.0
         |  FROM customer WHERE c_custkey % 7 = 3)

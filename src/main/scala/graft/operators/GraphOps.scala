@@ -17,39 +17,86 @@ import graft.Tables
   * the same way q104 does, so the same oracle discipline applies —
   * integer-only arithmetic, a recursive-CTE DuckDB twin.
   */
+/** THE single derivation site for the derived customer–supplier
+  * bipartite graph (customers at `2k`, suppliers at `2k+1`): the pair
+  * index is the distinct (c, s) projection of lineitem⋈orders, the
+  * degree table its endpoint counts, the edge list its symmetric
+  * union. Three consumers, one formula:
+  *
+  *  - `graph(fromScratch = true)` — q104's full recompute: derives
+  *    inline, paying the lineitem×orders join + distinct every time.
+  *    That cost IS the point: q104 is the baseline q113's
+  *    incremental path is measured against, so the baseline/derived
+  *    relationship is structural (same formula, different flag), not
+  *    copy-discipline across three hand-maintained copies.
+  *  - `graph(fromScratch = false)` — the fingerprint-staged parquet
+  *    artifact ([[graft.Staging]], the q99/q113 economics) that every
+  *    traversal query (q134 BFS, q145 PPR, q156 LP) starts from: a
+  *    steady-state pipeline holds the pair index next to the data
+  *    instead of re-paying the derivation per traversal.
+  *  - `pairs(ordersFilter = ...)` — q113's base/delta split: the same
+  *    formula over a filtered order set.
+  */
+object BipartiteGraph {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  /** Distinct (c, s) pair index, optionally over a filtered order set. */
+  def pairs(spark: SparkSession, dir: String,
+      ordersFilter: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val ord0 = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val ord = ordersFilter.map(ord0.where).getOrElse(ord0)
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+  }
+
+  /** Endpoint-count degree table of a pair index. */
+  def degreesOf(cs: DataFrame): DataFrame =
+    cs.select(col("c").as("src")).union(cs.select(col("s").as("src")))
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+
+  /** Symmetric (src, dst) edge list of a pair index. */
+  def edgesOf(cs: DataFrame): DataFrame =
+    cs.select(col("c").as("src"), col("s").as("dst"))
+      .union(cs.select(col("s").as("src"), col("c").as("dst")))
+
+  /** (pairs, degree): derived inline (`fromScratch = true`, the q104
+    * baseline; both persisted — the caches are the full-recompute
+    * economics q104 documents) or read from the fingerprint-staged
+    * artifact (`fromScratch = false`, every traversal query).
+    */
+  def graph(spark: SparkSession, dir: String,
+      fromScratch: Boolean): (DataFrame, DataFrame) =
+    if (fromScratch) {
+      val cs = pairs(spark, dir).persist()
+      (cs, degreesOf(cs).persist())
+    } else {
+      val fp = Tables.fingerprint(dir, "lineitem") + "|" +
+        Tables.fingerprint(dir, "orders")
+      val d = graft.Staging.stage(s"graph_full#$dir", fp) { d =>
+        val cs = pairs(spark, dir).persist()
+        cs.write.parquet(s"$d/pairs")
+        degreesOf(cs).write.parquet(s"$d/degree")
+        cs.unpersist(blocking = false)
+      }
+      (spark.read.parquet(s"$d/pairs"), spark.read.parquet(s"$d/degree"))
+    }
+}
+
 object GraphOps {
   import Relational.Q
 
-  /** The full customer-supplier graph's pair index + degree table,
-    * staged to parquet once per dataset fingerprint ([[graft.Staging]],
-    * the q99/q113 economics): every traversal query (q134 BFS, q145
-    * PPR) starts from the same derived graph, and a steady-state
-    * pipeline holds that index next to the data instead of re-paying
-    * the lineitem×orders join + distinct on every traversal. q104
-    * deliberately does NOT use this — it is the from-scratch full
-    * recompute that q113's incremental path is measured against.
+  /** Every traversal query (q134 BFS, q145 PPR, q156 LP) reads the
+    * fingerprint-staged graph; q104 deliberately derives from scratch
+    * — see [[BipartiteGraph.graph]], the single derivation site.
     */
   private def stagedGraph(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import spark.implicits._
-    val fp = Tables.fingerprint(dir, "lineitem") + "|" +
-      Tables.fingerprint(dir, "orders")
-    val d = graft.Staging.stage(s"graph_full#$dir", fp) { d =>
-      val cs = Tables.load(spark, dir, "lineitem")
-        .select($"l_orderkey", $"l_suppkey")
-        .join(Tables.load(spark, dir, "orders")
-          .select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-        .distinct().persist()
-      cs.write.parquet(s"$d/pairs")
-      cs.select($"c".as("src")).union(cs.select($"s".as("src")))
-        .groupBy($"src").agg(count(lit(1)).as("degree"))
-        .write.parquet(s"$d/degree")
-      cs.unpersist(blocking = false)
-    }
-    (spark.read.parquet(s"$d/pairs"), spark.read.parquet(s"$d/degree"))
-  }
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    BipartiteGraph.graph(spark, dir, fromScratch = false)
 
   /** q134: multi-source BFS hop histogram, 4 relaxation rounds.
     *
@@ -86,7 +133,7 @@ object GraphOps {
     // against settled labels keeps the frontier shrinking — on a
     // dense graph the later rounds are near-free because the
     // frontier empties once everything is reached
-    val (labels, _) = (1 to 4).foldLeft((init, init)) {
+    val (labels, lastFrontier) = (1 to 4).foldLeft((init, init)) {
       case ((lab, frontier), h) =>
         val reached = edges
           .join(frontier.select($"node".as("src")), "src")
@@ -97,8 +144,18 @@ object GraphOps {
         val newFrontier = reached.join(lab, Seq("node"), "left_anti")
           .select($"node", lit(h).as("hop"))
           .persist()
-        (lab.union(newFrontier).localCheckpoint(), newFrontier)
+        val nextLab = lab.union(newFrontier).localCheckpoint()
+        // the eager checkpoint above just materialized newFrontier;
+        // the PREVIOUS round's frontier is now dead — drop its cache
+        // so a 161-query bench session doesn't accumulate one block
+        // set per BFS round (the round-5 phantom-regression lesson)
+        if (frontier ne init) frontier.unpersist(blocking = false)
+        (nextLab, newFrontier)
     }
+    // everything downstream reads only the checkpointed labels (and a
+    // fresh deg scan) — the edge cache and final frontier are dead
+    if (lastFrontier ne init) lastFrontier.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     val hist = labels.groupBy($"hop")
       .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
     val unreached = nodes.join(labels, Seq("node"), "left_anti")
@@ -152,7 +209,14 @@ object GraphOps {
         .unionByName(seeds.select($"node", lit(sbase).as("v")))
         .groupBy($"node").agg(sum($"v").as("rank"))
     }
-    ranked.orderBy($"node")
+    // materialize the final sparse rank vector (node-count rows, tiny
+    // relative to the edge list) so the query-local caches can be
+    // dropped before returning — otherwise every bench query after
+    // this one competes with a dead edgesDeg block set for memory
+    val out = ranked.orderBy($"node").localCheckpoint()
+    edgesDeg.unpersist(blocking = false)
+    seeds.unpersist(blocking = false)
+    out
   }
 
   /** q156: synchronous label propagation community detection
@@ -189,6 +253,9 @@ object GraphOps {
         .select($"dst".as("node"), $"lbl")
         .localCheckpoint()
     }
+    // the per-round eager checkpoints mean the final labels no longer
+    // reference the edge cache — drop it before returning
+    edges.unpersist(blocking = false)
     labels.groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"), sum($"node").as("sum_node"))
       .orderBy($"community")

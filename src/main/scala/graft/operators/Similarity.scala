@@ -435,6 +435,21 @@ object Similarity {
     Array.tabulate(k, 64)((c, d) => got.getOrElse((c, d), cents(c)(d)))
   }
 
+  /** 1e-6 floor-quantized integer embeddings — the exact-arithmetic
+    * substrate for q132/q148.
+    *
+    * MAGNITUDE ASSUMPTION (load-bearing for overflow-freedom): every
+    * downstream bound assumes components stay within |x| <= 1 (the
+    * fixture's embeddings are unit-scale; SimilaritySpec pins
+    * max(abs(x)) <= 1 so a vintage violating this fails loudly there,
+    * not via null-on-overflow row drops here). Under that bound, for
+    * 64 dims: a quantized dot |Σ qa·qb| <= 64·(1e6)² = 6.4e13 (BIGINT
+    * holds up to 9.2e18 — components up to |x|≈3.8 before overflow),
+    * and the q148 duplicate test's 400·dot² <= ~1.6e30 and
+    * 81·na²·nb² <= ~1.4e31 both fit the DECIMAL(38,0) result type
+    * that Spark/DuckDB assign to the DECIMAL(20,0)·DECIMAL(20,0)
+    * products (precision capped at 38).
+    */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id",
@@ -455,12 +470,15 @@ object Similarity {
     def update(cents: Array[Array[Long]]): Array[Array[Long]] = kmUpdate(v, cents, k)
     val c2 = update(update(seeds))
     val norm1 = c2.map(_.map(math.abs).sum)
-    scored(c2)
+    val out = scored(c2)
       .groupBy($"cluster")
       .agg(count(lit(1)).as("n"), sum($"dist").as("inertia"))
       .withColumn("c_norm1",
         element_at(array(norm1.map(lit(_)): _*), $"cluster" + 1))
       .orderBy($"cluster")
+      .localCheckpoint() // k rows — materialize so v's cache can drop
+    v.unpersist(blocking = false)
+    out
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -500,6 +518,10 @@ object Similarity {
       .select($"cl", $"vec_id".as("va"), $"q".as("qa"), $"n2".as("na2"))
     val b = assigned
       .select($"cl", $"vec_id".as("vb"), $"q".as("qb"), $"n2".as("nb2"))
+    // DECIMAL(20,0)·DECIMAL(20,0) products land in DECIMAL(38,0)
+    // (precision capped at 38) — overflow-free under the |x| <= 1
+    // magnitude bound documented at quantized() and pinned in
+    // SimilaritySpec
     val dups = a.join(b, Seq("cl")).where($"va" < $"vb")
       .withColumn("dot", aggregate(zip_with($"qa", $"qb", (x, y) => x * y),
         lit(0L), (acc, d) => acc + d))
@@ -509,13 +531,17 @@ object Similarity {
           .replace("\n", " ")))
       .select($"cl", $"vb".as("vec_id"), lit(1).as("dr"))
       .distinct()
-    assigned.select($"cl", $"vec_id")
+    val out = assigned.select($"cl", $"vec_id")
       .join(dups, Seq("cl", "vec_id"), "left")
       .groupBy($"cl")
       .agg(count(lit(1)).as("n_members"),
         count($"dr").as("n_dropped"),
         sum(when($"dr".isNull, $"vec_id")).as("survivor_sum"))
       .orderBy($"cl")
+      .localCheckpoint() // k rows — drop the corpus-sized caches below
+    assigned.unpersist(blocking = false)
+    v.unpersist(blocking = false)
+    out
   }
 
   /** q136: signed-random-projection (SRP) sketch + Hamming near-dup —
@@ -551,7 +577,11 @@ object Similarity {
     val codeExpr = projs.zipWithIndex
       .map { case (p, b) => s"(CASE WHEN ($p) > 0 THEN ${1L << b} ELSE 0 END)" }
       .mkString(" + ")
-    val coded = sv.selectExpr("vec_id", s"CAST($codeExpr AS BIGINT) AS code").persist()
+    // No persist: both self-join sides shuffle the SAME subplan on
+    // (ci, cv), so Spark plans one exchange and a ReusedExchange for
+    // the other side — the 16-dot code derivation runs exactly once
+    // with no cache to leak (pinned in PlanInvariantsSpec).
+    val coded = sv.selectExpr("vec_id", s"CAST($codeExpr AS BIGINT) AS code")
     val chunks = coded.select($"vec_id", $"code", explode(expr(
         """array(struct(0 AS ci, code % 64 AS cv),
           |      struct(1 AS ci, (code DIV 64) % 32 AS cv),

@@ -552,7 +552,64 @@ object TextOps {
        |FROM chunks GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q155's oracle: the k merge steps UNROLLED as chained CTEs —
+    * `b{s}` picks step s's argmax pair, `v{s}` applies the merge.
+    * Two DuckDB-side devices make this exact:
+    *  - every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    *    k-deep chain of inlined self-references re-evaluates the
+    *    whole prefix per step — exponential work. Materialization
+    *    makes each step run once (the iterative-query cost model
+    *    Spark gets from per-step localCheckpoint).
+    *  - the greedy left-to-right merge is a string `replace` over a
+    *    `|s1||s2||s3|`-encoded symbol string: each symbol is wrapped
+    *    in its OWN pair of '|'s, so a replace of `|l||r|` with
+    *    `|lr|` (a) can never match across a symbol boundary ('|'
+    *    never occurs inside a symbol — words are whitespace-split)
+    *    and (b) consumes no characters shared with the next
+    *    occurrence, so leftmost-nonoverlap replace is exactly the
+    *    greedy fold Spark runs (adjacent `l r l r` merges twice,
+    *    `x x x` merges once — both verified in TextSpec's driver
+    *    replay and by the hash gate).
+    */
+  private val bpeOracle: String = {
+    val k = 8
+    val head = Seq(
+      """words AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0 GROUP BY word)""".stripMargin,
+      """v0 AS MATERIALIZED (
+        |  SELECT list_transform(range(1, length(word) + 1),
+        |           i -> substring(word, i, 1)) AS syms, freq
+        |  FROM words)""".stripMargin)
+    val steps = (1 to k).flatMap { s =>
+      val best =
+        s"""b$s AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM (
+           |    SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+           |    FROM v${s - 1}, UNNEST(range(1, len(syms))) AS t(i)
+           |    GROUP BY 1, 2)
+           |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      val merged =
+        s"""v$s AS MATERIALIZED (
+           |  SELECT string_split_regex(
+           |    trim(
+           |      replace('|' || array_to_string(syms, '||') || '|',
+           |              (SELECT '|' || l || '||' || r || '|' FROM b$s),
+           |              (SELECT '|' || l || r || '|' FROM b$s)),
+           |      '|'),
+           |    '\\|\\|') AS syms, freq
+           |  FROM v${s - 1})""".stripMargin
+      if (s < k) Seq(best, merged) else Seq(best)
+    }
+    val sel = (1 to k).map(s =>
+      s"""SELECT $s AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b$s""")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (head ++ steps).mkString(",\n") + "\n" + sel + "\nORDER BY step"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q155_bpe_merges" -> bpeOracle,
     "q160_source_overlap" ->
       """WITH sv AS (
         |  SELECT DISTINCT source, w FROM (
@@ -872,12 +929,15 @@ object TextOps {
           |    struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
       .groupBy($"p.sa".as("sa"), $"p.sb".as("sb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(broadcast(sizes.toDF("sa", "na")), "sa")
       .join(broadcast(sizes.toDF("sb", "nb")), "sb")
       .select($"sa", $"sb", $"inter", $"na", $"nb",
         ($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .orderBy($"sa", $"sb")
+      .localCheckpoint() // |sources|² rows — drop the vocab cache
+    sv.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, Q] = Map(

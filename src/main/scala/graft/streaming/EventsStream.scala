@@ -238,6 +238,88 @@ object EventsStream {
   final case class CdcUpdate(key: Long, deleted: Boolean, value: Double,
       n_ops: Long)
 
+  /** Running aggregate maintained OVER the compacted store: live-key
+    * count, sum of live values, tombstone count, total ops applied.
+    */
+  final case class CdcAgg(live_keys: Long, live_sum: Double,
+      tomb_keys: Long, total_ops: Long)
+
+  /** The CDC family end-to-end as ONE continuous pipeline: raw event
+    * log → [[cdcCompactStream]] (the q152 keyed compaction as
+    * exactly-once state) → a materialized keyed STORE (parquet,
+    * upserted per micro-batch — the q88 upsert device inside
+    * foreachBatch) → an incrementally-maintained AGGREGATE over that
+    * store (the q125 merge economics, with the retraction step CDC
+    * forces: an upsert REPLACES a key's value, so the old value's
+    * contribution is subtracted before the new one is added — plain
+    * delta-union aggregation like q125's date keys would double-count
+    * re-keyed updates).
+    *
+    * Per micro-batch, work is proportional to TOUCHED KEYS only:
+    * `updates` has one row per key seen in the batch (the
+    * mapGroupsWithState update-mode contract), the retraction reads
+    * old values by a store semi-join on those keys, and the aggregate
+    * moves four numbers. The store rewrite is the one term that scales
+    * with store size — at 100 TB that becomes a partitioned/bucketed
+    * upsert (only affected partitions rewrite, q101's layout
+    * economics); the spec's store is small enough to rewrite whole.
+    *
+    * Exactly-once across restarts: the compaction state and source
+    * offsets live in the checkpoint, so a kill/restart replays no
+    * event into the fold (StreamingSpec kills between halves and pins
+    * final store + aggregate against the single-shot batch q152
+    * twin).
+    */
+  def cdcMaterialize(events: DataFrame, storeDir: String, aggDir: String,
+      ckptDir: String): StreamingQuery = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    cdcCompactStream(events).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (updates: Dataset[CdcUpdate], _: Long) =>
+        // one row per touched key; checkpointed so the store rewrite
+        // below cannot re-trigger the stateful computation
+        val up = updates.localCheckpoint()
+        val store0: Dataset[CdcUpdate] =
+          if (new java.io.File(storeDir).exists())
+            ss.read.parquet(storeDir).as[CdcUpdate]
+          else ss.emptyDataset[CdcUpdate]
+        val agg0: CdcAgg =
+          if (new java.io.File(aggDir).exists())
+            ss.read.parquet(aggDir).as[CdcAgg].collect()
+              .headOption.getOrElse(CdcAgg(0L, 0.0, 0L, 0L))
+          else CdcAgg(0L, 0.0, 0L, 0L)
+        // contribution of a store snapshot restricted to some keys —
+        // distributed aggregates, four numbers to the driver
+        def contrib(d: Dataset[CdcUpdate]): (Long, Double, Long, Long) =
+          d.agg(
+            coalesce(sum(when(!$"deleted", 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(!$"deleted", $"value").otherwise(0.0)), lit(0.0)),
+            coalesce(sum(when($"deleted", 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum($"n_ops"), lit(0L)))
+            .as[(Long, Double, Long, Long)].first()
+        val old = contrib(store0.join(up.select($"key"), Seq("key"), "left_semi")
+          .as[CdcUpdate])
+        val neu = contrib(up)
+        val agg1 = CdcAgg(
+          agg0.live_keys - old._1 + neu._1,
+          agg0.live_sum - old._2 + neu._2,
+          agg0.tomb_keys - old._3 + neu._3,
+          agg0.total_ops - old._4 + neu._4)
+        // upsert: untouched store rows + this batch's latest per key.
+        // localCheckpoint materializes BEFORE the overwrite so the
+        // write never reads the directory it is replacing.
+        val store1 = store0.join(up.select($"key"), Seq("key"), "left_anti")
+          .as[CdcUpdate].union(up).localCheckpoint()
+        store1.write.mode("overwrite").parquet(storeDir)
+        Seq(agg1).toDS().write.mode("overwrite").parquet(aggDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-STATIC broadcast enrichment — the most common streaming
     * join: each event decorated from a small static dimension
     * (broadcast; re-read per micro-batch if the underlying files

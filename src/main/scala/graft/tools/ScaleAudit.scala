@@ -227,6 +227,35 @@ object ScaleAudit {
       // the as-of merge — one exchange+sort per side.
       bench("q139_setsim_join", dir, graft.SparkEntry.queries("q139_setsim_join"))
       bench("q144_containment_join", dir, graft.SparkEntry.queries("q144_containment_join"))
+      // The q157 skew profile pointed at the PPJoin candidate join
+      // keys — measures (not asserts) the "rare-first prefixes never
+      // form stopword buckets" claim: per candidate-join key, bucket
+      // occupancy and Σcnt² collision mass at 1x and mult-x. For
+      // q139 the key is the prefix token rank; for q144 the work is
+      // asymmetric (probe prefix × full postings), so the profiled
+      // quantity is Σ probe·post over PROBED grams plus the largest
+      // probed posting bucket.
+      locally {
+        val (_, prefix139) = graft.operators.Dedup.setsimStreams(spark, dir)
+        val p = prefix139.groupBy($"trank").agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"), max($"cnt").as("max_bucket"),
+            sum($"cnt" * $"cnt").as("sum_sq")).collect()(0)
+        println(s"[audit] q139 prefix-key skew @ $dir: " +
+          s"n_keys=${p.getLong(0)} max_bucket=${p.getLong(1)} sum_sq=${p.getLong(2)}")
+        val (_, probeA, fullB) = graft.operators.Dedup.containmentStreams(spark, dir)
+        val probes = probeA.groupBy($"g").agg(count(lit(1)).as("probe_cnt"))
+        val posts = fullB.groupBy($"g").agg(count(lit(1)).as("post_cnt"))
+        val q = probes.join(posts, "g")
+          .agg(count(lit(1)).as("n_probed_keys"),
+            max($"post_cnt").as("max_probed_posting"),
+            sum($"probe_cnt" * $"post_cnt").as("join_work")).collect()(0)
+        println(s"[audit] q144 probed-bucket skew @ $dir: " +
+          s"n_probed_keys=${q.getLong(0)} max_probed_posting=${q.getLong(1)} " +
+          s"join_work=${q.getLong(2)}")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       bench("q145_ppr", dir, graft.SparkEntry.queries("q145_ppr"))
       bench("q148_semdedup", dir, graft.SparkEntry.queries("q148_semdedup"))
       bench("q150_global_offsets", dir, graft.SparkEntry.queries("q150_global_offsets"))

@@ -416,9 +416,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q133: map-side pair expansion ≡ the customer-keyed self-join formulation") {
+    import spark.implicits._
+    // q133 builds supplier co-occurrence pairs by collect-set +
+    // map-side expansion (the q160 device). This pins bit-identical
+    // (s1, s2, w) against the straightforward customer-keyed
+    // self-join it replaced, so the scale rewrite can never drift
+    // from the defining semantics.
+    val cs = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      .distinct()
+    def norm(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getLong(2))).toSet
+    val viaJoin = norm(
+      cs.as("x").join(cs.as("y"), $"x.c" === $"y.c" && $"x.s" < $"y.s")
+        .groupBy($"x.s".as("s1"), $"y.s".as("s2")).agg(count(lit(1)).as("w")))
+    val viaExpand = norm(
+      cs.groupBy($"c").agg(sort_array(collect_set($"s")).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)), b ->
+            |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+        .groupBy($"p.s1".as("s1"), $"p.s2".as("s2")).agg(count(lit(1)).as("w")))
+    assert(viaExpand.nonEmpty && viaExpand == viaJoin)
+  }
+
   test("q153: orders pick the SCD2 version valid at their order date") {
     import spark.implicits._
     val joined = operators.Extras.q153_temporal_join(spark, sf)
+    // Holds by construction (not by fixture coincidence): the base
+    // version's valid_from is derived as min(o_orderdate), so no fact
+    // can predate every dimension version regardless of data vintage.
     assert(joined.where($"bal".isNull).count() == 0,
       "every fact must match a dimension version")
     val base = Tables.load(spark, sf, "customer")

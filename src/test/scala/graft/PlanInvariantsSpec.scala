@@ -118,12 +118,36 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // cartesian/nested-loop node
     assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    // At test SF the pairing side broadcasts (fine: the derivation is
+    // a map-only scan). At cluster scale the join is sort-merge and
+    // both sides shuffle the SAME code-derivation subplan on
+    // (ci, cv) — pin that the planner then reuses one exchange, so
+    // the 16-dot derivation runs once with no persist to leak. AQE
+    // reuses stages only at runtime, so snapshot the static plan.
+    val conf = spark.conf
+    val (bt, aqe) = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.enabled"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val pBig = plan("q136_srp_sketch")
+      assert(pBig.contains("ReusedExchange"),
+        s"SMJ self-join does not reuse the code-derivation exchange:\n$pBig")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+      conf.set("spark.sql.adaptive.enabled", aqe)
+    }
   }
 
   test("q139: candidates meet in the prefix-token equi-join, never a cross product") {
     val p = plan("q139_setsim_join")
     assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    // the global rare-first token rank comes from range-sort +
+    // zipWithIndex, never a vocabulary-wide single-partition window —
+    // the engine's last single-task stage, removed in round 8
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition stage (vocabulary rank window?) in plan:\n$p")
   }
 
   test("q144: containment candidates meet in the probe-gram equi-join, never a cross product") {

@@ -54,7 +54,7 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
     assert(SparkEntry.queries.size == 161)
-    assert(SparkEntry.oracleSql.size == 151) // 10 rows-only by design
+    assert(SparkEntry.oracleSql.size == 152) // 9 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -88,6 +88,29 @@ class QuerySuiteSpec extends AnyFunSuite {
       // HLL++ default rsd is 5%; quantile summary accuracy 1/1000
       assert(math.abs(and - nd).toDouble / nd <= 0.15, s"$k distinct: $and vs $nd")
       assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
+    }
+  }
+
+  test("q146 sketch-mode card tracks the exact card (the 100 TB percentile path)") {
+    // exact = false swaps the card's only corpus-sized sort (the
+    // per-source percentile window) for the GK quantile summary —
+    // everything else is the same plan. Pin: non-percentile columns
+    // bit-equal, percentile columns within 2% (rank error n/10000 is
+    // sub-1-rank at this SF, but the pin stays relative so a bigger
+    // fixture doesn't flake).
+    def card(exact: Boolean): Map[String, Seq[Any]] =
+      graft.operators.Curation.datasetCard(spark, sf, exact).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val (ex, sk) = (card(true), card(false))
+    assert(ex.keySet == sk.keySet && ex.nonEmpty)
+    ex.foreach { case (src, exRow) =>
+      val skRow = sk(src)
+      // columns: n_docs, n_tokens, dup_docs, gini_x1000, p50, p90
+      assert(exRow.take(4) == skRow.take(4), s"$src non-percentile drift")
+      Seq(4, 5).foreach { i =>
+        val (e, s) = (exRow(i).toString.toDouble, skRow(i).toString.toDouble)
+        assert(math.abs(s - e) / e <= 0.02, s"$src col $i: sketch $s vs exact $e")
+      }
     }
   }
 

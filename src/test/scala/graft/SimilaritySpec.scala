@@ -99,6 +99,23 @@ class SimilaritySpec extends AnyFunSuite {
       "more drops than exact higher-members — blocking invented a pair")
   }
 
+  test("embedding magnitude bound |x| <= 1 (q132/q148 overflow-freedom contract)") {
+    // The quantized-integer arithmetic in Similarity.quantized()
+    // (BIGINT dots, DECIMAL(38,0) products) is overflow-free only
+    // while components stay within |x| <= 1 — see the scaladoc there.
+    // This guard makes a larger-magnitude data vintage fail LOUDLY
+    // here instead of via null-on-overflow row drops inside q148.
+    import org.apache.spark.sql.functions.{expr, max}
+    val mx = Tables.load(spark, sf, "embeddings")
+      .select(max(
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("m"))
+      .first().getDouble(0)
+    assert(mx <= 1.0,
+      s"embedding components reach |x|=$mx > 1: the quantized-integer " +
+        "dedup arithmetic (Similarity.quantized) loses its overflow guarantee")
+  }
+
   test("q136: pigeonhole blocking reproduces brute-force Hamming<=2 exactly") {
     import spark.implicits._
     val got = SparkEntry.queries("q136_srp_sketch")(spark, sf).collect()

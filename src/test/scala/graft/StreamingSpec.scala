@@ -268,6 +268,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(tombstoned.intersect(batch.map(_._1)).isEmpty)
   }
 
+  test("CDC family end-to-end: log → compacted store → incremental agg, exactly-once across a kill/restart") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("cdc_e2e_src").toString
+    val store = Files.createTempDirectory("cdc_e2e").toString + "/store"
+    val agg = Files.createTempDirectory("cdc_e2e").toString + "/agg"
+    val ckpt = Files.createTempDirectory("cdc_e2e_ckpt").toString
+    val ev = Tables.load(spark, sf, "events").select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    def run(): Unit = {
+      val q = EventsStream.cdcMaterialize(
+        EventsStream.readEvents(spark, src), store, agg, ckpt)
+      q.awaitTermination()
+    }
+    // phase 1: half the log (split by event id so most keys appear in
+    // BOTH phases — the restart must continue their per-key fold, not
+    // restart it)
+    ev.where(col("event_id") % 2 === 0).write.mode("append").json(src)
+    run()
+    val opsAfter1 = spark.read.parquet(agg)
+      .select(col("total_ops")).collect()(0).getLong(0)
+    assert(opsAfter1 == ev.where(col("event_id") % 2 === 0).count(),
+      "phase-1 ops must equal phase-1 events")
+    // KILL (query terminated) + RESTART on the same checkpoint with
+    // the rest of the log
+    ev.where(col("event_id") % 2 === 1).write.mode("append").json(src)
+    run()
+    // final compacted store (live keys) == the single-shot batch q152
+    // over the full log — despite two runs, multiple micro-batches,
+    // and a restart in the middle
+    val live = spark.read.parquet(store).where(!col("deleted"))
+      .select(col("key"), col("value"), col("n_ops")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q152_cdc_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && live == batch,
+      s"store live set ${live.size} != batch q152 ${batch.size}")
+    // incremental aggregate == aggregate of the store (retraction
+    // path never drifted), and total_ops == total events (each event
+    // folded exactly once)
+    val a = spark.read.parquet(agg).collect()(0)
+    val storeRows = spark.read.parquet(store).collect()
+      .map(r => (r.getBoolean(1), r.getDouble(2), r.getLong(3)))
+    assert(a.getAs[Long]("live_keys") == storeRows.count(!_._1))
+    assert(a.getAs[Long]("tomb_keys") == storeRows.count(_._1))
+    assert(math.abs(a.getAs[Double]("live_sum") -
+      storeRows.filter(!_._1).map(_._2).sum) < 1e-6)
+    assert(a.getAs[Long]("total_ops") == ev.count(),
+      "ops != events: loss or double-fold across the restart")
+  }
+
   test("foreachBatch JDBC sink: stream lands in Derby exactly as staged") {
     import org.apache.spark.sql.functions._
     import graft.sources.JdbcSink
