@@ -355,7 +355,7 @@ object Dedup {
     * Each pass keeps the hard O(n·W) candidate bound — P passes cost
     * P linear sweeps, never a quadratic term (Hernandez & Stolfo
     * SIGMOD'95 §4, the multi-pass recipe). Recall of 1 vs 2 passes
-    * against the exact q139 join is pinned in SimilaritySpec.
+    * against the exact q139 join is pinned in ScaleSpec.
     */
   val q162_snm_multipass: Q = (spark, dir) => {
     import spark.implicits._
@@ -637,6 +637,43 @@ object Dedup {
         |    AS jac_x1000
         |FROM p WHERE 19 * inter >= 9 * (na + nb)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q162_snm_multipass" ->
+      // two independent total orders (forward and reversed 24-char
+      // prefix), each windowed exactly like q140, pair set unioned
+      // after LEAST/GREATEST canonicalization (pass orientation of a
+      // pair can differ between the two sort orders)
+      """WITH w AS (
+        |  SELECT doc_id, lower(trim(text)) AS norm,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, toks,
+        |    ROW_NUMBER() OVER (ORDER BY substr(norm, 1, 24), doc_id) - 1 AS idx
+        |  FROM w),
+        |r2 AS (
+        |  SELECT doc_id, toks,
+        |    ROW_NUMBER() OVER (ORDER BY substr(reverse(norm), 1, 24), doc_id) - 1
+        |      AS idx
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS inter,
+        |    CAST(len(a.toks) AS INTEGER) AS na, CAST(len(b.toks) AS INTEGER) AS nb
+        |  FROM r1 a JOIN r1 b ON b.idx > a.idx AND b.idx - a.idx <= 8
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER),
+        |    CAST(len(a.toks) AS INTEGER), CAST(len(b.toks) AS INTEGER)
+        |  FROM r2 a JOIN r2 b ON b.idx > a.idx AND b.idx - a.idx <= 8)
+        |SELECT DISTINCT
+        |  LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b, inter,
+        |  CAST(na + nb - inter AS BIGINT) AS uni,
+        |  CAST((CAST(inter AS BIGINT) * 1000) // (na + nb - inter) AS BIGINT)
+        |    AS jac_x1000
+        |FROM p WHERE 19 * inter >= 9 * (na + nb)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q58_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -656,5 +693,6 @@ object Dedup {
     "q59_dedup_embedding_ivf" -> q59_dedup_embedding_ivf,
     "q139_setsim_join" -> q139_setsim_join,
     "q140_sorted_neighborhood" -> q140_sorted_neighborhood,
+    "q162_snm_multipass" -> q162_snm_multipass,
     "q144_containment_join" -> q144_containment_join)
 }

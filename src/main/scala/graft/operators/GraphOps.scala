@@ -219,6 +219,79 @@ object GraphOps {
     out
   }
 
+  /** q163: LOCAL PPR by synchronous forward-push (Andersen, Chung &
+    * Lang, FOCS'06) — the 100 TB twin q145's scaladoc calls for. q145
+    * is 3 rounds of damped power iteration: every round touches every
+    * edge incident to ANY ranked node, so its per-round cost grows
+    * with the reached set whether or not the new mass there matters.
+    * Forward-push instead keeps an (estimate, residual) pair per node
+    * and each round pushes ONLY nodes whose residual exceeds
+    * `degree x EPS`: alpha of the pushed residual settles into the
+    * estimate, the rest spreads to neighbors, and the loop's total
+    * work is bounded by 1/(alpha x eps) PUSHED MASS, independent of
+    * graph size (ACL'06 Lemma 2) — the right primitive when the graph
+    * is 100 TB and the answer is a local neighborhood of a small seed
+    * set. The estimate is a pointwise UNDERestimate of the true PPR
+    * (unpushed residual is exactly the mass not yet distributed), so
+    * downstream trust-propagation thresholds are conservative —
+    * pinned against a converged double-precision PPR in AnalyticsSpec.
+    *
+    * Same integer discipline as q145 (Total = 1e12, alpha = 15%,
+    * per-edge spread `(85 x res) DIV (100 x degree)`, truncation only
+    * ever loses mass), and the push/hold split is a deterministic
+    * integer comparison — so the 6 synchronous rounds unroll into an
+    * exact DuckDB oracle (the q156 device) and the gate is
+    * hash-green, not rows-only. Output carries both `est` and the
+    * undistributed `res` so the caller sees the approximation bound
+    * it is accepting (est + res column sums bracket the seed mass).
+    *
+    * Scale shape: per round ONE edge⋈frontier join keyed on src plus
+    * two node-sized aggregates; the frontier is the pushed set only.
+    * Rounds checkpoint eagerly (the q77/q91 discipline); query-local
+    * caches dropped before return.
+    */
+  val q163_ppr_forward_push: Q = (spark, dir) => {
+    import spark.implicits._
+    val Total = 1000000000000L
+    val Eps = 1000000L // push while res > degree x 1e6, i.e. 1e-6 of the walk mass
+    val (cs, deg) = stagedGraph(spark, dir)
+    val edges = cs.select($"c".as("src"), $"s".as("dst"))
+      .union(cs.select($"s".as("src"), $"c".as("dst")))
+    val edgesDeg = edges.join(deg, "src").persist()
+    val degN = deg.select($"src".as("node"), $"degree")
+    val seeds = deg.select($"src".as("node"))
+      .where($"node" % 2 === 0 && expr("(node DIV 2) % 10 = 0"))
+      .persist()
+    val nS = seeds.count()
+    require(nS > 0, s"q163: no seed customers under $dir")
+    val p0 = spark.range(0).select($"id".as("node"), $"id".as("est"))
+    val r0 = seeds.select($"node", lit(Total / nS).as("res"))
+    val (pF, rF) = (1 to 6).foldLeft((p0, r0)) { case ((p, r), _) =>
+      val rd = r.join(degN, "node")
+      val push = rd.where($"res" > $"degree" * Eps).select($"node", $"res")
+      val hold = rd.where($"res" <= $"degree" * Eps).select($"node", $"res")
+      val newP = p
+        .unionByName(push.select($"node", expr("(15 * res) DIV 100").as("est")))
+        .groupBy($"node").agg(sum($"est").as("est"))
+      val spread = edgesDeg
+        .join(push.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"),
+          expr("(85 * res) DIV (100 * degree)").as("res"))
+      val newR = hold.unionByName(spread)
+        .groupBy($"node").agg(sum($"res").as("res"))
+      (newP.localCheckpoint(), newR.localCheckpoint())
+    }
+    val out = pF.select($"node", $"est", lit(0L).as("res"))
+      .unionByName(rF.select($"node", lit(0L).as("est"), $"res"))
+      .groupBy($"node")
+      .agg(sum($"est").as("est"), sum($"res").as("res"))
+      .orderBy($"node")
+      .localCheckpoint()
+    edgesDeg.unpersist(blocking = false)
+    seeds.unpersist(blocking = false)
+    out
+  }
+
   /** q156: synchronous label propagation community detection
     * (Raghavan et al. 2007) — 4 rounds, every node adopts the most
     * frequent label among its NEIGHBORS with ties to the smallest
@@ -316,13 +389,60 @@ object GraphOps {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
   }
 
+  private val pushOracle: String = {
+    val head =
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM cs
+        |      UNION ALL SELECT s AS src, c AS dst FROM cs),
+        |deg AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.degree FROM e JOIN deg d ON e.src = d.src),
+        |seeds AS (SELECT src AS node FROM deg
+        |          WHERE src % 2 = 0 AND (src // 2) % 10 = 0),
+        |ns AS (SELECT COUNT(*) AS n FROM seeds),
+        |p0 AS (SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS est
+        |       WHERE FALSE),
+        |r0 AS (SELECT node,
+        |         (SELECT 1000000000000 // n FROM ns) AS res FROM seeds)""".stripMargin
+    val steps = (1 to 6).map { i =>
+      s"""push$i AS (
+         |  SELECT r.node, r.res FROM r${i - 1} r JOIN deg d ON r.node = d.src
+         |  WHERE r.res > d.degree * 1000000),
+         |hold$i AS (
+         |  SELECT r.node, r.res FROM r${i - 1} r JOIN deg d ON r.node = d.src
+         |  WHERE r.res <= d.degree * 1000000),
+         |p$i AS (
+         |  SELECT node, CAST(SUM(est) AS BIGINT) AS est FROM (
+         |    SELECT node, est FROM p${i - 1}
+         |    UNION ALL SELECT node, (15 * res) // 100 FROM push$i) t
+         |  GROUP BY node),
+         |r$i AS (
+         |  SELECT node, CAST(SUM(res) AS BIGINT) AS res FROM (
+         |    SELECT node, res FROM hold$i
+         |    UNION ALL
+         |    SELECT ed.dst AS node, (85 * pu.res) // (100 * ed.degree) AS res
+         |    FROM ed JOIN push$i pu ON ed.src = pu.node) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(SUM(est) AS BIGINT) AS est,
+       |  CAST(SUM(res) AS BIGINT) AS res
+       |FROM (SELECT node, est, 0 AS res FROM p6
+       |      UNION ALL SELECT node, 0 AS est, res FROM r6) t
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_bfs_hops" -> q134_bfs_hops,
     "q145_ppr" -> q145_ppr,
-    "q156_label_propagation" -> q156_label_propagation)
+    "q156_label_propagation" -> q156_label_propagation,
+    "q163_ppr_forward_push" -> q163_ppr_forward_push)
 
   val oracles: Map[String, String] = Map(
     "q145_ppr" -> pprOracle,
+    "q163_ppr_forward_push" -> pushOracle,
     "q156_label_propagation" -> lpOracle,
     "q134_bfs_hops" ->
       // recursive-CTE BFS: UNION (not UNION ALL) dedups (node, hop)

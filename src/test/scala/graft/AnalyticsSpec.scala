@@ -294,6 +294,53 @@ class AnalyticsSpec extends AnyFunSuite {
       s"seed avg $seedAvg <= non-seed avg $otherAvg — not personalized")
   }
 
+  test("q163: forward-push is a pointwise underestimate of converged PPR") {
+    import spark.implicits._
+    val Total = 1000000000000L
+    val rows = graft.operators.GraphOps.q163_ppr_forward_push(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // est + res together account for the seed walk mass minus
+    // truncation dust (integer division only ever loses mass)
+    val mass = rows.map(r => r._2 + r._3).sum
+    assert(mass <= Total && mass >= Total * 99 / 100,
+      s"est+res mass $mass vs $Total — push arithmetic leaks")
+    // converged double-precision PPR over the same graph, driver-side
+    val cs = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    cs.foreach { case (c, s) => adj(c) = s :: adj(c); adj(s) = c :: adj(s) }
+    val seeds = adj.keySet.filter(n => n % 2 == 0 && (n / 2) % 10 == 0)
+    assert(seeds.nonEmpty)
+    val exact = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+    var x: Map[Long, Double] = seeds.map(_ -> 1.0 / seeds.size).toMap
+    for (_ <- 0 until 200) {
+      val next = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      x.foreach { case (u, m) =>
+        exact(u) += 0.15 * m
+        val nb = adj(u)
+        val share = 0.85 * m / nb.size
+        nb.foreach(v => next(v) += share)
+      }
+      x = next.toMap
+    }
+    // ACL'06: the unpushed residual is exactly the not-yet-distributed
+    // mass, so the estimate never exceeds the true PPR (truncation
+    // only widens the gap); 1e-6 covers the 0.85^200 iteration tail
+    rows.foreach { case (n, est, _) =>
+      assert(est.toDouble / Total <= exact(n) + 1e-6,
+        s"node $n: push est ${est.toDouble / Total} > converged ${exact(n)}")
+    }
+    // and the estimate's head is the true head (local ranking works)
+    val topPush = rows.sortBy(-_._2).take(10).map(_._1).toSet
+    val topExact = exact.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    assert((topPush intersect topExact).size >= 6,
+      s"top-10 overlap ${(topPush intersect topExact).size}: $topPush vs $topExact")
+  }
+
   test("q137: one exchange; EWMA is a weighted mean of <= 20 recency rows") {
     import spark.implicits._
     val df = Analytics.q137_ewma(spark, sf)

@@ -349,6 +349,25 @@ class ScaleSpec extends AnyFunSuite {
       s"recall ${snm.size}/${exact.size} below 1% — sort key not discriminating")
   }
 
+  test("q162: second SNM pass is sound and never loses recall vs one pass") {
+    // multi-pass SNM (forward + reversed prefix keys): still a subset
+    // of the exact prefix-filtered join (each pass runs the same
+    // integer Jaccard verify), and a superset of the single forward
+    // pass — the second key can only ADD verified pairs
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val exact = pairs("q139_setsim_join")
+    val onePass = pairs("q140_sorted_neighborhood")
+    val twoPass = pairs("q162_snm_multipass")
+    assert(twoPass.subsetOf(exact),
+      s"multipass found ${(twoPass diff exact).size} pairs the exact join lacks")
+    assert(onePass.subsetOf(twoPass),
+      s"pass-2 union lost ${(onePass diff twoPass).size} pass-1 pairs")
+    info(s"recall vs exact: 1-pass ${onePass.size}/${exact.size}, " +
+      s"2-pass ${twoPass.size}/${exact.size}")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     import spark.implicits._
     // a selective dim filter should inject a bloom filter on the fact
