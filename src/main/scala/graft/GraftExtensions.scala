@@ -83,6 +83,8 @@ object GraftExtensions {
       intArg(xs, 1, 6, "lsh_buckets"), intArg(xs, 2, 12, "lsh_buckets"))),
     "cdc_chunks" -> (xs => CdcChunksExpr(xs.head,
       intArg(xs, 1, 8, "cdc_chunks"), intArg(xs, 2, 16, "cdc_chunks"))),
+    "winnow_set" -> (xs => WinnowSetExpr(xs.head,
+      intArg(xs, 1, 20, "winnow_set"), intArg(xs, 2, 8, "winnow_set"))),
     "top_k_by" -> (xs => TopKByAgg(xs.head, xs(1),
       intArg(xs, 2, 3, "top_k_by")).toAggregateExpression()),
     "ngrams" -> (xs => NGramsGenerate(xs.head, intArg(xs, 1, 3, "ngrams"))),

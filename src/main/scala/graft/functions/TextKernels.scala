@@ -622,6 +622,76 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint set (Schleimer, Wilkerson, Aiken — SIGMOD'03,
+    * the MOSS local document fingerprinting algorithm): hash every char
+    * `k`-gram (polynomial base-31 mod 1048573 over code units), then in
+    * every sliding window of `w` consecutive gram hashes select the
+    * minimum (ties broken toward the RIGHTMOST position — the
+    * deterministic variant of the paper's tie rule, chosen because it is
+    * the one expressible as a plain window-min in the SQL oracle:
+    * minimizing `h·8192 + (8191 − pos)` picks min-h / max-pos in one
+    * key). Returns the SORTED DISTINCT selected hashes.
+    *
+    * Guarantee (thm. in §3 of the paper): any shared substring of length
+    * ≥ w + k − 1 chars produces at least one shared fingerprint, and no
+    * shared gram shorter than k chars ever does. Density ≈ 2/(w+1).
+    *
+    * One O(n) pass: rolling gram hash (h' = (h − c_out·31^(k−1))·31 +
+    * c_in mod P) + a monotonic deque for the sliding min — popping
+    * `≥`-back entries keeps the deque strictly increasing, so the front
+    * is always the rightmost minimal gram of the current window. Map-only
+    * per document; the cross-document work downstream is an inverted
+    * index on the (vocabulary-sized) fingerprint set, never text × text.
+    *
+    * Oracle-parity bounds (documented where q164 builds the SQL twin):
+    * positions must stay < 8192 for the oracle's combined min-key
+    * encoding, and code-unit hashing equals the oracle's `ord()` only
+    * for BMP text (the corpus is ASCII).
+    */
+  def winnowSet(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val m = n - k + 1 // gram positions
+    if (m < w) return new GenericArrayData(Array.emptyLongArray)
+    val P = 1048573L
+    val B = 31L
+    var pw = 1L // 31^(k-1) mod P
+    var j = 0
+    while (j < k - 1) { pw = pw * B % P; j += 1 }
+    val h = new Array[Long](m)
+    var acc = 0L
+    j = 0
+    while (j < k) { acc = (acc * B + str.charAt(j)) % P; j += 1 }
+    h(0) = acc
+    var p = 1
+    while (p < m) {
+      acc = ((acc - str.charAt(p - 1) * pw % P + P) % P * B + str.charAt(p + k - 1)) % P
+      h(p) = acc
+      p += 1
+    }
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // deque indices live in dq[head, tail)
+    val sel = new Array[Long](m - w + 1)
+    var ns = 0
+    p = 0
+    while (p < m) {
+      while (tail > head && h(dq(tail - 1)) >= h(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      if (dq(head) <= p - w) head += 1
+      if (p >= w - 1) { sel(ns) = h(dq(head)); ns += 1 }
+      p += 1
+    }
+    java.util.Arrays.sort(sel, 0, ns)
+    var out = 0
+    var i = 0
+    while (i < ns) {
+      if (i == 0 || sel(i) != sel(i - 1)) { sel(out) = sel(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(sel, 0, out))
+  }
+
   /** Cosine similarity between two float vectors, accumulated in double
     * in index order (deterministic, matches a sequential oracle).
     */

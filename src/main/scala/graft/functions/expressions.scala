@@ -313,6 +313,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * trailing w-char window hash hits the divisor — shift-invariant, so
   * embedded duplicate passages chunk identically at any offset.
   */
+case class WinnowSetExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "winnow_set: gram size and window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_set"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.winnowSet(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnowSet($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CdcChunksExpr(child: Expression, w: Int, div: Int)
     extends UnaryExpression {
   require(w > 0 && div > 0, "cdc_chunks: window and divisor must be positive")
@@ -348,6 +360,8 @@ object GraftFunctions {
     c(LshBucketsExpr(e(a), nBits, nTables))
   def cdc_chunks(a: Column, w: Int = 8, div: Int = 16): Column =
     c(CdcChunksExpr(e(a), w, div))
+  def winnow_set(a: Column, k: Int = 20, w: Int = 8): Column =
+    c(WinnowSetExpr(e(a), k, w))
   def be_int(a: Column, offset: Int): Column = c(BeIntExpr(e(a), offset))
   def le_int(a: Column, offset: Int): Column = c(LeIntExpr(e(a), offset))
   def le_short(a: Column, offset: Int): Column = c(LeShortExpr(e(a), offset))

@@ -533,6 +533,103 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken
+    * SIGMOD'03 — the MOSS algorithm). The fifth blocking family next to
+    * LSH bands (q29), SimHash pigeonholes (q30), prefix filters (q139),
+    * and sort keys (q140) — and the only one whose candidate keys are
+    * POSITIONS-free local substring evidence: any shared run of
+    * ≥ w + k − 1 = 27 chars is guaranteed to surface at least one shared
+    * fingerprint regardless of where it sits in either document.
+    *
+    * Plan shape for 100 TB:
+    *  - fingerprinting is MAP-ONLY: one O(n) codegen kernel call per doc
+    *    ([[graft.functions.TextKernels.winnowSet]]) emitting the
+    *    ~2/(w+1)-density distinct fingerprint set — no per-position
+    *    explode, no doc-partitioned window shuffle.
+    *  - the cross-doc stage is an inverted-index equi-join on the
+    *    fingerprint hash. Skew is bounded BY CONSTRUCTION: a document-
+    *    frequency cap (df ≤ 16, the MOSS "ignore overly common
+    *    fingerprints" rule) drops boilerplate fingerprints on BOTH
+    *    engines before the join, so no join key can fan out past 16² —
+    *    unlike q29's band keys, whose group size tracks the near-dup
+    *    cluster size (see that query's skew note).
+    *  - df and per-doc sizes are vocabulary-/corpus-bounded aggregates
+    *    with map-side partials.
+    *
+    * Tuning on this corpus (measured at sf0.01 against the word-3-gram
+    * Jaccard ≥ 0.5 ground truth): k=20, w=8, cap=16, shared ≥ 4 gives
+    * recall 25/25 with zero false positives; char grams much shorter
+    * than 20 drown in the small-vocabulary background (8-gram max df is
+    * 387 — the corpus repeats 1-2-word runs constantly).
+    *
+    * `sim_x1000 = shared·1000 ÷ min(|fpa|, |fpb|)` — containment-style
+    * overlap over POST-cap fingerprint sets (both engines use the same
+    * denominator, so the integer division is engine-exact).
+    */
+  val q164_winnowing: Q = (spark, dir) => {
+    import spark.implicits._
+    val (minShared, dfCap) = (4, 16)
+    val fp = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        explode(winnow_set(
+          trim(regexp_replace(lower($"text"), "\\s+", " ")), 20, 8)).as("h"))
+    val dfq = fp.groupBy($"h").agg(count(lit(1)).as("df"))
+    val keep = fp.join(dfq.where($"df" <= dfCap), "h")
+      .select($"doc_id", $"h")
+    val sz = keep.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    keep.as("a").join(keep.as("b"), Seq("h"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where($"shared" >= minShared)
+      .join(sz.select($"doc_id".as("doc_a"), $"nf".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"nf".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        expr("(shared * 1000) DIV least(na, nb)").as("sim_x1000"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q164's oracle: the same fingerprints computed the brute-force way —
+    * per-position gram hashes (the k=20 polynomial unrolled as 20
+    * chained `(h·31 + ord) mod p` steps, matching the kernel's rolling
+    * recurrence exactly), then the window-min selection as a plain
+    * window function over `h·8192 + (8191 − i)` (min-h / rightmost-pos
+    * in one BIGINT key; sound while positions stay < 8192 — max doc
+    * length is 577 chars, and the kernel needs no such bound).
+    */
+  private val winnowOracle: String = {
+    val (k, w) = (20, 8)
+    var h = "0"
+    for (j <- 0 until k)
+      h = s"(($h)*31 + ord(substring(t, i+$j, 1))) % 1048573"
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i, CAST($h AS BIGINT) AS h
+       |  FROM n, UNNEST(range(1, length(t) - ${k - 2})) AS u(i)),
+       |win AS (
+       |  SELECT doc_id,
+       |    min(h * 8192 + (8191 - i)) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS key,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
+       |  FROM pos),
+       |sel AS (SELECT DISTINCT doc_id, key // 8192 AS h FROM win WHERE cnt = $w),
+       |dfq AS (SELECT h, COUNT(*) AS df FROM sel GROUP BY h),
+       |keep AS (SELECT s.doc_id, s.h FROM sel s JOIN dfq USING (h) WHERE df <= 16),
+       |sz AS (SELECT doc_id, COUNT(*) AS nf FROM keep GROUP BY 1),
+       |px AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       |  CAST(shared * 1000 // LEAST(x.nf, y.nf) AS BIGINT) AS sim_x1000
+       |FROM px JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |WHERE shared >= 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val gramsCte =
     """WITH g AS (
       |  SELECT doc_id, text, source, n_chars,
@@ -540,6 +637,7 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q164_winnowing" -> winnowOracle,
     "q144_containment_join" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -694,5 +792,6 @@ object Dedup {
     "q139_setsim_join" -> q139_setsim_join,
     "q140_sorted_neighborhood" -> q140_sorted_neighborhood,
     "q162_snm_multipass" -> q162_snm_multipass,
+    "q164_winnowing" -> q164_winnowing,
     "q144_containment_join" -> q144_containment_join)
 }

@@ -156,6 +156,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
   }
 
+  test("q164: winnowing pairs meet in the fingerprint equi-join; selection is map-only") {
+    val p = plan("q164_winnowing")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    // fingerprint selection happens inside the winnow_set kernel, not
+    // via a per-position explode + doc-partitioned window
+    assert(!p.contains("Window"), s"window-based selection leaked into the plan:\n$p")
+  }
+
   test("q141: every quality rule evaluates in the one scan, no shuffle") {
     val p = plan("q141_gopher_rules")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -146,6 +146,60 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.cosineSim(v(0f, 0f), v(1f, 0f)) == 0.0) // zero-norm guard
   }
 
+  // ---- winnowSet: the O(n) deque pass must agree with a brute
+  // per-window rightmost-argmin reference, and honor the MOSS
+  // guarantee: a shared substring of length >= w + k - 1 always
+  // yields a shared fingerprint.
+  private def winnowRef(s: String, k: Int, w: Int): Seq[Long] = {
+    val P = 1048573L
+    val m = s.length - k + 1
+    if (m < w) return Seq.empty
+    val h = (0 until m).map(i =>
+      s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % P))
+    (0 to m - w).map { st =>
+      val win = st until st + w
+      val mn = win.map(h).min
+      win.filter(p => h(p) == mn).max // rightmost minimal position
+    }.map(h).distinct.sorted
+  }
+  private def winnowKernel(s: String, k: Int, w: Int): Seq[Long] = {
+    val a = TextKernels.winnowSet(u(s), k, w)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("winnow_set: matches the brute rightmost-argmin reference") {
+    // small alphabet + small k/w force frequent hash ties and repeated
+    // grams — the cases where the deque tie rule could diverge
+    val loAlpha = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    for ((k, w) <- Seq((3, 4), (5, 2), (20, 8))) {
+      forAll(asciiStr) { s => assert(winnowKernel(s, k, w) == winnowRef(s, k, w)) }
+      forAll(loAlpha) { s => assert(winnowKernel(s, k, w) == winnowRef(s, k, w)) }
+    }
+  }
+
+  test("winnow_set: shared substring of length >= w + k - 1 shares a fingerprint") {
+    val (k, w) = (20, 8)
+    val alpha = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
+    val shared = Gen.listOfN(w + k - 1, Gen.alphaLowerChar).map(_.mkString)
+    forAll(Gen.zip(shared, alpha, alpha, alpha, alpha)) {
+      case (core, p1, s1, p2, s2) =>
+        val fa = winnowKernel(p1 + core + s1, k, w).toSet
+        val fb = winnowKernel(p2 + core + s2, k, w).toSet
+        assert((fa & fb).nonEmpty,
+          s"no shared fingerprint for shared run '$core'")
+    }
+  }
+
+  test("winnow_set: output is sorted distinct; short inputs are empty") {
+    assert(winnowKernel("", 20, 8).isEmpty)
+    assert(winnowKernel("a" * 26, 20, 8).isEmpty) // m = 7 < w
+    assert(winnowKernel("a" * 27, 20, 8).size == 1) // exactly one window
+    forAll(asciiStr) { s =>
+      val f = winnowKernel(s, 5, 4)
+      assert(f == f.distinct.sorted)
+    }
+  }
+
   // ---- cdcChunks: the O(n) rolling pass must agree with a brute
   // per-position polynomial hash, chunks must reassemble the input,
   // and boundaries must be shift-invariant (the CDC property).
