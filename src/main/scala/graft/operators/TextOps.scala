@@ -571,15 +571,20 @@ object TextOps {
     *    `x x x` merges once — both verified in TextSpec's driver
     *    replay and by the hash gate).
     */
-  private val bpeOracle: String = {
-    val k = 8
+  /** The shared CTE chain: `words` (vocabulary), `v0` (symbol split),
+    * then per step `b{s}` (argmax pair) and `v{s}` (merge applied).
+    * `word` rides through every `v{s}` so q165's encode tail can join
+    * token counts back onto the corpus; q155's merge-table tail reads
+    * only the `b{s}` CTEs and is unaffected by the extra column.
+    */
+  private def bpeCtes(k: Int): String = {
     val head = Seq(
       """words AS MATERIALIZED (
         |  SELECT word, COUNT(*) AS freq FROM (
         |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |    FROM documents) WHERE length(word) > 0 GROUP BY word)""".stripMargin,
       """v0 AS MATERIALIZED (
-        |  SELECT list_transform(range(1, length(word) + 1),
+        |  SELECT word, list_transform(range(1, length(word) + 1),
         |           i -> substring(word, i, 1)) AS syms, freq
         |  FROM words)""".stripMargin)
     val steps = (1 to k).flatMap { s =>
@@ -592,7 +597,7 @@ object TextOps {
            |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
       val merged =
         s"""v$s AS MATERIALIZED (
-           |  SELECT string_split_regex(
+           |  SELECT word, string_split_regex(
            |    trim(
            |      replace('|' || array_to_string(syms, '||') || '|',
            |              (SELECT '|' || l || '||' || r || '|' FROM b$s),
@@ -600,16 +605,44 @@ object TextOps {
            |      '|'),
            |    '\\|\\|') AS syms, freq
            |  FROM v${s - 1})""".stripMargin
-      if (s < k) Seq(best, merged) else Seq(best)
+      Seq(best, merged)
     }
+    "WITH " + (head ++ steps).mkString(",\n")
+  }
+
+  private val bpeOracle: String = {
+    val k = 8
     val sel = (1 to k).map(s =>
       s"""SELECT $s AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b$s""")
       .mkString("\nUNION ALL\n")
-    "WITH " + (head ++ steps).mkString(",\n") + "\n" + sel + "\nORDER BY step"
+    bpeCtes(k) + "\n" + sel + "\nORDER BY step"
+  }
+
+  /** q165's oracle: the merge chain through v8, then encode = join the
+    * corpus word stream against the final per-word symbol counts.
+    */
+  private val bpeEncodeOracle: String = {
+    val k = 8
+    bpeCtes(k) +
+      s""",
+         |enc AS (SELECT word, len(syms) AS n_toks FROM v$k),
+         |tok AS (
+         |  SELECT source, word FROM (
+         |    SELECT source,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents) WHERE length(word) > 0)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(word)) * 1000 // SUM(n_toks) AS BIGINT)
+         |    AS chars_per_tok_x1000
+         |FROM tok JOIN enc USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q155_bpe_merges" -> bpeOracle,
+    "q165_bpe_encode" -> bpeEncodeOracle,
     "q160_source_overlap" ->
       """WITH sv AS (
         |  SELECT DISTINCT source, w FROM (
@@ -853,19 +886,34 @@ object TextOps {
     * left-to-right fold (`functions.aggregate`, all built-in
     * expressions), and the vocab localCheckpoints per step so the
     * plan stays flat instead of nesting k fold expressions (the
-    * rollCheckpoint stance from connected components). No SQL oracle
-    * — a k-step iterative argmax is not SQL-expressible; the spec
-    * replays a driver-side reference BPE on the collected vocabulary
-    * and pins exact equality.
+    * rollCheckpoint stance from connected components). The SQL oracle
+    * unrolls the k merge steps as MATERIALIZED chained CTEs (see
+    * [[bpeCtes]]); the spec additionally replays a driver-side
+    * reference BPE on the collected vocabulary and pins exact
+    * equality.
     */
   val q155_bpe_merges: Q = (spark, dir) => {
     import spark.implicits._
-    val k = 8
+    val (_, merges) = bpeTrain(spark, dir, 8)
+    merges.toDF("step", "left", "right", "pair_count")
+      .orderBy($"step")
+  }
+
+  /** Shared BPE trainer for q155 (merge table) and q165 (corpus
+    * encode): one corpus pass builds the (word, freq) vocabulary, then
+    * k merge iterations run over the vocabulary only. Returns the
+    * final vocabulary — each word type with its post-merge symbol
+    * array — and the merge table. The `word` column rides along so
+    * q165 can join the encoded lengths back onto the corpus.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String, k: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    import spark.implicits._
     var vocab = Tables.load(spark, dir, "documents")
       .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
       .where(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select(expr(
+      .select($"word", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"), $"freq")
       .localCheckpoint()
@@ -889,6 +937,7 @@ object TextOps {
       // differs from l, so a fresh occurrence of the pair never
       // re-consumes the symbol just produced
       vocab = vocab.select(
+        $"word",
         aggregate($"syms", array().cast("array<string>"),
           (acc, s) => when(size(acc) > 0 &&
               element_at(acc, -1) === lit(l) && s === lit(r),
@@ -897,8 +946,41 @@ object TextOps {
         $"freq")
         .localCheckpoint()
     }
-    merges.result().toDF("step", "left", "right", "pair_count")
-      .orderBy($"step")
+    (vocab, merges.result())
+  }
+
+  /** q165: apply the trained BPE merge table to ENCODE the corpus —
+    * per-source token counts and the chars-per-token compression the
+    * k=8 merges buy. The tokenizer-application half of q155: training
+    * iterates over the vocabulary; encoding never touches the
+    * iterative machinery at all. Every word TYPE is encoded once
+    * (the merge fold already ran over the vocabulary during training),
+    * and the corpus stream just joins its words against that
+    * vocabulary-sized `(word → n_toks)` table — broadcast, since
+    * Heaps' law keeps the vocabulary sublinear in corpus size — then
+    * one map-side-combined aggregate per source. At 100 TB the corpus
+    * pass is a single map + broadcast-join + aggregate: no shuffle of
+    * the text at all.
+    *
+    * Oracle: the same 8 unrolled merge CTEs as q155 ([[bpeCtes]],
+    * which carries `word` through every step for exactly this join),
+    * then the encode tail. `chars_per_tok_x1000` is integer division
+    * of exact BIGINT sums — engine-exact.
+    */
+  val q165_bpe_encode: Q = (spark, dir) => {
+    import spark.implicits._
+    val (vocab, _) = bpeTrain(spark, dir, 8)
+    val enc = vocab.select($"word", size($"syms").cast("long").as("n_toks"))
+    Tables.load(spark, dir, "documents")
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .join(broadcast(enc), "word")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"word")).cast("long").as("n_chars"),
+        sum($"n_toks").as("n_tokens"))
+      .withColumn("chars_per_tok_x1000", expr("(n_chars * 1000) DIV n_tokens"))
+      .orderBy($"source")
   }
 
   /** q160: cross-source vocabulary-overlap matrix — pairwise Jaccard
@@ -943,6 +1025,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q160_source_overlap" -> q160_source_overlap,
     "q155_bpe_merges" -> q155_bpe_merges,
+    "q165_bpe_encode" -> q165_bpe_encode,
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,

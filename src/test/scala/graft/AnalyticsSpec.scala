@@ -463,6 +463,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q165: BPE encode conserves totals — chars never grow, tokens <= chars, zero merges = chars") {
+    import spark.implicits._
+    val got = operators.TextOps.q165_bpe_encode(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // corpus-wide invariants: every word contributes >= 1 token and
+    // <= its char count of tokens (merges only ever shrink)
+    for ((src, nWords, nChars, nToks, ratio) <- got) {
+      assert(nToks <= nChars, s"$src: tokens grew past chars")
+      assert(nToks >= nWords, s"$src: a word encoded to < 1 token")
+      assert(ratio == nChars * 1000 / nToks)
+    }
+    // totals must equal the raw corpus word/char counts (the encode
+    // join may not drop or duplicate any word occurrence)
+    val (rawWords, rawChars) = Tables.load(spark, sf, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .agg(count(lit(1)), sum(length($"word")).cast("long"))
+      .as[(Long, Long)].collect().head
+    assert(got.map(_._2).sum == rawWords)
+    assert(got.map(_._3).sum == rawChars)
+    // 8 merges on this corpus must actually compress (tokens < chars)
+    assert(got.map(_._4).sum < rawChars)
+  }
+
   test("q133: map-side pair expansion ≡ the customer-keyed self-join formulation") {
     import spark.implicits._
     // q133 builds supplier co-occurrence pairs by collect-set +
