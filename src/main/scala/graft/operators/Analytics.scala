@@ -539,6 +539,60 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** q166: per-group multiple linear regression (OLS, two features +
+    * intercept) fit entirely from SUFFICIENT STATISTICS — the
+    * distributed-OLS normal-equation pattern: one aggregate computes
+    * the 9 cross-moment sums (map-side partials, group-key shuffle of
+    * 9 numbers per group), then the 2×2 centered system solves in
+    * closed form inside the projection. Fits extendedprice ~ quantity
+    * + discount per returnflag. At 100 TB this is ONE pass and one
+    * 3-row exchange — no gradient iterations, no driver matrix beyond
+    * the closed form (Cramer on the centered 2×2).
+    *
+    * Parity device = q110's: moments sum through DECIMAL(18,2)
+    * (exact), convert to double once, then every downstream double
+    * expression is written identically in both engines and the final
+    * round(…, 6) absorbs the one-vs-two-rounding difference in
+    * decimal→double conversion.
+    */
+  val q166_ols: Q = (spark, dir) => {
+    import spark.implicits._
+    def d2(c: Column) = c.cast(DecimalType(18, 2))
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(lit(1)).cast("double").as("n"),
+        sum(d2($"l_quantity")).cast("double").as("s1"),
+        sum(d2($"l_discount")).cast("double").as("s2"),
+        sum(d2($"l_extendedprice")).cast("double").as("sy"),
+        sum(d2($"l_quantity") * d2($"l_quantity")).cast("double").as("s11"),
+        sum(d2($"l_quantity") * d2($"l_discount")).cast("double").as("s12"),
+        sum(d2($"l_discount") * d2($"l_discount")).cast("double").as("s22"),
+        sum(d2($"l_quantity") * d2($"l_extendedprice")).cast("double").as("s1y"),
+        sum(d2($"l_discount") * d2($"l_extendedprice")).cast("double").as("s2y"),
+        sum(d2($"l_extendedprice") * d2($"l_extendedprice")).cast("double").as("syy"))
+    m.select($"l_returnflag", $"n_rows",
+        ($"s11" - $"s1" * $"s1" / $"n").as("c11"),
+        ($"s12" - $"s1" * $"s2" / $"n").as("c12"),
+        ($"s22" - $"s2" * $"s2" / $"n").as("c22"),
+        ($"s1y" - $"s1" * $"sy" / $"n").as("c1y"),
+        ($"s2y" - $"s2" * $"sy" / $"n").as("c2y"),
+        ($"syy" - $"sy" * $"sy" / $"n").as("cyy"),
+        $"n", $"s1", $"s2", $"sy")
+      .select($"l_returnflag", $"n_rows", $"n", $"s1", $"s2", $"sy",
+        $"c1y", $"c2y", $"cyy",
+        (($"c1y" * $"c22" - $"c2y" * $"c12") /
+          ($"c11" * $"c22" - $"c12" * $"c12")).as("b1"),
+        (($"c11" * $"c2y" - $"c12" * $"c1y") /
+          ($"c11" * $"c22" - $"c12" * $"c12")).as("b2"))
+      .select($"l_returnflag", $"n_rows",
+        round(($"sy" - $"b1" * $"s1" - $"b2" * $"s2") / $"n", 6).as("b0"),
+        round($"b1", 6).as("b1_qty"),
+        round($"b2", 6).as("b2_disc"),
+        round(($"b1" * $"c1y" + $"b2" * $"c2y") / $"cyy", 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
   /** q41's as-of attribution through the SQL SURFACE: the `ASOF JOIN`
     * keyword (GraftSqlParser rewrite + post-hoc marker rule) planning
     * into the same custom AsOfJoinExec as the DataFrame API — this
@@ -1023,6 +1077,7 @@ object Analytics {
     "q112_forward_fill" -> q112_forward_fill,
     "q111_asof_sql" -> q111_asof_sql,
     "q110_correlation" -> q110_correlation,
+    "q166_ols" -> q166_ols,
     "q109_curation_pipeline" -> q109_curation_pipeline,
     "q104_pagerank" -> q104_pagerank,
     "q105_schema_evolution" -> q105_schema_evolution,
@@ -1254,6 +1309,47 @@ object Analytics {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_event""".stripMargin,
+    "q166_ols" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n_rows, n, s1, s2, sy,
+        |    (s11 - s1 * s1 / n) AS c11,
+        |    (s12 - s1 * s2 / n) AS c12,
+        |    (s22 - s2 * s2 / n) AS c22,
+        |    (s1y - s1 * sy / n) AS c1y,
+        |    (s2y - s2 * sy / n) AS c2y,
+        |    (syy - sy * sy / n) AS cyy
+        |  FROM m),
+        |b AS (
+        |  SELECT l_returnflag, n_rows, n, s1, s2, sy, c1y, c2y, cyy,
+        |    ((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)) AS b1,
+        |    ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) AS b2
+        |  FROM c)
+        |SELECT l_returnflag, n_rows,
+        |  ROUND((sy - b1 * s1 - b2 * s2) / n, 6) AS b0,
+        |  ROUND(b1, 6) AS b1_qty,
+        |  ROUND(b2, 6) AS b2_disc,
+        |  ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+        |FROM b ORDER BY l_returnflag""".stripMargin,
     "q110_correlation" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -488,6 +488,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum < rawChars)
   }
 
+  test("q166: OLS residuals are orthogonal to intercept and both features") {
+    import spark.implicits._
+    val fits = operators.Analytics.q166_ols(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map { case (g, n, b0, b1, b2, r2) => g -> (n, b0, b1, b2, r2) }.toMap
+    assert(fits.size == 3)
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_discount", $"l_extendedprice")
+      .as[(String, Double, Double, Double)].collect()
+    for ((g, (n, b0, b1, b2, r2)) <- fits) {
+      val grp = rows.filter(_._1 == g)
+      assert(grp.length == n)
+      val res = grp.map { case (_, x1, x2, y) => (x1, x2, y - b0 - b1 * x1 - b2 * x2) }
+      // normal equations: X'r = 0 (tolerance absorbs the 6-dp beta
+      // rounding: err <= 5e-7 * sum|x| per equation)
+      val sy = grp.map(_._4).sum
+      assert(math.abs(res.map(_._3).sum) <= 1e-5 * sy, s"$g: sum(r) != 0")
+      assert(math.abs(res.map(t => t._1 * t._3).sum) <= 1e-5 * grp.map(t => t._2 * t._4).sum,
+        s"$g: r not orthogonal to quantity")
+      assert(math.abs(res.map(t => t._2 * t._3).sum) <= 1e-5 * sy,
+        s"$g: r not orthogonal to discount")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("q133: map-side pair expansion ≡ the customer-keyed self-join formulation") {
     import spark.implicits._
     // q133 builds supplier co-occurrence pairs by collect-set +
