@@ -434,14 +434,94 @@ object GraphOps {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** q168: HITS hubs & authorities (Kleinberg, JACM 1999) on the
+    * DIRECTED bipartite customer→supplier graph — customers score as
+    * hubs (they point at good suppliers), suppliers as authorities.
+    * Two mutual-reinforcement rounds, L1-normalized.
+    *
+    * Integer-exact discipline (the q104/q145 stance, which is what
+    * makes the unrolled SQL oracle hash-exact): scores live as
+    * parts-per-1e9 longs; each half-round is ONE equi-join on the
+    * staged pair index + one map-side-combined aggregate, then the L1
+    * normalization divides by the 1-row total via a broadcast cross
+    * join (never a second shuffle). L2 — the paper's normalization —
+    * needs a square root, so the L1 variant is the deterministic
+    * fixture; the ranking it induces per side is identical at every
+    * round because normalization is a positive scalar either way.
+    *
+    * At 100 TB: per round 2 joins keyed by the pair index's own keys,
+    * partial aggregation before each exchange, a 1-row broadcast for
+    * the total — the same shape as one PageRank iteration, and the
+    * staged-parquet graph is shared with every other traversal query.
+    */
+  val q168_hits: Q = (spark, dir) => {
+    import spark.implicits._
+    val S = 1000000000L
+    val (cs, _) = stagedGraph(spark, dir)
+    def l1norm(raw: org.apache.spark.sql.DataFrame, key: String) =
+      raw.crossJoin(broadcast(raw.agg(sum($"raw").as("tot"))))
+        .select(col(key).as("node"),
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $S DIV CAST(tot AS DECIMAL(38,0)) AS BIGINT)")
+            .as("score"))
+    var hub = cs.select($"c").distinct().select($"c".as("node"), lit(S).as("score"))
+    var auth = spark.emptyDataFrame
+    for (_ <- 1 to 2) {
+      auth = l1norm(
+        cs.join(hub.withColumnRenamed("node", "c"), "c")
+          .groupBy($"s").agg(sum($"score").as("raw")), "s")
+      hub = l1norm(
+        cs.join(auth.withColumnRenamed("node", "s"), "s")
+          .groupBy($"c").agg(sum($"score").as("raw")), "c")
+    }
+    hub.select(lit("hub").as("side"), $"node", $"score")
+      .union(auth.select(lit("auth").as("side"), $"node", $"score"))
+      .orderBy($"side", $"node")
+  }
+
+  /** q168's oracle: the two rounds unrolled; HUGEINT (not DECIMAL)
+    * arithmetic because DuckDB's `//` on DECIMAL operands rounds the
+    * intermediate division before flooring, while Spark's DIV
+    * truncates the exact quotient.
+    */
+  private val hitsOracle: String = {
+    val S = 1000000000L
+    def norm(src: String, key: String) =
+      s"""SELECT $key AS node,
+         |  CAST(CAST(raw AS HUGEINT) * $S //
+         |    (SELECT CAST(SUM(raw) AS HUGEINT) FROM $src) AS BIGINT) AS score
+         |FROM $src""".stripMargin
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT c AS node, $S AS score FROM cs),
+       |a1r AS MATERIALIZED (
+       |  SELECT s, SUM(score) AS raw FROM cs JOIN h0 ON cs.c = h0.node GROUP BY s),
+       |a1 AS MATERIALIZED (${norm("a1r", "s")}),
+       |h1r AS MATERIALIZED (
+       |  SELECT c, SUM(score) AS raw FROM cs JOIN a1 ON cs.s = a1.node GROUP BY c),
+       |h1 AS MATERIALIZED (${norm("h1r", "c")}),
+       |a2r AS MATERIALIZED (
+       |  SELECT s, SUM(score) AS raw FROM cs JOIN h1 ON cs.c = h1.node GROUP BY s),
+       |a2 AS MATERIALIZED (${norm("a2r", "s")}),
+       |h2r AS MATERIALIZED (
+       |  SELECT c, SUM(score) AS raw FROM cs JOIN a2 ON cs.s = a2.node GROUP BY c),
+       |h2 AS MATERIALIZED (${norm("h2r", "c")})
+       |SELECT 'hub' AS side, node, score FROM h2
+       |UNION ALL
+       |SELECT 'auth' AS side, node, score FROM a2
+       |ORDER BY side, node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_bfs_hops" -> q134_bfs_hops,
     "q145_ppr" -> q145_ppr,
     "q156_label_propagation" -> q156_label_propagation,
-    "q163_ppr_forward_push" -> q163_ppr_forward_push)
+    "q163_ppr_forward_push" -> q163_ppr_forward_push,
+    "q168_hits" -> q168_hits)
 
   val oracles: Map[String, String] = Map(
     "q145_ppr" -> pprOracle,
+    "q168_hits" -> hitsOracle,
     "q163_ppr_forward_push" -> pushOracle,
     "q156_label_propagation" -> lpOracle,
     "q134_bfs_hops" ->

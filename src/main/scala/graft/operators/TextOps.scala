@@ -571,6 +571,48 @@ object TextOps {
     *    `x x x` merges once — both verified in TextSpec's driver
     *    replay and by the hash gate).
     */
+  /** q167: corpus-shift monitor — exact total-variation distance
+    * between two corpus vintages' unigram distributions, per language.
+    * The text-side twin of q159's embedding drift: a training pipeline
+    * re-ingests a source and wants to know how far the word
+    * distribution moved before mixing the new vintage in. The halves
+    * here are the deterministic even/odd doc_id split (standing in for
+    * old/new snapshots of the same feed).
+    *
+    * TV = ½ Σ_w |a_w/A − b_w/B| is computed WITHOUT floating point:
+    * the numerator Σ|a_w·B − b_w·A| is exact integer cross-
+    * multiplication (the q135/q139 stance — no log, no double sums),
+    * and the single division happens once at the end, scaled ×10⁶.
+    * |a_w·B − b_w·A| ≤ a_w·B + b_w·A sums to ≤ 2AB, so the DECIMAL(38)
+    * cast gives overflow headroom far past 100 TB word counts.
+    *
+    * Plan: ONE aggregate builds both halves' per-(lang, word) counts
+    * (conditional sums — no self-join of the halves), one vocab-sized
+    * re-aggregate per lang, and a broadcast of the 5-row totals. The
+    * corpus is read once and never shuffled wider than the vocabulary.
+    */
+  val q167_corpus_shift: Q = (spark, dir) => {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"lang", ($"doc_id" % 2 === 0).as("old_half"),
+        explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"lang", $"word")
+      .agg(sum(when($"old_half", 1L).otherwise(0L)).as("a"),
+        sum(when($"old_half", 0L).otherwise(1L)).as("b"))
+    val tot = cnt.groupBy($"lang")
+      .agg(sum($"a").as("ta"), sum($"b").as("tb"))
+    cnt.join(broadcast(tot), "lang")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("vocab_union"),
+        sum(when($"a" > 0 && $"b" > 0, 1L).otherwise(0L)).as("vocab_common"),
+        expr("""CAST(sum(abs(CAST(a AS DECIMAL(38,0)) * tb -
+               |         CAST(b AS DECIMAL(38,0)) * ta)) * 1000000
+               |  DIV (2 * CAST(first(ta) AS DECIMAL(38,0)) * first(tb))
+               |  AS BIGINT)""".stripMargin).as("tv_x1e6"))
+      .orderBy($"lang")
+  }
+
   /** The shared CTE chain: `words` (vocabulary), `v0` (symbol split),
     * then per step `b{s}` (argmax pair) and `v{s}` (merge applied).
     * `word` rides through every `v{s}` so q165's encode tail can join
@@ -643,6 +685,31 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q155_bpe_merges" -> bpeOracle,
     "q165_bpe_encode" -> bpeEncodeOracle,
+    "q167_corpus_shift" ->
+      """WITH w AS (
+        |  SELECT lang, (doc_id % 2 = 0) AS old_half, word FROM (
+        |    SELECT lang, doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0),
+        |cnt AS (
+        |  SELECT lang, word,
+        |    SUM(CASE WHEN old_half THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN old_half THEN 0 ELSE 1 END) AS b
+        |  FROM w GROUP BY lang, word),
+        |tot AS (SELECT lang, SUM(a) AS ta, SUM(b) AS tb FROM cnt GROUP BY lang)
+        |SELECT c.lang,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab_union,
+        |  CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_common,
+        |  -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands
+        |  -- rounds the intermediate decimal division before flooring
+        |  -- (101470.99.. -> 101471), while HUGEINT // is exact
+        |  CAST(SUM(abs(CAST(a AS HUGEINT) * tb -
+        |               CAST(b AS HUGEINT) * ta)) * 1000000
+        |    // (2 * CAST(ANY_VALUE(ta) AS HUGEINT) * ANY_VALUE(tb))
+        |    AS BIGINT) AS tv_x1e6
+        |FROM cnt c JOIN tot USING (lang)
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
     "q160_source_overlap" ->
       """WITH sv AS (
         |  SELECT DISTINCT source, w FROM (
@@ -1026,6 +1093,7 @@ object TextOps {
     "q160_source_overlap" -> q160_source_overlap,
     "q155_bpe_merges" -> q155_bpe_merges,
     "q165_bpe_encode" -> q165_bpe_encode,
+    "q167_corpus_shift" -> q167_corpus_shift,
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,

@@ -488,6 +488,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum < rawChars)
   }
 
+  test("q168: HITS equals an exact integer replay; L1 mass conserved per side") {
+    import spark.implicits._
+    val S = 1000000000L
+    val got = operators.GraphOps.q168_hits(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val cs = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    var hub = cs.map(_._1).distinct.map(_ -> S).toMap
+    var auth = Map.empty[Long, Long]
+    def l1(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = BigInt(raw.values.sum)
+      raw.map { case (k, v) => k -> (BigInt(v) * S / tot).toLong }
+    }
+    for (_ <- 1 to 2) {
+      auth = l1(cs.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(e => hub(e._1)).sum })
+      hub = l1(cs.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum })
+    }
+    val expected = hub.toSeq.map { case (n, v) => ("hub", n, v) } ++
+      auth.toSeq.map { case (n, v) => ("auth", n, v) }
+    assert(got.sorted == expected.sorted)
+    // L1 mass: each side sums to S minus at most one unit of floor
+    // truncation per node
+    for (side <- Seq("hub", "auth")) {
+      val scores = got.filter(_._1 == side).map(_._3)
+      assert(scores.forall(_ >= 0))
+      assert(scores.sum <= S && scores.sum >= S - scores.length)
+    }
+  }
+
+  test("q167: TV distance equals an exact BigInt replay; zero iff halves agree") {
+    import spark.implicits._
+    val got = operators.TextOps.q167_corpus_shift(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (l, u, c, tv) => l -> (u, c, tv) }.toMap
+    val words = Tables.load(spark, sf, "documents")
+      .select($"lang", $"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .as[(String, Long, String)].collect()
+    for ((lang, (u, c, tv)) <- got) {
+      val grp = words.filter(_._1 == lang)
+      val a = grp.filter(_._2 % 2 == 0).groupBy(_._3).map { case (w, xs) => w -> BigInt(xs.length) }
+      val b = grp.filter(_._2 % 2 != 0).groupBy(_._3).map { case (w, xs) => w -> BigInt(xs.length) }
+      val union = a.keySet ++ b.keySet
+      val (ta, tb) = (a.values.sum, b.values.sum)
+      val num = union.toSeq.map(w =>
+        (a.getOrElse(w, BigInt(0)) * tb - b.getOrElse(w, BigInt(0)) * ta).abs).sum
+      assert(u == union.size && c == (a.keySet & b.keySet).size)
+      assert(BigInt(tv) == num * 1000000 / (2 * ta * tb), s"$lang: TV mismatch")
+      assert(tv >= 0 && tv <= 1000000)
+    }
+  }
+
   test("q166: OLS residuals are orthogonal to intercept and both features") {
     import spark.implicits._
     val fits = operators.Analytics.q166_ols(spark, sf)
