@@ -921,6 +921,29 @@ object Analytics {
     * Probability emitted as one raw long/long division — exact
     * cross-engine (no rounding on either side).
     */
+  /** q169: frequent 3-step event paths — the higher-ORDER companion to
+    * q151's first-order transition matrix (funnel/path mining: "which
+    * three-step journeys dominate"). One per-user window pass (a
+    * single user_id exchange shared by both lead() offsets), then a
+    * map-side-combined count over at most |types|³ path keys and a
+    * global deterministic top-10 (count desc, path asc — Spark plans
+    * TakeOrderedAndProject, never a full sort). At 100 TB the only
+    * data-sized stage is the per-user window; the path-count state is
+    * alphabet-bounded.
+    */
+  val q169_path_trigrams: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .where($"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path").limit(10)
+  }
+
   val q151_transitions: Q = (spark, dir) => {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -1064,6 +1087,7 @@ object Analytics {
     "q137_ewma" -> q137_ewma,
     "q138_attribution" -> q138_attribution,
     "q151_transitions" -> q151_transitions,
+    "q169_path_trigrams" -> q169_path_trigrams,
     "q157_skew_profile" -> q157_skew_profile,
     "q161_decile_analysis" -> q161_decile_analysis,
     "q133_knn_triangles" -> q133_knn_triangles,
@@ -1166,6 +1190,17 @@ object Analytics {
         |SELECT CAST(t.rn AS INTEGER) AS rank, t.l_suppkey AS key, t.cnt,
         |  s.n_keys, s.n_rows, s.max_cnt, s.sum_sq
         |FROM t CROSS JOIN s WHERE t.rn <= 10 ORDER BY rank""".stripMargin,
+    "q169_path_trigrams" ->
+      """WITH p AS (
+        |  SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS t2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+        |FROM p WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q151_transitions" ->
       """WITH p AS (
         |  SELECT event_type,

@@ -366,6 +366,47 @@ object EventsStream {
       .where(col("jac") >= threshold)
   }
 
+  /** Streaming distribution-shift monitor — q167's exact TV distance
+    * as a STREAM: per tumbling 6-hour window, the event-type histogram
+    * is compared against a static baseline distribution and the
+    * window emits its integer total-variation distance ×10⁶ once the
+    * watermark closes it.
+    *
+    * Chained stateful aggregations (histogram, then per-window total)
+    * are the restricted shape in Structured Streaming — avoided by
+    * building the WHOLE histogram in ONE stateful aggregation: the
+    * baseline alphabet is static and small, so each type becomes a
+    * conditional-sum column (plus an `other` bucket for types outside
+    * the baseline, which contribute full mass to the distance), and
+    * the TV arithmetic runs per emitted row against baseline
+    * constants. Same integer discipline as q167: Σ|n_t·B − b_t·N|
+    * summed exactly, ONE division at the end.
+    *
+    * State per window = one row of |alphabet|+2 longs; reclaimed when
+    * the 2 h watermark passes the window end.
+    */
+  def driftStream(events: DataFrame, baseline: Map[String, Long]): DataFrame = {
+    require(baseline.nonEmpty && baseline.values.forall(_ >= 0))
+    val types = baseline.keys.toSeq.sorted
+    val baseTot = baseline.values.sum
+    val counts = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+    } :+ sum(when(col("event_type").isin(types: _*), 0L).otherwise(1L)).as("other") :+
+      count(lit(1)).as("n_events")
+    val tvNum = types.zipWithIndex.map { case (t, i) =>
+      abs(col(s"c$i") * baseTot - lit(baseline(t)) * col("n_events"))
+    }.reduce(_ + _) + col("other") * baseTot
+    events
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(window(col("tstamp"), "6 hours"))
+      .agg(counts.head, counts.tail: _*)
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n_events"), tvNum.as("tv_num"))
+      // DIV, not `/`: Column./ on longs is double division
+      .select(col("win_start"), col("n_events"),
+        expr(s"tv_num * 1000000 DIV (2 * n_events * ${baseTot}L)").as("tv_x1e6"))
+  }
+
   /** Stream-stream INTERVAL JOIN: every purchase paired with the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the join

@@ -286,6 +286,35 @@ object ScaleAudit {
       println(f"[audit] q67 chunked=$tc%.2f s ($nc pairs) unchunked=$tu%.2f s ($nu pairs)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // q164: per-copy suffixes make char-20-grams disjoint across
+      // copies, so fingerprint BLOCKS grow in count while the df<=16
+      // cap bounds every block — pairs should grow ~linearly and the
+      // max post-cap bucket must stay <= 16 BY CONSTRUCTION (printed,
+      // not assumed). q167: vocabulary 8x, one conditional aggregate.
+      // q168: 8 disjoint graph copies, per-half-round join tracks
+      // edges.
+      bench("q164_winnowing", dir, graft.SparkEntry.queries("q164_winnowing"))
+      locally {
+        import graft.functions.GraftFunctions.winnow_set
+        val fp = graft.Tables.load(spark, dir, "documents")
+          .select($"doc_id",
+            explode(winnow_set(
+              trim(regexp_replace(lower($"text"), "\\s+", " ")), 20, 8)).as("h"))
+        val dfq = fp.groupBy($"h").agg(count(lit(1)).as("df"))
+        val kept = dfq.where($"df" <= 16)
+          .agg(count(lit(1)).as("n_keys"), max($"df").as("max_bucket"),
+            sum($"df" * $"df").as("sum_sq")).collect()(0)
+        val dropped = dfq.where($"df" > 16).count()
+        val pairs = graft.SparkEntry.queries("q164_winnowing")(spark, dir).count()
+        println(s"[audit] q164 fingerprint skew @ $dir: " +
+          s"n_keys=${kept.getLong(0)} max_bucket=${kept.getLong(1)} " +
+          s"sum_sq=${kept.getLong(2)} dropped_keys=$dropped pairs=$pairs")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      bench("q167_corpus_shift", dir, graft.SparkEntry.queries("q167_corpus_shift"))
+      bench("q168_hits", dir, graft.SparkEntry.queries("q168_hits"))
     }
 
     // q109 runs against the marker-preserving funnel fixture — the

@@ -82,6 +82,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming TV-drift monitor matches an exact batch replay per window") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // baseline = the global event-type distribution of the fixture
+    // itself (a window that looks like the long-run mix scores low TV)
+    val baseline = Tables.load(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val q = EventsStream.driftStream(EventsStream.readEvents(spark, stagedDir), baseline)
+      .writeStream.outputMode("append").format("memory").queryName("drift_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("drift_spec").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty, "no drift windows emitted")
+    // exact batch replay with BigInt arithmetic
+    val baseTot = BigInt(baseline.values.sum)
+    val evs = Tables.load(spark, sf, "events")
+      .select(expr("ts DIV 1000").as("us"), $"event_type") // DIV: `/` on nanos loses precision
+      .as[(Long, String)].collect()
+    val winUs = 6L * 3600 * 1000000
+    val batch = evs.groupBy(t => t._1 / winUs * winUs).map { case (start, xs) =>
+      val n = BigInt(xs.length)
+      val byType = xs.groupBy(_._2).map { case (t, ys) => t -> BigInt(ys.length) }
+      val num = (baseline.keySet ++ byType.keySet).toSeq.map { t =>
+        (byType.getOrElse(t, BigInt(0)) * baseTot -
+          BigInt(baseline.getOrElse(t, 0L)) * n).abs
+      }.sum
+      start / 1000000 -> (xs.length.toLong, (num * 1000000 / (2 * n * baseTot)).toLong)
+    }
+    streamed.foreach { case (w, v) =>
+      assert(batch.get(w).contains(v), s"window $w: streamed $v != batch ${batch.get(w)}")
+    }
+  }
+
   test("checkpoint recovery: restart processes only new data, exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.col
