@@ -894,6 +894,46 @@ object Analytics {
     * accumulators (float retraction is order-dependent; decimal is
     * exact cross-engine).
     */
+  /** q170: MULTI-touch time-decay attribution — each purchase's value
+    * splits across the user's preceding touch events (click/view) with
+    * credit halving per step back (the standard time-decay model; q138
+    * is the last-touch special case). Exact integer credit: the j-th
+    * most recent of m ≤ 8 credited touches gets value·2^(m−1−j)
+    * /(2^m − 1) — numerator and the denominator 2^m − 1 ≤ 255 are
+    * exact BIGINTs, value converts to cents through one DECIMAL(18,2)
+    * cast, one DIV per credit row.
+    *
+    * State-bounded by construction: the touch list is collected over a
+    * FRAME-bounded window (last 50 events before the purchase), so
+    * per-row window state is ≤ 50 entries regardless of how long a
+    * whale user's history is — no user-keyed self-join (the docs²
+    * trap), no unbounded collect. Purchases with no preceding touch
+    * credit an `organic` bucket in full.
+    */
+  val q170_decay_attribution: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-50, -1)
+    val base = Tables.load(spark, dir, "events")
+      .withColumn("tl",
+        collect_list(when($"event_type".isin("click", "view"), $"event_type")).over(w))
+      .where($"event_type" === "purchase")
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        least(size($"tl"), lit(8)).as("m"), $"tl")
+    val touched = base.where($"m" > 0)
+      .select($"cents", $"m",
+        posexplode(expr("slice(tl, -m, m)")).as(Seq("p", "channel")))
+      .select($"channel",
+        expr("cents * shiftleft(1L, p) * 1000000 DIV (shiftleft(1L, m) - 1)")
+          .as("credit"))
+    val organic = base.where($"m" === 0)
+      .select(lit("organic").as("channel"), ($"cents" * 1000000L).as("credit"))
+    touched.unionByName(organic)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_rows"), sum($"credit").as("credited_x1e6"))
+      .orderBy($"channel")
+  }
+
   val q138_attribution: Q = (spark, dir) => {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -1088,6 +1128,7 @@ object Analytics {
     "q138_attribution" -> q138_attribution,
     "q151_transitions" -> q151_transitions,
     "q169_path_trigrams" -> q169_path_trigrams,
+    "q170_decay_attribution" -> q170_decay_attribution,
     "q157_skew_profile" -> q157_skew_profile,
     "q161_decile_analysis" -> q161_decile_analysis,
     "q133_knn_triangles" -> q133_knn_triangles,
@@ -1190,6 +1231,34 @@ object Analytics {
         |SELECT CAST(t.rn AS INTEGER) AS rank, t.l_suppkey AS key, t.cnt,
         |  s.n_keys, s.n_rows, s.max_cnt, s.sum_sq
         |FROM t CROSS JOIN s WHERE t.rn <= 10 ORDER BY rank""".stripMargin,
+    "q170_decay_attribution" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    -- COALESCE: DuckDB's list() over an EMPTY frame is NULL
+        |    -- (Spark collect_list gives []), and LEAST(NULL, 8) = 8
+        |    -- would then credit 8 phantom NULL channels
+        |    COALESCE(list_filter(
+        |      list(CASE WHEN event_type IN ('click','view') THEN event_type END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING),
+        |      x -> x IS NOT NULL), []) AS tl
+        |  FROM events),
+        |p AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    LEAST(len(tl), 8) AS m, tl
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT tl[len(tl) - m + pos] AS channel,
+        |    cents * (1::BIGINT << (pos - 1)) * 1000000
+        |      // ((1::BIGINT << m) - 1) AS credit
+        |  FROM p, UNNEST(range(1, m + 1)) AS r(pos)
+        |  WHERE m > 0),
+        |o AS (SELECT 'organic' AS channel, cents * 1000000 AS credit
+        |      FROM p WHERE m = 0)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(credit) AS BIGINT) AS credited_x1e6
+        |FROM (SELECT * FROM t UNION ALL SELECT * FROM o)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
     "q169_path_trigrams" ->
       """WITH p AS (
         |  SELECT event_type AS t1,

@@ -407,6 +407,36 @@ object EventsStream {
         expr(s"tv_num * 1000000 DIV (2 * n_events * ${baseTot}L)").as("tv_x1e6"))
   }
 
+  /** Streaming heavy hitters — the space-saving sketch
+    * ([[graft.functions.HeavyHittersAgg]], a TypedImperativeAggregate)
+    * running INSIDE a watermark-bounded streaming aggregation: per
+    * tumbling 6-hour window, the top-64 users by event count with
+    * deterministic (count_min, count_max) bounds. Exercises the one
+    * integration the batch query surface can't: custom typed-buffer
+    * UDAF state serialized through the streaming state store across
+    * micro-batches (partial sketches merge via `absorb`, exactly the
+    * map-side-combine path, so arrival slicing cannot change the
+    * guarantee).
+    *
+    * The space-saving guarantee survives streaming merge: every item
+    * with true window frequency > total/capacity is in the sketch, and
+    * every estimate brackets the true count. State per window = ONE
+    * 64-entry sketch row — constant, reclaimed when the watermark
+    * passes; at 100 TB rates this is the only shape that bounds
+    * per-window memory no matter how many distinct users appear.
+    */
+  def heavyHittersStream(events: DataFrame, capacity: Int = 64): DataFrame =
+    events
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(window(col("tstamp"), "6 hours"))
+      .agg(graft.functions.HeavyHittersAgg
+        .heavy_hitters(col("user_id").cast("string"), capacity).as("s"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("s.total").as("n_events"), explode(col("s.items")).as("h"))
+      .select(col("win_start"), col("n_events"),
+        col("h.item").as("user"), col("h.count_min").as("count_min"),
+        col("h.count_max").as("count_max"))
+
   /** Stream-stream INTERVAL JOIN: every purchase paired with the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the join

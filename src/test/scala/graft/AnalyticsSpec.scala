@@ -522,6 +522,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q170: decay attribution conserves purchase value up to per-row DIV truncation") {
+    import spark.implicits._
+    val got = operators.Analytics.q170_decay_attribution(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty && got.map(_._1).contains("organic"))
+    val totalCredited = got.map(_._3).sum
+    val creditRows = got.map(_._2).sum
+    val purchases = Tables.load(spark, sf, "events")
+      .where($"event_type" === "purchase")
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .as[Long].collect()
+    val totalValue = purchases.sum * 1000000L
+    // each credit row loses < 1 unit to DIV truncation; organic rows
+    // lose nothing — so the credited total must sit within creditRows
+    // units below the full purchase mass and never exceed it
+    assert(totalCredited <= totalValue)
+    assert(totalValue - totalCredited < creditRows,
+      s"lost ${totalValue - totalCredited} over $creditRows rows")
+  }
+
   test("q167: TV distance equals an exact BigInt replay; zero iff halves agree") {
     import spark.implicits._
     val got = operators.TextOps.q167_corpus_shift(spark, sf)

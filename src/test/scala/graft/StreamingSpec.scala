@@ -118,6 +118,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters: space-saving guarantee survives state-store merge") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cap = 64
+    val q = EventsStream.heavyHittersStream(EventsStream.readEvents(spark, stagedDir), cap)
+      .writeStream.outputMode("append").format("memory").queryName("hh_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hh_spec").collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(streamed.nonEmpty, "no sketch rows emitted")
+    // exact per-window user counts from a batch replay
+    val winUs = 6L * 3600 * 1000000
+    val exact = Tables.load(spark, sf, "events")
+      .select(expr("ts DIV 1000").as("us"), $"user_id".cast("string").as("u"))
+      .as[(Long, String)].collect()
+      .groupBy(t => t._1 / winUs * winUs / 1000000)
+      .map { case (w, xs) => w -> xs.groupBy(_._2).map { case (u, ys) => u -> ys.length.toLong } }
+    streamed.keys.map(_._1).toSeq.distinct.foreach { w =>
+      val counts = exact(w)
+      val total = counts.values.sum
+      // every user over the total/cap threshold MUST be in the sketch,
+      // with bounds bracketing the true count
+      counts.filter(_._2 * cap > total).foreach { case (u, n) =>
+        val hit = streamed.get((w, u))
+        assert(hit.isDefined, s"window $w: heavy user $u ($n of $total) missing")
+        val (tot, lo, hi) = hit.get
+        assert(tot == total && lo <= n && n <= hi,
+          s"window $w user $u: exact $n outside [$lo, $hi] (total $tot vs $total)")
+      }
+    }
+  }
+
   test("checkpoint recovery: restart processes only new data, exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.col
