@@ -894,6 +894,41 @@ object Analytics {
     * accumulators (float retraction is order-dependent; decimal is
     * exact cross-engine).
     */
+  /** q171: chi-square independence test on the event_type × A/B-half
+    * contingency table — the A/B-testing primitive ("did the
+    * experiment shift the behavior mix?"). Halves are the
+    * deterministic user_id parity split.
+    *
+    * Integer-exact: each cell's contribution (o − e)²/e with
+    * e = row·col/N is the cross-multiplied (o·N − row·col)² × 10⁶
+    * DIV (N·row·col) — numerator ≲ 10²⁵ rides DECIMAL(38)/HUGEINT,
+    * one truncating division per cell (the statistic is the sum of
+    * per-cell truncated terms, within |cells| units of the real χ²).
+    * Plan: ONE conditional aggregate builds both columns of the table
+    * (no half self-join), checkpointed so the corpus is scanned once
+    * (the q167 stance), totals broadcast from a 1-row aggregate.
+    */
+  val q171_chi_square: Q = (spark, dir) => {
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("oa"),
+        sum(when($"user_id" % 2 === 0, 0L).otherwise(1L)).as("ob"))
+      .localCheckpoint()
+    val tot = cells.agg(sum($"oa").as("ca"), sum($"ob").as("cb"),
+      sum($"oa" + $"ob").as("n"))
+    def contrib(o: String, c: String) =
+      s"""CAST((CAST($o AS DECIMAL(38,0)) * n - CAST(oa + ob AS DECIMAL(38,0)) * $c)
+         |  * (CAST($o AS DECIMAL(38,0)) * n - CAST(oa + ob AS DECIMAL(38,0)) * $c)
+         |  * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * (oa + ob) * $c)
+         |  AS BIGINT)""".stripMargin
+    cells.crossJoin(broadcast(tot))
+      .select($"event_type", $"oa", $"ob",
+        expr(contrib("oa", "ca")).as("contrib_a_x1e6"),
+        expr(contrib("ob", "cb")).as("contrib_b_x1e6"))
+      .orderBy($"event_type")
+  }
+
   /** q170: MULTI-touch time-decay attribution — each purchase's value
     * splits across the user's preceding touch events (click/view) with
     * credit halving per step back (the standard time-decay model; q138
@@ -1129,6 +1164,7 @@ object Analytics {
     "q151_transitions" -> q151_transitions,
     "q169_path_trigrams" -> q169_path_trigrams,
     "q170_decay_attribution" -> q170_decay_attribution,
+    "q171_chi_square" -> q171_chi_square,
     "q157_skew_profile" -> q157_skew_profile,
     "q161_decile_analysis" -> q161_decile_analysis,
     "q133_knn_triangles" -> q133_knn_triangles,
@@ -1231,6 +1267,24 @@ object Analytics {
         |SELECT CAST(t.rn AS INTEGER) AS rank, t.l_suppkey AS key, t.cnt,
         |  s.n_keys, s.n_rows, s.max_cnt, s.sum_sq
         |FROM t CROSS JOIN s WHERE t.rn <= 10 ORDER BY rank""".stripMargin,
+    "q171_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS oa,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS ob
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT SUM(oa) AS ca, SUM(ob) AS cb, SUM(oa + ob) AS n
+        |        FROM cells)
+        |SELECT event_type, CAST(oa AS BIGINT) AS oa, CAST(ob AS BIGINT) AS ob,
+        |  CAST((CAST(oa AS HUGEINT) * n - CAST(oa + ob AS HUGEINT) * ca)
+        |    * (CAST(oa AS HUGEINT) * n - CAST(oa + ob AS HUGEINT) * ca)
+        |    * 1000000 // (CAST(n AS HUGEINT) * (oa + ob) * ca)
+        |    AS BIGINT) AS contrib_a_x1e6,
+        |  CAST((CAST(ob AS HUGEINT) * n - CAST(oa + ob AS HUGEINT) * cb)
+        |    * (CAST(ob AS HUGEINT) * n - CAST(oa + ob AS HUGEINT) * cb)
+        |    * 1000000 // (CAST(n AS HUGEINT) * (oa + ob) * cb)
+        |    AS BIGINT) AS contrib_b_x1e6
+        |FROM cells, tot ORDER BY event_type""".stripMargin,
     "q170_decay_attribution" ->
       """WITH e AS (
         |  SELECT event_type, value,

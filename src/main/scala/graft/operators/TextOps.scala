@@ -593,6 +593,10 @@ object TextOps {
     */
   val q167_corpus_shift: Q = (spark, dir) => {
     import spark.implicits._
+    // localCheckpoint: `cnt` feeds both the totals and the final
+    // aggregate — without it the corpus word explode re-executes once
+    // per consumer (2 scans of the 100 TB side for a vocab-sized
+    // table). Plan pinned scan-free downstream in PlanInvariantsSpec.
     val cnt = Tables.load(spark, dir, "documents")
       .select($"lang", ($"doc_id" % 2 === 0).as("old_half"),
         explode(split(lower(trim($"text")), "\\s+")).as("word"))
@@ -600,6 +604,7 @@ object TextOps {
       .groupBy($"lang", $"word")
       .agg(sum(when($"old_half", 1L).otherwise(0L)).as("a"),
         sum(when($"old_half", 0L).otherwise(1L)).as("b"))
+      .localCheckpoint()
     val tot = cnt.groupBy($"lang")
       .agg(sum($"a").as("ta"), sum($"b").as("tb"))
     cnt.join(broadcast(tot), "lang")

@@ -522,6 +522,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q171: integer chi-square tracks the double-precision statistic") {
+    import spark.implicits._
+    val got = operators.Analytics.q171_chi_square(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    val n = got.map(t => t._2 + t._3).sum.toDouble
+    val (ca, cb) = (got.map(_._2).sum.toDouble, got.map(_._3).sum.toDouble)
+    val chiRef = got.map { case (_, oa, ob, _, _) =>
+      val r = (oa + ob).toDouble
+      val (ea, eb) = (r * ca / n, r * cb / n)
+      (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+    }.sum
+    val chiGot = got.map(t => t._4 + t._5).sum / 1e6
+    // each of the 10 cells truncates < 1e-6; allow double noise on top
+    assert(math.abs(chiGot - chiRef) < 1e-5 + 1e-9 * chiRef,
+      s"integer chi2 $chiGot vs double $chiRef")
+  }
+
   test("q170: decay attribution conserves purchase value up to per-row DIV truncation") {
     import spark.implicits._
     val got = operators.Analytics.q170_decay_attribution(spark, sf)

@@ -156,6 +156,39 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
   }
 
+  test("q166: OLS is one partial-agg shuffle; the solve is projection-only") {
+    val p = plan("q166_ols")
+    assert(p.contains("partial_sum"), s"no map-side moment partials:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, s"extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"solve left the projection:\n$p")
+  }
+
+  test("q167: TV distance scans the corpus once; downstream is vocab-sized") {
+    val p = plan("q167_corpus_shift")
+    // the word-count table is checkpointed, so the final plan reads NO
+    // parquet at all — the corpus crossed the wire exactly once
+    assert(countOf(p, "Scan parquet") == 0, s"corpus re-scanned downstream:\n$p")
+    // totals agg + per-lang re-agg over the checkpointed vocab table
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, s"extra shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals join not broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"single-task stage:\n$p")
+  }
+
+  test("q169: top-10 paths plan as TakeOrdered, never a full sort") {
+    val p = plan("q169_path_trigrams")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-10:\n$p")
+    // one user-window exchange + one path-count exchange
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("q170: attribution is window + explode, never a user-keyed self-join") {
+    val p = plan("q170_decay_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), s"self-join crept in:\n$p")
+    assert(p.contains("Generate"), s"credit explode missing:\n$p")
+  }
+
   test("q164: winnowing pairs meet in the fingerprint equi-join; selection is map-only") {
     val p = plan("q164_winnowing")
     assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
