@@ -894,6 +894,53 @@ object Analytics {
     * accumulators (float retraction is order-dependent; decimal is
     * exact cross-engine).
     */
+  /** q172: two-sample Kolmogorov–Smirnov statistic between the A/B
+    * halves' `value` distributions — the distribution-level companion
+    * to q171's categorical test (q171 asks "did the type mix move",
+    * q172 asks "did the value distribution move"). D = max |ECDF_A −
+    * ECDF_B|, integer-exact: cumulative counts cross-multiplied
+    * (|ca·nb − cb·na|), ONE division at the end, ×10⁶.
+    *
+    * The global cumulative is built WITHOUT a single-partition sort —
+    * the q150 two-level device keyed by deterministic fixed-width
+    * VALUE bands (not sampled ranges, so equal values provably
+    * co-bucket and the result is partitioning-invariant): per-band
+    * conditional totals prefix-sum at band cardinality (driver-side,
+    * ~30 rows), and each row adds its band base to a band-local
+    * window cumsum. The window's default RANGE frame includes peers,
+    * so every row of a tie group carries the group-end cumulative —
+    * exactly ECDF at that value, no tie-boundary bookkeeping. At
+    * 100 TB the bands would come from a q61-style quantile sketch
+    * instead of fixed width; the shape is unchanged.
+    */
+  val q172_ks_test: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"value", ($"user_id" % 2 === 0).as("isA"),
+        expr("CAST(value AS BIGINT) DIV 16").as("bucket"))
+    val bTot = ev.groupBy($"bucket")
+      .agg(sum(when($"isA", 1L).otherwise(0L)).as("ta"),
+        sum(when($"isA", 0L).otherwise(1L)).as("tb"))
+    var accA = 0L
+    var accB = 0L
+    val bases = bTot.orderBy($"bucket").collect().map { r =>
+      val out = (r.getLong(0), accA, accB)
+      accA += r.getLong(1); accB += r.getLong(2)
+      out
+    }
+    val (na, nb) = (accA, accB)
+    require(na > 0 && nb > 0, s"q172: a half is empty under $dir")
+    val w = Window.partitionBy($"bucket").orderBy($"value")
+    ev
+      .withColumn("ca_loc", sum(when($"isA", 1L).otherwise(0L)).over(w))
+      .withColumn("cb_loc", sum(when($"isA", 0L).otherwise(1L)).over(w))
+      .join(broadcast(bases.toSeq.toDF("bucket", "base_a", "base_b")), "bucket")
+      .select((($"base_a" + $"ca_loc") * nb - ($"base_b" + $"cb_loc") * na).as("diff"))
+      .agg(max(abs($"diff")).as("mx"))
+      .select(lit(na).as("na"), lit(nb).as("nb"),
+        expr(s"CAST(mx * 1000000 DIV (${na}L * ${nb}L) AS BIGINT)").as("d_x1e6"))
+  }
+
   /** q171: chi-square independence test on the event_type × A/B-half
     * contingency table — the A/B-testing primitive ("did the
     * experiment shift the behavior mix?"). Halves are the
@@ -1165,6 +1212,7 @@ object Analytics {
     "q169_path_trigrams" -> q169_path_trigrams,
     "q170_decay_attribution" -> q170_decay_attribution,
     "q171_chi_square" -> q171_chi_square,
+    "q172_ks_test" -> q172_ks_test,
     "q157_skew_profile" -> q157_skew_profile,
     "q161_decile_analysis" -> q161_decile_analysis,
     "q133_knn_triangles" -> q133_knn_triangles,
@@ -1267,6 +1315,28 @@ object Analytics {
         |SELECT CAST(t.rn AS INTEGER) AS rank, t.l_suppkey AS key, t.cnt,
         |  s.n_keys, s.n_rows, s.max_cnt, s.sum_sq
         |FROM t CROSS JOIN s WHERE t.rn <= 10 ORDER BY rank""".stripMargin,
+    "q172_ks_test" ->
+      // brute single-window formulation; the RANGE default frame
+      // includes peers, so every tie-group row carries the group-end
+      // cumulative = ECDF at that value (same frame semantics Spark
+      // uses band-locally)
+      """WITH e AS (
+        |  SELECT value, (user_id % 2 = 0) AS isA FROM events),
+        |t AS (
+        |  SELECT SUM(CASE WHEN isA THEN 1 ELSE 0 END) AS na,
+        |         SUM(CASE WHEN isA THEN 0 ELSE 1 END) AS nb
+        |  FROM e),
+        |r AS (
+        |  SELECT
+        |    SUM(CASE WHEN isA THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(CASE WHEN isA THEN 0 ELSE 1 END) OVER
+        |      (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM e)
+        |SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+        |  CAST(MAX(abs(ca * t.nb - cb * t.na)) * 1000000 // (t.na * t.nb)
+        |    AS BIGINT) AS d_x1e6
+        |FROM r, t GROUP BY t.na, t.nb""".stripMargin,
     "q171_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type,

@@ -540,6 +540,31 @@ class AnalyticsSpec extends AnyFunSuite {
       s"integer chi2 $chiGot vs double $chiRef")
   }
 
+  test("q172: banded KS statistic equals a sorted-merge driver replay") {
+    import spark.implicits._
+    val Seq((na, nb, d)) = operators.Analytics.q172_ks_test(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val vals = Tables.load(spark, sf, "events")
+      .select($"value", ($"user_id" % 2 === 0).as("isA"))
+      .as[(Double, Boolean)].collect().sortBy(_._1)
+    assert(na == vals.count(_._2) && nb == vals.count(!_._2))
+    // exact replay: walk the sorted stream, evaluating the ECDF gap
+    // after each tie group
+    var (ca, cb) = (0L, 0L)
+    var mx = BigInt(0)
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)._1
+      while (i < vals.length && vals(i)._1 == v) {
+        if (vals(i)._2) ca += 1 else cb += 1
+        i += 1
+      }
+      mx = mx.max((BigInt(ca) * nb - BigInt(cb) * na).abs)
+    }
+    assert(BigInt(d) == mx * 1000000 / (BigInt(na) * nb), s"D mismatch: $d")
+    assert(d >= 0 && d <= 1000000)
+  }
+
   test("q170: decay attribution conserves purchase value up to per-row DIV truncation") {
     import spark.implicits._
     val got = operators.Analytics.q170_decay_attribution(spark, sf)

@@ -182,6 +182,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") <= 2, s"extra shuffles:\n$p")
   }
 
+  test("q172: KS cumulative is band-local — no single-partition sort") {
+    val p = plan("q172_ks_test")
+    // the only SinglePartition allowed is the final 1-row max
+    // reduction, which must be preceded by a map-side partial_max so
+    // it moves one row per partition, never the data
+    assert(countOf(p, "Exchange SinglePartition") <= 1 && p.contains("partial_max"),
+      s"data-sized single-partition stage:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global range sort:\n$p")
+    assert(p.contains("Window"), s"band-local cumulative window missing:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"more than the one band exchange:\n$p")
+  }
+
   test("q170: attribution is window + explode, never a user-keyed self-join") {
     val p = plan("q170_decay_attribution")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
