@@ -597,7 +597,49 @@ object Dedup {
     * in one BIGINT key; sound while positions stay < 8192 — max doc
     * length is 577 chars, and the kernel needs no such bound).
     */
-  private val winnowOracle: String = {
+  /** q173: INCREMENTAL winnowing — the q85/q113 steady-state ingest
+    * pattern applied to the q164 fingerprint family: the corpus
+    * fingerprint index (winnowed hashes of every non-delta doc, with
+    * boilerplate already dropped by the df ≤ 16 cap) is STAGED to
+    * parquet per dataset fingerprint via [[graft.Staging]], and a new
+    * batch (doc_id % 10 == 7 stands in for the arriving ingest) pays
+    * only delta-sized work: winnow the new docs map-side, equi-join
+    * the staged index, count shared fingerprints. The corpus is never
+    * re-fingerprinted per batch — the exact economics that make
+    * near-dup screening affordable as a continuous ingest gate.
+    *
+    * The df cap is computed from the CORPUS index only: a delta batch
+    * must not retroactively reclassify corpus fingerprints as
+    * boilerplate (and the staged artifact could not reflect it
+    * anyway). Mirrored in the oracle.
+    */
+  val q173_winnow_incremental: Q = (spark, dir) => {
+    import spark.implicits._
+    def winnowed(d: DataFrame) = d.select($"doc_id",
+      explode(winnow_set(
+        trim(regexp_replace(lower($"text"), "\\s+", " ")), 20, 8)).as("h"))
+    val staged = graft.Staging.stage(
+      s"winnow_fp#$dir", Tables.fingerprint(dir, "documents")) { out =>
+      val fp = winnowed(Tables.load(spark, dir, "documents")
+        .where($"doc_id" % 10 =!= 7))
+      val dfq = fp.groupBy($"h").agg(count(lit(1)).as("df"))
+      fp.join(dfq.where($"df" <= 16), "h").select($"doc_id", $"h")
+        .write.parquet(s"$out/fp")
+    }
+    val corpusIdx = spark.read.parquet(s"$staged/fp")
+    winnowed(Tables.load(spark, dir, "documents").where($"doc_id" % 10 === 7))
+      .join(corpusIdx.select($"doc_id".as("old_doc"), $"h"), "h")
+      .groupBy($"doc_id".as("new_doc"), $"old_doc")
+      .agg(count(lit(1)).as("shared"))
+      .where($"shared" >= 4)
+      .orderBy($"new_doc", $"old_doc")
+  }
+
+  /** Shared CTE prefix computing every doc's winnowed fingerprint set
+    * (`sel`) the brute-force way — used by q164's pair tail and
+    * q173's incremental tail.
+    */
+  private val winnowSelCtes: String = {
     val (k, w) = (20, 8)
     var h = "0"
     for (j <- 0 until k)
@@ -615,20 +657,42 @@ object Dedup {
        |    count(*) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
        |  FROM pos),
-       |sel AS (SELECT DISTINCT doc_id, key // 8192 AS h FROM win WHERE cnt = $w),
-       |dfq AS (SELECT h, COUNT(*) AS df FROM sel GROUP BY h),
-       |keep AS (SELECT s.doc_id, s.h FROM sel s JOIN dfq USING (h) WHERE df <= 16),
-       |sz AS (SELECT doc_id, COUNT(*) AS nf FROM keep GROUP BY 1),
-       |px AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-       |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
-       |  CAST(shared * 1000 // LEAST(x.nf, y.nf) AS BIGINT) AS sim_x1000
-       |FROM px JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-       |WHERE shared >= 4
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |sel AS (SELECT DISTINCT doc_id, key // 8192 AS h FROM win WHERE cnt = $w)""".stripMargin
   }
+
+  private val winnowOracle: String =
+    winnowSelCtes +
+      """,
+        |dfq AS (SELECT h, COUNT(*) AS df FROM sel GROUP BY h),
+        |keep AS (SELECT s.doc_id, s.h FROM sel s JOIN dfq USING (h) WHERE df <= 16),
+        |sz AS (SELECT doc_id, COUNT(*) AS nf FROM keep GROUP BY 1),
+        |px AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared * 1000 // LEAST(x.nf, y.nf) AS BIGINT) AS sim_x1000
+        |FROM px JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE shared >= 4
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q173's oracle: the same fingerprints, split corpus-vs-delta; the
+    * df cap comes from the CORPUS index only (the staged artifact
+    * carries its own df — a delta batch must not retroactively change
+    * which corpus fingerprints count as boilerplate).
+    */
+  private val winnowIncrementalOracle: String =
+    winnowSelCtes +
+      """,
+        |old AS (SELECT * FROM sel WHERE doc_id % 10 != 7),
+        |nw  AS (SELECT * FROM sel WHERE doc_id % 10 = 7),
+        |dfq AS (SELECT h, COUNT(*) AS df FROM old GROUP BY h),
+        |keep AS (SELECT o.doc_id, o.h FROM old o JOIN dfq USING (h) WHERE df <= 16)
+        |SELECT n.doc_id AS new_doc, k.doc_id AS old_doc,
+        |  CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM nw n JOIN keep k ON n.h = k.h
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        |ORDER BY new_doc, old_doc""".stripMargin
 
   private val gramsCte =
     """WITH g AS (
@@ -638,6 +702,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q164_winnowing" -> winnowOracle,
+    "q173_winnow_incremental" -> winnowIncrementalOracle,
     "q144_containment_join" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -793,5 +858,6 @@ object Dedup {
     "q140_sorted_neighborhood" -> q140_sorted_neighborhood,
     "q162_snm_multipass" -> q162_snm_multipass,
     "q164_winnowing" -> q164_winnowing,
+    "q173_winnow_incremental" -> q173_winnow_incremental,
     "q144_containment_join" -> q144_containment_join)
 }

@@ -633,32 +633,41 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("q133: map-side pair expansion ≡ the customer-keyed self-join formulation") {
+  test("q133: chunked pair join ≡ the plain self-join, fixture and whale") {
     import spark.implicits._
-    // q133 builds supplier co-occurrence pairs by collect-set +
-    // map-side expansion (the q160 device). This pins bit-identical
-    // (s1, s2, w) against the straightforward customer-keyed
-    // self-join it replaced, so the scale rewrite can never drift
-    // from the defining semantics.
+    // q133 builds supplier co-occurrence pairs by the adaptive
+    // chunked self-join (q67 device). Pins bit-identical (s1, s2, w)
+    // against the plain customer-keyed self-join — on the fixture
+    // (where every nc = 1, the zero-replication fast path) AND on a
+    // synthetic whale customer that actually engages nc > 1.
+    def norm(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getLong(2))).toSet
+    def plainJoin(cs: DataFrame): DataFrame =
+      cs.as("x").join(cs.as("y"), $"x.c" === $"y.c" && $"x.s" < $"y.s")
+        .groupBy($"x.s".as("s1"), $"y.s".as("s2")).agg(count(lit(1)).as("w"))
+    def chunked(cs: DataFrame, L: Int): DataFrame =
+      operators.Analytics.copurchasePairs(cs, L)
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("w"))
     val cs = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
       .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
       .distinct()
-    def norm(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
-      .map(r => (r.getAs[Number](0).longValue,
-        r.getAs[Number](1).longValue, r.getLong(2))).toSet
-    val viaJoin = norm(
-      cs.as("x").join(cs.as("y"), $"x.c" === $"y.c" && $"x.s" < $"y.s")
-        .groupBy($"x.s".as("s1"), $"y.s".as("s2")).agg(count(lit(1)).as("w")))
-    val viaExpand = norm(
-      cs.groupBy($"c").agg(sort_array(collect_set($"s")).as("ss"))
-        .select(explode(expr(
-          """flatten(transform(ss, (a, i) ->
-            |  transform(slice(ss, i + 2, size(ss)), b ->
-            |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
-        .groupBy($"p.s1".as("s1"), $"p.s2".as("s2")).agg(count(lit(1)).as("w")))
-    assert(viaExpand.nonEmpty && viaExpand == viaJoin)
+    val fixture = norm(chunked(cs, 256))
+    assert(fixture.nonEmpty && fixture == norm(plainJoin(cs)))
+    // whale: one customer linked to 300 suppliers, chunkRows = 16
+    // forces nc = 19 — every chunk-pair branch (same-chunk and
+    // cross-chunk) exercises; plus a normal customer for the nc = 1
+    // path in the same frame
+    val whale = ((1L to 300L).map(s => (1L, s)) ++ Seq((2L, 5L), (2L, 9L)))
+      .toDF("c", "s")
+    val w = norm(chunked(whale, 16))
+    assert(w == norm(plainJoin(whale)))
+    // (5, 9) co-occurs under BOTH customers and merges at w = 2, so
+    // the distinct-pair count is exactly the whale's all-pairs
+    assert(w.size == 300 * 299 / 2)
+    assert(w.contains((5L, 9L, 2L)))
   }
 
   test("q153: orders pick the SCD2 version valid at their order date") {

@@ -332,6 +332,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.size < sets.length.toLong * (sets.length - 1) / 8)
   }
 
+  test("q173: incremental winnow pairs contain every delta-restricted q164 pair") {
+    import spark.implicits._
+    // containment argument: q164 caps on FULL-corpus df, q173 on
+    // corpus-only df; full-df >= corpus-df, so q164's kept fingerprint
+    // set is a subset of q173's and shared_164 <= shared_173 — every
+    // delta x corpus pair q164 reports at >= 4 shared must appear in
+    // q173. (The converse need not hold: a fingerprint pushed over
+    // the cap only by delta occurrences still counts for q173.)
+    val inc = SparkEntry.queries("q173_winnow_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.nonEmpty, "no incremental pairs on the fixture")
+    val full = SparkEntry.queries("q164_winnowing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 10 == 7 && b % 10 != 7) Some((a, b))
+        else if (b % 10 == 7 && a % 10 != 7) Some((b, a))
+        else None
+      }.toSet
+    assert(full.subsetOf(inc),
+      s"missing delta pairs: ${(full diff inc).take(5)}")
+  }
+
   test("q140: sorted-neighborhood pairs are a subset of the exact q139 join") {
     // same tokenization, same tau=0.9 integer test — every pair the
     // window finds must also be in the exhaustive prefix-filtered
