@@ -478,6 +478,80 @@ object GraphOps {
       .orderBy($"side", $"node")
   }
 
+  /** q174: k-core peeling (Seidman 1983; the standard graph-curation
+    * primitive — link-spam and low-engagement filtering keep only the
+    * subgraph where every node retains ≥ K partners AFTER its weak
+    * neighbors are gone, which single-pass degree filtering cannot
+    * decide). Four synchronous peeling rounds on the staged
+    * customer–supplier pair index: per round, both sides' degrees are
+    * ONE map-side-combined aggregate each, and the edge set shrinks
+    * via two semi-join-shaped filters; the shrinking edge set
+    * localCheckpoints per round (the q77/q91 iterative discipline —
+    * flat plans, monotone work). Reports (nodes, edges) per round —
+    * the fixed-point diagnostic a curation pipeline actually reads.
+    * At 100 TB each round is two degree aggregates + two joins keyed
+    * by the edge list's own columns; rounds-to-converge is bounded by
+    * the peeling depth, not graph size.
+    */
+  val q174_kcore: Q = (spark, dir) => {
+    import spark.implicits._
+    val rounds = 4
+    val (cs, _) = stagedGraph(spark, dir)
+    // k = half the mean customer degree (floor-of-floor, mirrored by
+    // the oracle's subquery): a FIXED k either prunes nothing or
+    // everything as the scale factor moves the degree distribution —
+    // the threshold has to come from the graph itself
+    val base = cs.agg(count(lit(1)).as("ne"),
+      countDistinct($"c").as("nc")).collect()(0)
+    val k = math.max(base.getLong(0) / base.getLong(1) / 2, 1L)
+    var edges = cs.select($"c", $"s")
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val keepC = edges.groupBy($"c").agg(count(lit(1)).as("dc"))
+        .where($"dc" >= k).select($"c")
+      val keepS = edges.groupBy($"s").agg(count(lit(1)).as("ds"))
+        .where($"ds" >= k).select($"s")
+      edges = edges.join(keepC, "c").join(keepS, "s").localCheckpoint()
+      val ne = edges.count()
+      val nn = edges.select($"c".as("n")).union(edges.select($"s".as("n")))
+        .distinct().count()
+      out += ((r, nn, ne))
+    }
+    out.result().toDF("round", "n_nodes", "n_edges").orderBy($"round")
+  }
+
+  /** q174's oracle: the four peeling rounds unrolled as MATERIALIZED
+    * CTEs (each e{r} is the prior edge set filtered to both sides'
+    * surviving-degree nodes).
+    */
+  private val kcoreOracle: String = {
+    val rounds = 4
+    val steps = (1 to rounds).map { r =>
+      s"""kc$r AS MATERIALIZED (
+         |  SELECT c FROM e${r - 1} GROUP BY c
+         |  HAVING COUNT(*) >= (SELECT k FROM kk)),
+         |ks$r AS MATERIALIZED (
+         |  SELECT s FROM e${r - 1} GROUP BY s
+         |  HAVING COUNT(*) >= (SELECT k FROM kk)),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.c, e.s FROM e${r - 1} e
+         |  JOIN kc$r USING (c) JOIN ks$r USING (s))""".stripMargin
+    }
+    val sel = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT c AS n FROM e$r UNION SELECT s AS n FROM e$r)) AS n_nodes,
+         |  (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |kk AS MATERIALIZED (
+       |  SELECT GREATEST(COUNT(*) // COUNT(DISTINCT c) // 2, 1) AS k
+       |  FROM e0),
+       |""".stripMargin + steps.mkString(",\n") + "\n" + sel + "\nORDER BY round"
+  }
+
   /** q168's oracle: the two rounds unrolled; HUGEINT (not DECIMAL)
     * arithmetic because DuckDB's `//` on DECIMAL operands rounds the
     * intermediate division before flooring, while Spark's DIV
@@ -517,11 +591,13 @@ object GraphOps {
     "q145_ppr" -> q145_ppr,
     "q156_label_propagation" -> q156_label_propagation,
     "q163_ppr_forward_push" -> q163_ppr_forward_push,
-    "q168_hits" -> q168_hits)
+    "q168_hits" -> q168_hits,
+    "q174_kcore" -> q174_kcore)
 
   val oracles: Map[String, String] = Map(
     "q145_ppr" -> pprOracle,
     "q168_hits" -> hitsOracle,
+    "q174_kcore" -> kcoreOracle,
     "q163_ppr_forward_push" -> pushOracle,
     "q156_label_propagation" -> lpOracle,
     "q134_bfs_hops" ->

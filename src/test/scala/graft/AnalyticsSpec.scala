@@ -522,6 +522,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q174: k-core peeling equals a driver replay; rounds shrink monotonically") {
+    import spark.implicits._
+    val got = operators.GraphOps.q174_kcore(spark, sf)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3, 4))
+    var es = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val k = math.max(es.size / es.map(_._1).size / 2, 1)
+    val expected = (1 to 4).map { r =>
+      val kc = es.groupBy(_._1).filter(_._2.size >= k).keySet
+      val ks = es.groupBy(_._2).filter(_._2.size >= k).keySet
+      es = es.filter(e => kc(e._1) && ks(e._2))
+      (r, (es.map(_._1) ++ es.map(_._2)).size.toLong, es.size.toLong)
+    }
+    assert(got == expected)
+    // peeling is monotone: each round's survivors contain the next's
+    assert(got.sliding(2).forall { case Seq(a, b) => b._2 <= a._2 && b._3 <= a._3 })
+  }
+
   test("q171: integer chi-square tracks the double-precision statistic") {
     import spark.implicits._
     val got = operators.Analytics.q171_chi_square(spark, sf)
