@@ -520,6 +520,59 @@ object GraphOps {
     out.result().toDF("round", "n_nodes", "n_edges").orderBy($"round")
   }
 
+  /** q175: degree assortativity (Newman 2002) — the Pearson
+    * correlation of endpoint degrees over the symmetric edge list,
+    * THE one-number summary of whether hubs attach to hubs (r > 0,
+    * social-graph shape) or to leaves (r < 0, bipartite/star shape —
+    * this customer–supplier graph should be strongly negative).
+    * Plan: degree table joined onto both edge endpoints (degree table
+    * is node-sized), then ONE moment aggregate — all sums exact
+    * BIGINTs (degrees are integers), one double conversion, round 6
+    * (the q110 parity device).
+    */
+  val q175_assortativity: Q = (spark, dir) => {
+    import spark.implicits._
+    val (cs, deg) = stagedGraph(spark, dir)
+    val edges = cs.select($"c".as("src"), $"s".as("dst"))
+      .union(cs.select($"s".as("src"), $"c".as("dst")))
+    val m = edges
+      .join(deg.select($"src", $"degree".as("x")), "src")
+      .join(deg.select($"src".as("dst"), $"degree".as("y")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+    m.select($"n_edges",
+      round(($"n" * $"sxy" - $"sx" * $"sy") /
+        (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+         sqrt($"n" * $"syy" - $"sy" * $"sy")), 6).as("assortativity"))
+  }
+
+  private val assortOracle: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT c AS src, s AS dst FROM cs
+      |      UNION ALL SELECT s AS src, c AS dst FROM cs),
+      |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
+      |m AS (
+      |  SELECT COUNT(*) AS n_edges,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(dx.degree) AS DOUBLE) AS sx,
+      |    CAST(SUM(dy.degree) AS DOUBLE) AS sy,
+      |    CAST(SUM(dx.degree * dy.degree) AS DOUBLE) AS sxy,
+      |    CAST(SUM(dx.degree * dx.degree) AS DOUBLE) AS sxx,
+      |    CAST(SUM(dy.degree * dy.degree) AS DOUBLE) AS syy
+      |  FROM e JOIN d dx ON e.src = dx.src JOIN d dy ON e.dst = dy.src)
+      |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+      |  ROUND((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin
+
   /** q174's oracle: the four peeling rounds unrolled as MATERIALIZED
     * CTEs (each e{r} is the prior edge set filtered to both sides'
     * surviving-degree nodes).
@@ -592,12 +645,14 @@ object GraphOps {
     "q156_label_propagation" -> q156_label_propagation,
     "q163_ppr_forward_push" -> q163_ppr_forward_push,
     "q168_hits" -> q168_hits,
-    "q174_kcore" -> q174_kcore)
+    "q174_kcore" -> q174_kcore,
+    "q175_assortativity" -> q175_assortativity)
 
   val oracles: Map[String, String] = Map(
     "q145_ppr" -> pprOracle,
     "q168_hits" -> hitsOracle,
     "q174_kcore" -> kcoreOracle,
+    "q175_assortativity" -> assortOracle,
     "q163_ppr_forward_push" -> pushOracle,
     "q156_label_propagation" -> lpOracle,
     "q134_bfs_hops" ->

@@ -522,6 +522,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q175: assortativity equals a driver replay and is strongly negative") {
+    import spark.implicits._
+    val Seq((nEdges, r)) = operators.GraphOps.q175_assortativity(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val cs = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = cs.map(t => (t._1, t._2)) ++ cs.map(t => (t._2, t._1))
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    assert(nEdges == edges.length)
+    val xs = edges.map(e => (deg(e._1).toDouble, deg(e._2).toDouble))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val num = n * xs.map(t => t._1 * t._2).sum - sx * sy
+    val den = math.sqrt(n * xs.map(t => t._1 * t._1).sum - sx * sx) *
+      math.sqrt(n * xs.map(t => t._2 * t._2).sum - sy * sy)
+    assert(math.abs(r - num / den) < 1e-5)
+    // customers attach to far-higher-degree suppliers: a bipartite
+    // star shape must be strongly DISassortative
+    assert(r < -0.5, s"expected strong disassortativity, got $r")
+  }
+
   test("q174: k-core peeling equals a driver replay; rounds shrink monotonically") {
     import spark.implicits._
     val got = operators.GraphOps.q174_kcore(spark, sf)
