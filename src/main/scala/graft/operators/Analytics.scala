@@ -894,6 +894,58 @@ object Analytics {
     * accumulators (float retraction is order-dependent; decimal is
     * exact cross-engine).
     */
+  /** q176: CUPED variance-reduced A/B uplift (Deng et al. WSDM 2013 —
+    * the standard pre-experiment covariate adjustment): each user's
+    * PRE-period spend predicts their POST-period spend, so the
+    * adjusted metric y′ = post − θ·pre with θ = slope(post ~ pre)
+    * strips the variance the experiment didn't cause. Because the
+    * mean-centering terms cancel across arms, the adjusted uplift
+    * reduces to `uplift_post − θ·uplift_pre` — computed here exactly
+    * that way so the oracle mirrors term by term.
+    *
+    * Plan: ONE user-keyed aggregate builds each user's (pre, post)
+    * decimal-exact sums (the period boundary is the integer midpoint
+    * of the ts range, a planning-time scalar); then one global moment
+    * aggregate over the user-sized table (map-side partials, 1-row
+    * output) carries every sum the θ slope and the per-arm means
+    * need. Doubles enter once, expressions written identically in
+    * both engines, round 6 (the q110/q166 device).
+    */
+  val q176_cuped: Q = (spark, dir) => {
+    import spark.implicits._
+    def d2(c: Column) = c.cast(DecimalType(18, 2))
+    val ev = Tables.load(spark, dir, "events")
+    val bounds = ev.agg(min($"ts"), max($"ts")).collect()(0)
+    val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = tmin + (tmax - tmin) / 2
+    val users = ev
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" < mid, d2($"value")).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("pre"),
+        sum(when($"ts" >= mid, d2($"value")).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("post"))
+      .withColumn("isA", $"user_id" % 2 === 0)
+    val m = users.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"pre").as("sx"), sum($"post").as("sy"),
+      sum($"pre" * $"pre").as("sxx"), sum($"pre" * $"post").as("sxy"),
+      sum(when($"isA", 1L).otherwise(0L)).cast("double").as("na"),
+      sum(when($"isA", $"pre").otherwise(0.0)).as("sxa"),
+      sum(when($"isA", $"post").otherwise(0.0)).as("sya"),
+      sum(when($"isA", 0L).otherwise(1L)).cast("double").as("nb"),
+      sum(when($"isA", 0.0).otherwise($"pre")).as("sxb"),
+      sum(when($"isA", 0.0).otherwise($"post")).as("syb"))
+    m.select(
+      $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+      round(($"sya" / $"na" - $"syb" / $"nb"), 6).as("uplift_post"),
+      round(($"sxa" / $"na" - $"sxb" / $"nb"), 6).as("uplift_pre"),
+      round(($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("theta"),
+      round(($"sya" / $"na" - $"syb" / $"nb") -
+        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")) *
+        ($"sxa" / $"na" - $"sxb" / $"nb"), 6).as("uplift_cuped"))
+  }
+
   /** q172: two-sample Kolmogorov–Smirnov statistic between the A/B
     * halves' `value` distributions — the distribution-level companion
     * to q171's categorical test (q171 asks "did the type mix move",
@@ -1238,6 +1290,7 @@ object Analytics {
     "q170_decay_attribution" -> q170_decay_attribution,
     "q171_chi_square" -> q171_chi_square,
     "q172_ks_test" -> q172_ks_test,
+    "q176_cuped" -> q176_cuped,
     "q157_skew_profile" -> q157_skew_profile,
     "q161_decile_analysis" -> q161_decile_analysis,
     "q133_knn_triangles" -> q133_knn_triangles,
@@ -1340,6 +1393,39 @@ object Analytics {
         |SELECT CAST(t.rn AS INTEGER) AS rank, t.l_suppkey AS key, t.cnt,
         |  s.n_keys, s.n_rows, s.max_cnt, s.sum_sq
         |FROM t CROSS JOIN s WHERE t.rn <= 10 ORDER BY rank""".stripMargin,
+    "q176_cuped" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) AS tmin, max(epoch_ns(ts)) AS tmax
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN epoch_ns(ts) < tmin + (tmax - tmin) // 2
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |      AS DOUBLE) AS pre,
+        |    CAST(SUM(CASE WHEN epoch_ns(ts) >= tmin + (tmax - tmin) // 2
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |      AS DOUBLE) AS post,
+        |    (user_id % 2 = 0) AS isA
+        |  FROM events, b GROUP BY user_id, tmin, tmax),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(pre) AS sx, SUM(post) AS sy,
+        |    SUM(pre * pre) AS sxx, SUM(pre * post) AS sxy,
+        |    CAST(SUM(CASE WHEN isA THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |    SUM(CASE WHEN isA THEN pre ELSE 0.0 END) AS sxa,
+        |    SUM(CASE WHEN isA THEN post ELSE 0.0 END) AS sya,
+        |    CAST(SUM(CASE WHEN isA THEN 0 ELSE 1 END) AS DOUBLE) AS nb,
+        |    SUM(CASE WHEN isA THEN 0.0 ELSE pre END) AS sxb,
+        |    SUM(CASE WHEN isA THEN 0.0 ELSE post END) AS syb
+        |  FROM u)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ROUND((sya / na - syb / nb), 6) AS uplift_post,
+        |  ROUND((sxa / na - sxb / nb), 6) AS uplift_pre,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+        |  ROUND((sya / na - syb / nb) -
+        |    ((n * sxy - sx * sy) / (n * sxx - sx * sx)) *
+        |    (sxa / na - sxb / nb), 6) AS uplift_cuped
+        |FROM m""".stripMargin,
     "q172_ks_test" ->
       // brute single-window formulation; the RANGE default frame
       // includes peers, so every tie-group row carries the group-end

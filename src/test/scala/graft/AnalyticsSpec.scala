@@ -586,6 +586,38 @@ class AnalyticsSpec extends AnyFunSuite {
       s"integer chi2 $chiGot vs double $chiRef")
   }
 
+  test("q176: CUPED theta minimizes variance; adjusted uplift equals the replay") {
+    import spark.implicits._
+    val Seq((na, nb, upPost, upPre, theta, upCuped)) =
+      operators.Analytics.q176_cuped(spark, sf)
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", $"ts", $"value").as[(Long, Long, Double)].collect()
+    val (tmin, tmax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val mid = tmin + (tmax - tmin) / 2
+    def cents(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 < mid).map(e => cents(e._3)).sum.toDouble,
+        es.filter(_._2 >= mid).map(e => cents(e._3)).sum.toDouble)
+    }.toSeq
+    assert(na + nb == users.size)
+    val n = users.size.toDouble
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val thetaRef = (n * users.map(u => u._2 * u._3).sum - sx * sy) /
+      (n * users.map(u => u._2 * u._2).sum - sx * sx)
+    assert(math.abs(theta - thetaRef) < 1e-5)
+    assert(math.abs(upCuped - (upPost - thetaRef * upPre)) < 1e-4)
+    // the point of CUPED: the adjusted metric has no more variance
+    // than the raw one (theta is the variance-minimizing coefficient)
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val rawVar = variance(users.map(_._3))
+    val adjVar = variance(users.map(u => u._3 - thetaRef * u._2))
+    assert(adjVar <= rawVar + 1e-9, s"CUPED increased variance: $adjVar > $rawVar")
+  }
+
   test("q172: banded KS statistic equals a sorted-merge driver replay") {
     import spark.implicits._
     val Seq((na, nb, d)) = operators.Analytics.q172_ks_test(spark, sf)
