@@ -315,6 +315,21 @@ object ScaleAudit {
       }
       bench("q167_corpus_shift", dir, graft.SparkEntry.queries("q167_corpus_shift"))
       bench("q168_hits", dir, graft.SparkEntry.queries("q168_hits"))
+      // q169/q170: 8x events through one user-window pass each (the
+      // same hours get 8x busier; per-user partitions stay user-sized).
+      // q171/q176: contingency/moment aggregates — wall should track
+      // the scan. q172: value bands are FIXED-width, so 8x events
+      // means 8x rows per band — the band-local windows grow linearly
+      // together, never one global partition. q174/q175: 8 disjoint
+      // graph copies; peeling degrees and assortativity moments track
+      // edges.
+      bench("q169_path_trigrams", dir, graft.SparkEntry.queries("q169_path_trigrams"))
+      bench("q170_decay_attribution", dir, graft.SparkEntry.queries("q170_decay_attribution"))
+      bench("q171_chi_square", dir, graft.SparkEntry.queries("q171_chi_square"))
+      bench("q172_ks_test", dir, graft.SparkEntry.queries("q172_ks_test"))
+      bench("q174_kcore", dir, graft.SparkEntry.queries("q174_kcore"))
+      bench("q175_assortativity", dir, graft.SparkEntry.queries("q175_assortativity"))
+      bench("q176_cuped", dir, graft.SparkEntry.queries("q176_cuped"))
     }
 
     // q109 runs against the marker-preserving funnel fixture — the
