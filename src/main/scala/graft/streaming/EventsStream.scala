@@ -115,6 +115,29 @@ object EventsStream {
       }
   }
 
+  /** Declarative sessionization twin — the SAME 30-minute-gap sessions
+    * as [[sessionize]], but via the built-in `session_window` merging
+    * aggregation instead of hand-rolled `flatMapGroupsWithState`
+    * state. Prefer THIS form when the per-session result is an
+    * aggregate (count/min/max): Catalyst plans the session merge with
+    * partial aggregation and watermark-scoped state eviction for
+    * free, and the hand-rolled state machine exists only for
+    * semantics aggregation can't express (q48's emit-on-timeout
+    * behavior, per-event session tagging).
+    *
+    * `duration_us = last − first` (event span, matching [[sessionize]]
+    * and batch q48) rather than the window's gap-padded end − start.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(col("user_id"), session_window(col("tstamp"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts DIV 1000")).as("start_us"),
+        max(expr("ts DIV 1000")).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+
   final case class AsOfState(c_event: Long, c_ts: Long)
   final case class Enriched(p_event: Long, user_id: Long, c_event: Option[Long])
 

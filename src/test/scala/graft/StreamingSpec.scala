@@ -82,6 +82,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("session_window aggregation matches the stateful sessionizer's emitted sessions") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = EventsStream.sessionWindowAgg(EventsStream.readEvents(spark, stagedDir))
+      .writeStream.outputMode("append").format("memory").queryName("swin_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // (user_id, start_us, end_us, n_events) — q48 additionally carries
+    // its per-user session ordinal, which the merging window has no
+    // counterpart for
+    val declarative = spark.table("swin_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(declarative.nonEmpty, "no sessions emitted")
+    // batch truth: q48's sessionization over the same fixture
+    val batch = graft.operators.Extras.q48_sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // append mode emits only watermark-closed sessions; each one must
+    // match its batch twin exactly
+    assert(declarative.subsetOf(batch),
+      s"declarative session not in batch: ${(declarative diff batch).take(3)}")
+  }
+
   test("streaming TV-drift monitor matches an exact batch replay per window") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions._
