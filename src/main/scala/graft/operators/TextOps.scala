@@ -618,6 +618,48 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** q177: distinctive terms per source — for each source, the top-5
+    * words most OVERrepresented vs the rest of the corpus ("what
+    * characterizes this domain"), the curation readout behind
+    * domain-mix decisions (q83 scores terms per DOCUMENT; this ranks
+    * them per SOURCE against everything else). The lift statistic is
+    * the cross-multiplied `a·B − b·A` (a = in-source count, b =
+    * rest-of-corpus count, A/B the respective totals) — positive iff
+    * the word's in-source rate exceeds its rest rate, exact in BIGINT
+    * (DECIMAL(38) headroom at 100 TB), no division anywhere.
+    *
+    * One corpus scan (the (source, word) count table localCheckpoints
+    * and feeds totals + scoring — the q167 stance), then everything
+    * downstream is vocabulary-sized: global per-word counts re-
+    * aggregate from the count table, totals broadcast, and the top-5
+    * window runs per source over scored vocab rows (WindowGroupLimit
+    * prunes map-side).
+    */
+  val q177_source_terms: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .where(length($"word") > 0)
+      .groupBy($"source", $"word").agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    val wordTot = cnt.groupBy($"word").agg(sum($"a").as("wt"))
+    val srcTot = cnt.groupBy($"source").agg(sum($"a").as("at"))
+    val all = cnt.agg(sum($"a").as("tt"))
+    val scored = cnt
+      .join(wordTot, "word")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(all))
+      .select($"source", $"word", $"a",
+        ($"a" * ($"tt" - $"at") - ($"wt" - $"a") * $"at").as("lift"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"lift".desc, $"word")))
+      .where($"rn" <= 5)
+      .select($"source", $"rn", $"word", $"a", $"lift")
+      .orderBy($"source", $"rn")
+  }
+
   /** The shared CTE chain: `words` (vocabulary), `v0` (symbol split),
     * then per step `b{s}` (argmax pair) and `v{s}` (merge applied).
     * `word` rides through every `v{s}` so q165's encode tail can join
@@ -690,6 +732,28 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q155_bpe_merges" -> bpeOracle,
     "q165_bpe_encode" -> bpeEncodeOracle,
+    "q177_source_terms" ->
+      """WITH w AS (
+        |  SELECT source, word FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0),
+        |cnt AS (SELECT source, word, COUNT(*) AS a FROM w GROUP BY 1, 2),
+        |wt AS (SELECT word, SUM(a) AS wt FROM cnt GROUP BY 1),
+        |st AS (SELECT source, SUM(a) AS at FROM cnt GROUP BY 1),
+        |tt AS (SELECT SUM(a) AS tt FROM cnt),
+        |scored AS (
+        |  SELECT c.source, c.word, CAST(c.a AS BIGINT) AS a,
+        |    CAST(c.a * (tt.tt - st.at) - (wt.wt - c.a) * st.at AS BIGINT)
+        |      AS lift
+        |  FROM cnt c JOIN wt USING (word) JOIN st USING (source), tt),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY lift DESC, word) AS rn
+        |  FROM scored)
+        |SELECT source, CAST(rn AS INT) AS rn, word, a, lift
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "q167_corpus_shift" ->
       """WITH w AS (
         |  SELECT lang, (doc_id % 2 = 0) AS old_half, word FROM (
@@ -1099,6 +1163,7 @@ object TextOps {
     "q155_bpe_merges" -> q155_bpe_merges,
     "q165_bpe_encode" -> q165_bpe_encode,
     "q167_corpus_shift" -> q167_corpus_shift,
+    "q177_source_terms" -> q177_source_terms,
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,

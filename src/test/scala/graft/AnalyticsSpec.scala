@@ -663,6 +663,30 @@ class AnalyticsSpec extends AnyFunSuite {
       s"lost ${totalValue - totalCredited} over $creditRows rows")
   }
 
+  test("q177: distinctive-term lift equals a BigInt replay; top terms are overrepresented") {
+    import spark.implicits._
+    val got = operators.TextOps.q177_source_terms(spark, sf)
+      .as[(String, Int, String, Long, Long)].collect()
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.length == 5))
+    val words = Tables.load(spark, sf, "documents")
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .as[(String, String)].collect()
+    val bySrcWord = words.groupBy(identity).map { case (k, v) => k -> BigInt(v.length) }
+    val byWord = words.groupBy(_._2).map { case (w, v) => w -> BigInt(v.length) }
+    val bySrc = words.groupBy(_._1).map { case (s, v) => s -> BigInt(v.length) }
+    val total = BigInt(words.length)
+    for ((src, _, word, a, lift) <- got) {
+      val (aa, wt, at) = (bySrcWord((src, word)), byWord(word), bySrc(src))
+      assert(BigInt(a) == aa)
+      assert(BigInt(lift) == aa * (total - at) - (wt - aa) * at,
+        s"$src/$word lift mismatch")
+      // positive lift = genuinely overrepresented (rate in source
+      // exceeds rate in the rest)
+      assert(lift > 0, s"$src top term $word not overrepresented")
+    }
+  }
+
   test("q167: TV distance equals an exact BigInt replay; zero iff halves agree") {
     import spark.implicits._
     val got = operators.TextOps.q167_corpus_shift(spark, sf)
