@@ -45,6 +45,14 @@ object Bench {
       // and are unaffected.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Shuffle files are only deleted when the driver GC collects the
+      // dead ShuffleDependency and the ContextCleaner notices — across
+      // a 177-query session the un-collected backlog (heap + shuffle
+      // dirs + broadcast blocks) inflated graph-heavy queries up to
+      // 3.3x vs isolated runs (round-8 finding). A synchronous GC per
+      // query keeps the cleaner's queue drained; it runs OUTSIDE the
+      // timed region.
+      System.gc()
       name -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum

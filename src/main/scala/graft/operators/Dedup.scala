@@ -593,9 +593,10 @@ object Dedup {
     * per-position gram hashes (the k=20 polynomial unrolled as 20
     * chained `(h·31 + ord) mod p` steps, matching the kernel's rolling
     * recurrence exactly), then the window-min selection as a plain
-    * window function over `h·8192 + (8191 − i)` (min-h / rightmost-pos
-    * in one BIGINT key; sound while positions stay < 8192 — max doc
-    * length is 577 chars, and the kernel needs no such bound).
+    * window function over `h·M + (M−1−i)` (min-h / rightmost-pos in
+    * one BIGINT key; M is MAX(length)+2 computed from the corpus, so
+    * the encoding is sound for any document length — the kernel needs
+    * no such device).
     */
   /** q173: INCREMENTAL winnowing — the q85/q113 steady-state ingest
     * pattern applied to the q164 fingerprint family: the corpus
@@ -644,20 +645,27 @@ object Dedup {
     var h = "0"
     for (j <- 0 until k)
       h = s"(($h)*31 + ord(substring(t, i+$j, 1))) % 1048573"
+    // the combined window-min key packs (hash, rightmost-pos tiebreak)
+    // into one BIGINT as `h·M + (M−1−i)`; M is derived from the
+    // corpus's ACTUAL max doc length (any M > max position is sound,
+    // and h·M ≤ 1048573·M stays far inside BIGINT for any realistic
+    // string), so longer future documents can never silently corrupt
+    // the tie-break — the round-8 version hard-coded M = 8192
     s"""WITH n AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
        |  FROM documents),
+       |mxl AS (SELECT CAST(MAX(length(t)) + 2 AS BIGINT) AS m FROM n),
        |pos AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS i, CAST($h AS BIGINT) AS h
        |  FROM n, UNNEST(range(1, length(t) - ${k - 2})) AS u(i)),
        |win AS (
-       |  SELECT doc_id,
-       |    min(h * 8192 + (8191 - i)) OVER (PARTITION BY doc_id ORDER BY i
+       |  SELECT doc_id, m,
+       |    min(h * m + (m - 1 - i)) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS key,
        |    count(*) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt
-       |  FROM pos),
-       |sel AS (SELECT DISTINCT doc_id, key // 8192 AS h FROM win WHERE cnt = $w)""".stripMargin
+       |  FROM pos, mxl),
+       |sel AS (SELECT DISTINCT doc_id, key // m AS h FROM win WHERE cnt = $w)""".stripMargin
   }
 
   private val winnowOracle: String =

@@ -651,7 +651,15 @@ object TextOps {
       .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(all))
       .select($"source", $"word", $"a",
-        ($"a" * ($"tt" - $"at") - ($"wt" - $"a") * $"at").as("lift"))
+        // count × count cross-multiply rides DECIMAL(38,0) (HUGEINT in
+        // the oracle) — a·(tt−at) wraps plain BIGINT once corpus token
+        // totals pass ~3e9, far below 100 TB. The published column is
+        // BIGINT (lift < a·tt; a re-port to a trillion-token corpus
+        // would publish the DECIMAL instead — the headroom lives in
+        // the arithmetic, only the output cast assumes today's range)
+        expr("""CAST(CAST(a AS DECIMAL(38,0)) * (tt - at)
+               |  - (CAST(wt AS DECIMAL(38,0)) - a) * at AS BIGINT)""".stripMargin)
+          .as("lift"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy($"source").orderBy($"lift".desc, $"word")))
@@ -744,8 +752,8 @@ object TextOps {
         |tt AS (SELECT SUM(a) AS tt FROM cnt),
         |scored AS (
         |  SELECT c.source, c.word, CAST(c.a AS BIGINT) AS a,
-        |    CAST(c.a * (tt.tt - st.at) - (wt.wt - c.a) * st.at AS BIGINT)
-        |      AS lift
+        |    CAST(CAST(c.a AS HUGEINT) * (tt.tt - st.at)
+        |      - (CAST(wt.wt AS HUGEINT) - c.a) * st.at AS BIGINT) AS lift
         |  FROM cnt c JOIN wt USING (word) JOIN st USING (source), tt),
         |ranked AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source

@@ -341,6 +341,22 @@ class AnalyticsSpec extends AnyFunSuite {
       s"top-10 overlap ${(topPush intersect topExact).size}: $topPush vs $topExact")
   }
 
+  test("iterative early-exit == fixed-rounds (q134/q156/q163/q174)") {
+    // empty-frontier / fixed-point rounds are provable no-ops, so the
+    // early-exit path must be RESULT-IDENTICAL to running the full
+    // round count — pinned here on the fixture for all four loops
+    val pairs = Seq[(String, Boolean => org.apache.spark.sql.DataFrame)](
+      ("q134", ee => operators.GraphOps.bfsHops(spark, sf, ee)),
+      ("q156", ee => operators.GraphOps.labelPropagation(spark, sf, ee)),
+      ("q163", ee => operators.GraphOps.pprForwardPush(spark, sf, ee)),
+      ("q174", ee => operators.GraphOps.kcore(spark, sf, ee)))
+    pairs.foreach { case (name, run) =>
+      val fast = run(true).collect().toSeq
+      val full = run(false).collect().toSeq
+      assert(fast == full, s"$name: early-exit diverged from fixed-rounds")
+    }
+  }
+
   test("q137: one exchange; EWMA is a weighted mean of <= 20 recency rows") {
     import spark.implicits._
     val df = Analytics.q137_ewma(spark, sf)
