@@ -91,10 +91,11 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs at Hamming distance <= 3 (lossless
-    * 4-band blocking; see object doc). No SQL oracle for the custom
-    * 64-bit hash — rows-only check. Band-key skew: same family and
-    * same cure as q29's note (exact-dedup first; chunk-pair keys à la
-    * q59/q67 if residual clusters measure hot).
+    * 4-band blocking; see object doc). Oracle-gated since round 9 via
+    * the [[HashOracleSql]] HUGEINT unroll of the simhash kernel.
+    * Band-key skew: same family and same cure as q29's note
+    * (exact-dedup first; chunk-pair keys à la q59/q67 if residual
+    * clusters measure hot).
     */
   val q30_dedup_simhash: Q = (spark, dir) => {
     import spark.implicits._
@@ -709,6 +710,7 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q30_dedup_simhash" -> HashOracleSql.q30Oracle,
     "q164_winnowing" -> winnowOracle,
     "q173_winnow_incremental" -> winnowIncrementalOracle,
     "q144_containment_join" ->

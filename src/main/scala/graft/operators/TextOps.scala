@@ -108,7 +108,9 @@ object TextOps {
   /** Winnowing-style rolling-hash document fingerprint (custom
     * doc_fingerprint expression) + SimHash. Content-identical docs get
     * identical fingerprints; near-identical docs get nearby SimHashes.
-    * No SQL oracle (custom 64-bit hash) — rows-only check.
+    * Oracle-gated since round 9: the mix64/poly-31 kernels unroll into
+    * HUGEINT limb arithmetic ([[HashOracleSql]]) — wrapping 64-bit
+    * multiply via 32-bit limbs, signed MIN via the 2^63 fold.
     */
   val q27_fingerprint: Q = (spark, dir) => {
     import spark.implicits._
@@ -738,6 +740,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q27_fingerprint" -> HashOracleSql.q27Oracle,
     "q155_bpe_merges" -> bpeOracle,
     "q165_bpe_encode" -> bpeEncodeOracle,
     "q177_source_terms" ->

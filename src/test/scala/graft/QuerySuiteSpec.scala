@@ -54,7 +54,7 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
     assert(SparkEntry.queries.size == 177)
-    assert(SparkEntry.oracleSql.size == 168) // 9 rows-only by design
+    assert(SparkEntry.oracleSql.size == 170) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
