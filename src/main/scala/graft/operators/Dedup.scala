@@ -417,7 +417,14 @@ object Dedup {
     * Approximate -> rows-only check; recall vs the exact q58 baseline
     * is pinned in SimilaritySpec.
     */
-  val q59_dedup_embedding_ivf: Q = (spark, dir) => {
+  /** The q59 chunk-pair candidate streams (a-side, b-side), keyed by
+    * `(cell, ca, cb)` — the derivation the query joins on, exposed so
+    * ScaleAudit's skew probe measures the ACTUAL candidate-join keys
+    * (the q139/q144 discipline): per-key occupancy bounds the
+    * per-task rescore work at chunkRows² by construction.
+    */
+  private[graft] def ivfChunkStreams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val chunkRows = 512L // per-task rescore bound = chunkRows² comparisons
     val cents = Similarity.centroids(spark, dir)
@@ -437,6 +444,12 @@ object Dedup {
       $"chunk".as("ca"), explode(sequence($"chunk", $"nc" - 1)).as("cb"))
     val b = seg.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"cell",
       explode(sequence(lit(0), $"chunk")).as("ca"), $"chunk".as("cb"))
+    (a, b)
+  }
+
+  val q59_dedup_embedding_ivf: Q = (spark, dir) => {
+    import spark.implicits._
+    val (a, b) = ivfChunkStreams(spark, dir)
     a.join(b, Seq("cell", "ca", "cb"))
       .where(($"ca" < $"cb" || $"vec_a" < $"vec_b") && $"vec_a" =!= $"vec_b")
       .select(least($"vec_a", $"vec_b").as("va"),

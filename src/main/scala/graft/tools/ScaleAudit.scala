@@ -258,6 +258,37 @@ object ScaleAudit {
       }
       bench("q145_ppr", dir, graft.SparkEntry.queries("q145_ppr"))
       bench("q148_semdedup", dir, graft.SparkEntry.queries("q148_semdedup"))
+      // The q157 skew probe pointed at the IVF chunk-pair candidate
+      // key (cell, ca, cb) that q59 joins on — the adaptive chunking
+      // claims every bucket's rescore work is bounded by chunkRows²
+      // regardless of cell whales; this MEASURES the per-key side
+      // populations and Σ na·nb join work at 1x and mult-x. q148's
+      // cluster-blocked shape shares the cell pattern unchunked, so
+      // its occupancy (max cluster, Σ members²) prints off the query's
+      // own per-cluster output; a whale cluster there is the signal to
+      // switch it to the q59 chunk-pair segmentation.
+      locally {
+        val (ca59, cb59) = graft.operators.Dedup.ivfChunkStreams(spark, dir)
+        val ac = ca59.groupBy($"cell", $"ca", $"cb").agg(count(lit(1)).as("na"))
+        val bc = cb59.groupBy($"cell", $"ca", $"cb").agg(count(lit(1)).as("nb"))
+        val m = ac.join(bc, Seq("cell", "ca", "cb"))
+          .agg(count(lit(1)).as("n_keys"),
+            max(greatest($"na", $"nb")).as("max_side"),
+            sum($"na" * $"nb").as("join_work")).collect()(0)
+        println(s"[audit] q59 chunk-pair skew @ $dir: " +
+          s"n_keys=${m.getLong(0)} max_side=${m.getLong(1)} " +
+          s"join_work=${m.getLong(2)}")
+        val c148 = graft.SparkEntry.queries("q148_semdedup")(spark, dir)
+          .agg(count(lit(1)).as("n_clusters"),
+            max($"n_members").as("max_cluster"),
+            sum($"n_members" * $"n_members").as("sum_sq")).collect()(0)
+        println(s"[audit] q148 cluster skew @ $dir: " +
+          s"n_clusters=${c148.getLong(0)} max_cluster=${c148.getLong(1)} " +
+          s"pair_work=${c148.getLong(2)}")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       bench("q150_global_offsets", dir, graft.SparkEntry.queries("q150_global_offsets"))
       bench("q151_transitions", dir, graft.SparkEntry.queries("q151_transitions"))
       bench("q152_cdc_apply", dir, graft.SparkEntry.queries("q152_cdc_apply"))
@@ -330,6 +361,31 @@ object ScaleAudit {
       bench("q174_kcore", dir, graft.SparkEntry.queries("q174_kcore"))
       bench("q175_assortativity", dir, graft.SparkEntry.queries("q175_assortativity"))
       bench("q176_cuped", dir, graft.SparkEntry.queries("q176_cuped"))
+      // q177: the (source, word) count table is the same vocab-sized
+      // claim as q167 — 8 disjoint suffixed vocabularies mean both key
+      // count AND source count grow 8x while rows-per-key stay put;
+      // everything downstream of the one corpus scan is bounded by
+      // n_keys (printed), and the per-source top-5 window runs over
+      // per-source vocab partitions (max printed), never one global
+      // sort.
+      bench("q177_source_terms", dir, graft.SparkEntry.queries("q177_source_terms"))
+      locally {
+        val cnt = graft.Tables.load(spark, dir, "documents")
+          .select($"source",
+            explode(split(lower(trim($"text")), "\\s+")).as("word"))
+          .where(length($"word") > 0)
+          .groupBy($"source", $"word").agg(count(lit(1)).as("a"))
+        val perSrc = cnt.groupBy($"source").agg(count(lit(1)).as("vocab"))
+        val m = cnt.agg(count(lit(1)).as("n_keys"), max($"a").as("max_count"))
+          .crossJoin(perSrc.agg(max($"vocab").as("max_source_vocab"),
+            count(lit(1)).as("n_sources"))).collect()(0)
+        println(s"[audit] q177 count-table @ $dir: " +
+          s"n_keys=${m.getLong(0)} max_count=${m.getLong(1)} " +
+          s"max_source_vocab=${m.getLong(2)} n_sources=${m.getLong(3)}")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
 
     // q109 runs against the marker-preserving funnel fixture — the
