@@ -297,10 +297,22 @@ object GraphOps {
 
   private[graft] def pprForwardPush(spark: org.apache.spark.sql.SparkSession,
       dir: String, earlyExit: Boolean): org.apache.spark.sql.DataFrame = {
+    val (cs, deg) = stagedGraph(spark, dir)
+    forwardPush(spark, cs, deg, earlyExit)
+  }
+
+  /** The forward-push core over an explicit (pair index, degree
+    * table) — shared by q163 (staged graph) and the streaming twin
+    * ([[graft.streaming.GraphStream]]), which maintains the pair and
+    * degree stores incrementally and refreshes this snapshot per
+    * micro-batch.
+    */
+  private[graft] def forwardPush(spark: org.apache.spark.sql.SparkSession,
+      cs: org.apache.spark.sql.DataFrame, deg: org.apache.spark.sql.DataFrame,
+      earlyExit: Boolean): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val Total = 1000000000000L
     val Eps = 1000000L // push while res > degree x 1e6, i.e. 1e-6 of the walk mass
-    val (cs, deg) = stagedGraph(spark, dir)
     // the pushing node's degree rides ON the frontier row (node-sized),
     // so the big edge list needs no degree join at all — round 8
     // persisted edges⋈deg and paid that join's materialization
@@ -311,7 +323,7 @@ object GraphOps {
       .where($"node" % 2 === 0 && expr("(node DIV 2) % 10 = 0"))
       .persist()
     val nS = seeds.count()
-    require(nS > 0, s"q163: no seed customers under $dir")
+    require(nS > 0, "forwardPush: no seed customers in the degree table")
     var r = seeds.select($"node", lit(Total / nS).as("res")).localCheckpoint()
     val contribs = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]

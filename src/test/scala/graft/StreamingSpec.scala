@@ -450,4 +450,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(s0.user_id == 1 && s0.n_events == 2 &&
       s0.duration_us == 5L * 60 * 1000000)
   }
+
+  test("streaming forward-push PPR equals batch q163 after the final delta batch") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.GraphStream
+    val work = Files.createTempDirectory("graft_ppr_stream_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    // the q113 ingest split, delivered as two stream files: base
+    // (90% of orders) then delta (the rest). Batches overlap in
+    // PAIRS (a customer-supplier relationship can recur across the
+    // split) — exactly the at-least-once condition the store's
+    // anti-join merge must absorb.
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    shipFile(graft.operators.BipartiteGraph.pairs(spark, sf,
+      Some(expr("o_orderkey % 10 != 0"))), "0_base")
+    shipFile(graft.operators.BipartiteGraph.pairs(spark, sf,
+      Some(expr("o_orderkey % 10 = 0"))), "1_delta")
+    val stream = spark.readStream
+      .schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1") // force 2 incremental batches
+      .parquet(src)
+    val q = GraphStream.pprPushStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt")
+    q.awaitTermination()
+    // the incrementally-maintained store must BE the full pair index
+    val store = spark.read.parquet(s"$work/store/pairs")
+    val full = graft.operators.BipartiteGraph.pairs(spark, sf)
+    assert(store.count() == full.count() &&
+      store.except(full).isEmpty && full.except(store).isEmpty,
+      "accumulated pair store != full distinct pair index")
+    // and the final snapshot is EXACTLY batch q163 over the full graph
+    val snap = spark.read.parquet(s"$work/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q163_ppr_forward_push")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap == batch,
+      s"streamed PPR snapshot != batch q163: ${(snap diff batch).take(3)} / ${(batch diff snap).take(3)}")
+  }
 }
