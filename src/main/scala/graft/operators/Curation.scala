@@ -487,9 +487,17 @@ object Curation {
     * bit-equal on all non-percentile columns.
     */
   private[graft] def datasetCard(spark: SparkSession, dir: String,
-      exact: Boolean): DataFrame = {
+      exact: Boolean): DataFrame =
+    cardOf(Tables.load(spark, dir, "documents"), exact)
+
+  /** The card over an arbitrary documents frame — shared by q146
+    * (full corpus) and q178 (before/after the composed curate()
+    * pipeline).
+    */
+  private[graft] def cardOf(docs0: DataFrame, exact: Boolean): DataFrame = {
+    val spark = docs0.sparkSession
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = docs0
       .select($"doc_id", $"source", $"lang", $"n_chars",
         lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm"),
         size(expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
@@ -528,6 +536,53 @@ object Curation {
 
   val q146_dataset_card: Q = (spark, dir) =>
     datasetCard(spark, dir, exact = true)
+
+  /** q178: the composed `curate()` entry point — q109's funnel
+    * (holdout split → lang-ID → quality ladder → exact dedup →
+    * 5-gram decontamination) with q141's Gopher shape/repetition
+    * rules appended as the final stage, reported as the BEFORE/AFTER
+    * dataset-card diff (q146's per-source profile): the release
+    * artifact a curation pipeline actually publishes. Sources the
+    * pipeline empties survive with zeroed counts and NULL
+    * percentiles (LEFT join, mirrored in the oracle).
+    *
+    * Scale shape: strictly the union of its parts' shapes — the
+    * funnel is the q109 plan (persisted stages dropped on return),
+    * the rule table is one map-only pass over the surviving docs,
+    * and each card is the q146 aggregate trio; the diff join is
+    * source-cardinality (5 rows). The 100 TB variant flips the
+    * after-card to `exact = false` (GK sketch percentiles) exactly
+    * as q146 documents.
+    */
+  val q178_curate_card_diff: Q = (spark, dir) => {
+    import spark.implicits._
+    val stages = Analytics.curationStages(spark, dir)
+    val clean = stages.last._2
+    val curated = clean.join(
+      TextOps.gopherRules(clean).where($"keep" === 1).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val before = cardOf(Tables.load(spark, dir, "documents"), exact = true)
+    val after = cardOf(curated, exact = true)
+      .select($"source", $"n_docs".as("n_docs_after"),
+        $"n_tokens".as("n_tokens_after"), $"dup_docs".as("dup_docs_after"),
+        $"gini_x1000".as("gini_after"), $"p50_chars".as("p50_after"),
+        $"p90_chars".as("p90_after"))
+    val out = before.join(after, Seq("source"), "left")
+      .withColumn("n_docs_after", coalesce($"n_docs_after", lit(0L)))
+      .withColumn("n_tokens_after", coalesce($"n_tokens_after", lit(0L)))
+      .withColumn("dup_docs_after", coalesce($"dup_docs_after", lit(0L)))
+      .withColumn("dropped_docs", $"n_docs" - $"n_docs_after")
+      .select($"source", $"n_docs", $"n_docs_after", $"dropped_docs",
+        $"n_tokens", $"n_tokens_after", $"dup_docs", $"dup_docs_after",
+        $"gini_x1000", $"gini_after",
+        $"p50_chars", $"p50_after", $"p90_chars", $"p90_after")
+      .orderBy($"source")
+      .localCheckpoint()
+    // drop-on-return: the funnel's persisted stages are dead once the
+    // 14-column diff is materialized
+    stages.foreach(_._2.unpersist(blocking = false))
+    out
+  }
 
   /** 2-D skyline (Pareto frontier, Börzsönyi et al. ICDE'01) over the
     * curation dimensions (word count, stopword count): keep every
@@ -595,7 +650,119 @@ object Curation {
       .orderBy($"key")
   }
 
+  /** q146's card as a suffixed CTE group over `srcTable`, ending in
+    * `card_$sfx` — emitted twice by the q178 oracle (before/after).
+    */
+  private def cardCtes(sfx: String, srcTable: String): String =
+    s"""d_$sfx AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+       |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        x -> length(x) > 0)) AS toks
+       |  FROM $srcTable),
+       |vol_$sfx AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    COUNT(*) - COUNT(DISTINCT norm) AS dup_docs
+       |  FROM d_$sfx GROUP BY source),
+       |lc_$sfx AS (SELECT source, lang, COUNT(*) AS c FROM d_$sfx GROUP BY source, lang),
+       |langs_$sfx AS (
+       |  SELECT source,
+       |    CAST(1000 - (1000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS BIGINT)
+       |      AS gini_x1000
+       |  FROM lc_$sfx GROUP BY source),
+       |ranked_$sfx AS (
+       |  SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM d_$sfx),
+       |p50_$sfx AS (SELECT source, n_chars AS p50_chars FROM ranked_$sfx
+       |        WHERE rn = (n + 1) // 2),
+       |p90_$sfx AS (SELECT source, n_chars AS p90_chars FROM ranked_$sfx
+       |        WHERE rn = (9 * n + 9) // 10),
+       |card_$sfx AS (
+       |  SELECT v.source, v.n_docs, v.n_tokens, v.dup_docs, l.gini_x1000,
+       |    p50.p50_chars, p90.p90_chars
+       |  FROM vol_$sfx v JOIN langs_$sfx l ON v.source = l.source
+       |  JOIN p50_$sfx p50 ON v.source = p50.source
+       |  JOIN p90_$sfx p90 ON v.source = p90.source)""".stripMargin
+
+  /** q178's oracle: the q109 funnel chain, the q141 rules over its
+    * `clean` tail, then the q146 card over the full corpus and over
+    * the curated id set, LEFT-joined per source.
+    */
+  private val curateOracle: String =
+    s"""WITH s1 AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+       |l0 AS (SELECT *,
+       |    len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS c_en,
+       |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS c_de,
+       |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS c_fr,
+       |    len(regexp_extract_all(lower(text), '\\b(el|los|las|es|y)\\b')) AS c_es
+       |  FROM s1),
+       |lang AS (SELECT doc_id, text FROM l0
+       |  WHERE c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0),
+       |q0 AS (SELECT doc_id, text, LENGTH(text) AS nc,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS nw,
+       |    len(regexp_extract_all(text, '\\b(the|a|of|and|or|in)\\b')) AS ns,
+       |    len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS np
+       |  FROM lang),
+       |qual AS (SELECT doc_id, text FROM q0
+       |  WHERE (CASE WHEN nc >= 100 THEN 1 ELSE 0 END
+       |       + CASE WHEN nw >= 20 THEN 1 ELSE 0 END
+       |       + CASE WHEN ns >= 2 THEN 1 ELSE 0 END
+       |       + CASE WHEN np * 10 <= nw THEN 1 ELSE 0 END) >= 3),
+       |ded AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM qual) t WHERE rn = 1),
+       |hw AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |held AS (SELECT DISTINCT
+       |    unnest([array_to_string(w[x:x+4], ' ') for x in range(1, len(w)-3)]) AS gram
+       |  FROM hw WHERE len(w) >= 5),
+       |dw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM ded),
+       |dg AS (SELECT doc_id,
+       |    unnest([array_to_string(w[x:x+4], ' ') for x in range(1, len(w)-3)]) AS gram
+       |  FROM dw WHERE len(w) >= 5),
+       |cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN held USING (gram)),
+       |clean AS (SELECT * FROM ded
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |gw AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS wchars,
+       |    len(regexp_extract_all(text, '\\b(the|a|of|and|or|in)\\b')) AS stops
+       |  FROM clean),
+       |gf AS (
+       |  SELECT doc_id, len(words) AS n_words, wchars, stops,
+       |    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+       |    list_max([len(list_filter(words, x -> x = w))
+       |              for w in list_distinct(words)]) AS max_freq
+       |  FROM gw),
+       |keepids AS (
+       |  SELECT doc_id FROM gf
+       |  WHERE n_words BETWEEN 20 AND 90
+       |    AND 4 * n_words <= wchars AND wchars <= 10 * n_words
+       |    AND 10 * alpha_words >= 8 * n_words
+       |    AND stops >= 2
+       |    AND 5 * max_freq <= n_words),
+       |cur AS (SELECT * FROM documents
+       |        WHERE doc_id IN (SELECT doc_id FROM keepids)),
+       |${cardCtes("b", "documents")},
+       |${cardCtes("a", "cur")}
+       |SELECT b.source, b.n_docs,
+       |  COALESCE(a.n_docs, 0) AS n_docs_after,
+       |  b.n_docs - COALESCE(a.n_docs, 0) AS dropped_docs,
+       |  b.n_tokens, COALESCE(a.n_tokens, 0) AS n_tokens_after,
+       |  b.dup_docs, COALESCE(a.dup_docs, 0) AS dup_docs_after,
+       |  b.gini_x1000, a.gini_x1000 AS gini_after,
+       |  b.p50_chars, a.p50_chars AS p50_after,
+       |  b.p90_chars, a.p90_chars AS p90_after
+       |FROM card_b b LEFT JOIN card_a a ON b.source = a.source
+       |ORDER BY b.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q178_curate_card_diff" -> curateOracle,
     "q152_cdc_apply" ->
       """WITH o AS (
         |  SELECT user_id AS key, value,
@@ -840,6 +1007,7 @@ object Curation {
     "q97_dq_report" -> q97_dq_report,
     "q142_k_anonymity" -> q142_k_anonymity,
     "q146_dataset_card" -> q146_dataset_card,
+    "q178_curate_card_diff" -> q178_curate_card_diff,
     "q149_skyline" -> q149_skyline,
     "q152_cdc_apply" -> q152_cdc_apply)
 }

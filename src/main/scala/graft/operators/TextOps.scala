@@ -470,9 +470,18 @@ object TextOps {
     * bounded-length document, still whole-stage-codegen. At 100 TB
     * this is scan-bound and embarrassingly parallel.
     */
-  val q141_gopher_rules: Q = (spark, dir) => {
+  val q141_gopher_rules: Q = (spark, dir) =>
+    gopherRules(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The q141 rule table over an arbitrary (doc_id, text) frame —
+    * shared with the composed q178 curate() pipeline, which applies
+    * `keep = 1` as its final stage.
+    */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    docs
       .select($"doc_id",
         split(trim($"text"), "\\s+").as("words"),
         length(regexp_replace($"text", "\\s", "")).as("wchars"),
@@ -495,7 +504,6 @@ object TextOps {
       .withColumn("keep",
         $"r_wordcount" * $"r_meanlen" * $"r_alpha" *
           $"r_stopword" * $"r_dominance")
-      .orderBy($"doc_id")
   }
 
   /** Content-defined chunking dedup stats (Rabin-style CDC — the
