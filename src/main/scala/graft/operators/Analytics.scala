@@ -339,7 +339,8 @@ object Analytics {
         .groupBy($"dst").agg(sum($"contrib").as("cs"))
         .select($"dst".as("node"), (lit(base) + expr("(85 * cs) DIV 100")).as("rank"))
     }
-    ranked.orderBy($"node")
+    Relational.dropAfter(ranked, newPairs, mergedDeg, edgesDeg)
+      .orderBy($"node")
   }
 
   /** Schema-evolution append: union two generations of the customer
@@ -508,11 +509,12 @@ object Analytics {
   val q109_curation_pipeline: Q = (spark, dir) => {
     import spark.implicits._
     val stages = curationStages(spark, dir)
-    stages.zipWithIndex.map { case ((name, d), i) =>
+    val out = stages.zipWithIndex.map { case ((name, d), i) =>
       d.agg(count(lit(1)).as("n_docs"))
         .select(lit(i + 1).cast("int").as("stage_no"),
           lit(name).as("stage"), $"n_docs")
     }.reduce(_ union _).orderBy($"stage_no")
+    Relational.dropAfter(out, stages.map(_._2): _*)
   }
 
   /** Pearson correlation per group (quantity vs extended price) from
@@ -1199,13 +1201,14 @@ object Analytics {
     val stats = counts.agg(
       count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
       max($"cnt").as("max_cnt"), sum($"cnt" * $"cnt").as("sum_sq"))
-    counts.orderBy($"cnt".desc, $"l_suppkey").limit(10)
+    val out = counts.orderBy($"cnt".desc, $"l_suppkey").limit(10)
       .withColumn("rank", row_number()
         .over(Window.orderBy($"cnt".desc, $"l_suppkey")).cast("int"))
       .crossJoin(broadcast(stats))
       .select($"rank", $"l_suppkey".as("key"), $"cnt",
         $"n_keys", $"n_rows", $"max_cnt", $"sum_sq")
       .orderBy($"rank")
+    Relational.dropAfter(out, counts)
   }
 
   /** Unordered co-occurrence pairs of `s` values sharing a `c` key,

@@ -164,7 +164,7 @@ object Dedup {
     val b = docs.select($"doc_id".as("id_b"), $"grams".as("grams_b"),
       $"source", $"n_chars".as("len_b"), $"bkt".as("bkt_b"))
       .withColumn("bkt_a", explode(array($"bkt_b", $"bkt_b" + 1)))
-    a.join(b, Seq("source", "bkt_a"))
+    val out = a.join(b, Seq("source", "bkt_a"))
       .where(($"bkt_a" === $"bkt_b" && $"id_a" < $"id_b") ||
         $"bkt_a" === $"bkt_b" + 1)
       .where(greatest($"len_a", $"len_b") <= least($"len_a", $"len_b") * 2)
@@ -174,6 +174,7 @@ object Dedup {
       .where($"jac" >= 0.3)
       .select($"doc_a", $"doc_b", $"jac")
       .orderBy($"doc_a", $"doc_b")
+    Relational.dropAfter(out, docs)
   }
 
   /** q139: exact set-similarity self-join (token-set Jaccard >= 0.9)
@@ -213,7 +214,7 @@ object Dedup {
     * query joins on, instead of a drifting copy.
     */
   private[graft] def setsimStreams(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
@@ -243,12 +244,18 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .where($"rn" <= expr("t - (9 * t + 9) DIV 10 + 1"))
       .select($"doc_id", $"trank", $"t", $"rn")
-    (dt, prefix)
+    (toks, dt, prefix)
   }
 
-  val q139_setsim_join: Q = (spark, dir) => {
+  val q139_setsim_join: Q = (spark, dir) => setsimJoin(spark, dir, seal = true)
+
+  /** `seal = false` returns the lazy plan (pre checkpoint-then-drop)
+    * so PlanInvariantsSpec can pin the join shape.
+    */
+  private[graft] def setsimJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seal: Boolean): DataFrame = {
     import spark.implicits._
-    val (dt, prefix) = setsimStreams(spark, dir)
+    val (toks, dt, prefix) = setsimStreams(spark, dir)
     // PPJoin position filter: at a pair's EARLIEST common token the
     // remaining overlap is at most 1 + min(t_a - rn_a, t_b - rn_b)
     // (everything common sits at or after that token in both rare-
@@ -265,7 +272,7 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
     val arrs = dt.groupBy($"doc_id")
       .agg(sort_array(collect_list($"trank")).as("toks"), count(lit(1)).as("n"))
-    cands
+    val out = cands
       .join(arrs.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na")), "doc_a")
       .join(arrs.select($"doc_id".as("doc_b"), $"toks".as("tb"), $"n".as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect($"ta", $"tb")))
@@ -274,6 +281,7 @@ object Dedup {
         ($"na" + $"nb" - $"inter").as("uni"),
         expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
       .orderBy($"doc_a", $"doc_b")
+    if (seal) Relational.dropAfter(out, toks) else out
   }
 
   /** q140: sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD'95)
@@ -527,7 +535,12 @@ object Dedup {
     (sh, probeA, fullB)
   }
 
-  val q144_containment_join: Q = (spark, dir) => {
+  val q144_containment_join: Q = (spark, dir) =>
+    containmentJoin(spark, dir, seal = true)
+
+  /** `seal = false`: lazy plan for the spec's shape pin. */
+  private[graft] def containmentJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seal: Boolean): DataFrame = {
     import spark.implicits._
     val (tn, td) = (7, 10) // tau = 0.7
     val (sh, probeA, fullB) = containmentStreams(spark, dir)
@@ -536,7 +549,7 @@ object Dedup {
         $"tb" * td >= $"ta" * tn &&
         (lit(1) + least($"ta" - $"ra", $"tb" - $"rb")) * td >= $"ta" * tn)
       .select($"doc_a", $"doc_b").distinct()
-    cands
+    val out = cands
       .join(sh.select($"doc_id".as("doc_a"), $"grams".as("ga")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"grams".as("gb")), "doc_b")
       .select($"doc_a", $"doc_b",
@@ -545,6 +558,7 @@ object Dedup {
       .withColumn("cont_x1000",
         expr("(CAST(inter AS BIGINT) * 1000) DIV ta"))
       .orderBy($"doc_a", $"doc_b")
+    if (seal) Relational.dropAfter(out, sh) else out
   }
 
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken

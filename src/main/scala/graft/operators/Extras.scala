@@ -380,7 +380,7 @@ object Extras {
     * hour with a small chunkRows. See [[q67_interval_join]].
     */
   private[graft] def intervalJoinSides(spark: SparkSession, dir: String,
-      bucketUs: Long, chunkRows: Long): (DataFrame, DataFrame) = {
+      bucketUs: Long, chunkRows: Long): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val binned = sessionFrame(spark, dir)
       .select($"user_id", $"session_id", $"start_us", $"end_us",
@@ -412,7 +412,7 @@ object Extras {
       .select($"user_id".as("user_b"), $"session_id".as("session_b"),
         $"start_us".as("start_b"), $"end_us".as("end_b"), $"bucket",
         explode(sequence(lit(0), $"chunk")).as("ca"), $"chunk".as("cb"))
-    (a, b)
+    (a, b, seg)
   }
 
   /** Joins [[intervalJoinSides]] on the compound key, refines with the
@@ -420,10 +420,10 @@ object Extras {
     * canonicalizes output columns to user-ascending.
     */
   private[graft] def intervalJoinOn(spark: SparkSession, dir: String,
-      bucketUs: Long, chunkRows: Long): DataFrame = {
+      bucketUs: Long, chunkRows: Long, seal: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (a, b) = intervalJoinSides(spark, dir, bucketUs, chunkRows)
-    a.join(b, Seq("bucket", "ca", "cb"))
+    val (a, b, seg) = intervalJoinSides(spark, dir, bucketUs, chunkRows)
+    val out = a.join(b, Seq("bucket", "ca", "cb"))
       .where(($"ca" < $"cb" || $"user_a" < $"user_b") &&
         $"user_a" =!= $"user_b" &&
         $"start_a" <= $"end_b" && $"start_b" <= $"end_a" &&
@@ -441,6 +441,7 @@ object Extras {
       .select($"p.u1".as("user_a"), $"p.s1".as("session_a"),
         $"p.u2".as("user_b"), $"p.s2".as("session_b"), $"overlap_us")
       .orderBy($"user_a", $"session_a", $"user_b", $"session_b")
+    if (seal) Relational.dropAfter(out, seg) else out
   }
 
   val q67_interval_join: Q = (spark, dir) =>

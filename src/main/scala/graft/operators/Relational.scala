@@ -23,6 +23,20 @@ import graft.functions.GraftFunctions._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The round-9 unified cache policy, drop-on-return: eagerly
+    * materialize a query's (small) output, then release its
+    * query-local caches so no dead block set outlives the query —
+    * embedding applications get predictable memory and bench sessions
+    * see no cross-query cache interference. The checkpoint must come
+    * FIRST: the lazy output still references the caches.
+    */
+  private[graft] def dropAfter(out: DataFrame,
+      caches: DataFrame*): DataFrame = {
+    val sealedOut = out.localCheckpoint()
+    caches.foreach(_.unpersist(blocking = false))
+    sealedOut
+  }
+
   /** Decimal-exact sum emitted as double: deterministic across engines
     * regardless of aggregation order (double sums are not associative;
     * decimal sums are exact).

@@ -659,10 +659,11 @@ object Training {
     val tot = g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val nn = g.groupBy($"gram").agg(min($"doc_id").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
-    tot.join(nn, Seq("doc_id"), "left")
+    val out = tot.join(nn, Seq("doc_id"), "left")
       .select($"doc_id", $"n_grams", coalesce($"n_new", lit(0L)).as("n_new"))
       .withColumn("novelty", $"n_new" / $"n_grams")
       .orderBy($"doc_id")
+    graft.operators.Relational.dropAfter(out, g)
   }
 
   /** q150: global token start-offset per document — the index build
@@ -709,12 +710,13 @@ object Training {
       .select($"bucket", ($"sb_base" + $"pre_in_sb").as("bucket_base"))
     val wD = Window.partitionBy($"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val out = docs
       .withColumn("pre_in_bucket", coalesce(sum($"n_tokens").over(wD), lit(0L)))
       .join(broadcast(bucketBase), "bucket")
       .select($"doc_id", $"n_tokens",
         ($"bucket_base" + $"pre_in_bucket").as("start_offset"))
       .orderBy($"doc_id")
+    graft.operators.Relational.dropAfter(out, bTot)
   }
 
   private val pairsCte =

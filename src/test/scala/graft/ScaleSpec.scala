@@ -256,7 +256,7 @@ class ScaleSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     // chunkRows=256 -> hot bucket nc = ceil(3000/256) = 12, cold nc = 1
-    val (a, b) = graft.operators.Extras.intervalJoinSides(spark, dir, hourUs, 256L)
+    val (a, b, _) = graft.operators.Extras.intervalJoinSides(spark, dir, hourUs, 256L)
     val maxCb = a.agg(max($"cb")).collect()(0).getInt(0)
     assert(maxCb == 11, s"hot hour not segmented into 12 chunks (max cb = $maxCb)")
     // per-key-group input = one chunk's sessions, NOT the bucket's 120:
