@@ -1007,6 +1007,73 @@ object Analytics {
           s"(CAST(${na}L AS DECIMAL(38,0)) * ${nb}L) AS BIGINT)").as("d_x1e6"))
   }
 
+  /** q179: Mann–Whitney U (Wilcoxon rank-sum) test between the A/B
+    * halves' `value` distributions — the rank-based companion to
+    * q172's KS test (KS asks "did the distribution move anywhere",
+    * Mann–Whitney asks "does one arm stochastically dominate", the
+    * robust-to-outliers alternative to q176's mean uplift). The
+    * statistic is pair-counting: U_A = Σ over (a∈A, b∈B) of
+    * [a > b] + ½[a = b]. Everything rides 2U (so half-ties stay
+    * integral): 2U_A = Σ over distinct values v of
+    * ca(v) · (2·cb_less(v) + cb(v)) — integer-exact, no ranks
+    * materialized, no floats.
+    *
+    * Scale shape: ONE corpus aggregate collapses events to per-
+    * distinct-value (ca, cb) counts (value-cardinality-sized — the
+    * q129 vocabulary stance); the "B below v" cumulative uses the
+    * q172/q150 two-level device (deterministic fixed-width value
+    * bands: per-band totals prefix-sum driver-side at band
+    * cardinality, band-local window adds the base) — no global sort,
+    * no single-partition window. Contributions sum in DECIMAL(38)
+    * (2U can reach 2·na·nb, past BIGINT at ~3·10⁹ events/arm); the
+    * U columns downcast to BIGINT for the driver (loudly overflowing
+    * rather than wrapping past that bound) while the scale-proof
+    * effect size is auc_a_x1e6 = U_A/(na·nb), bounded ≤ 10⁶ at any
+    * corpus size. The distinct-value grouping handles ties exactly
+    * (every tie pair contributes exactly 1 to 2U).
+    */
+  val q179_mann_whitney: Q = (spark, dir) => {
+    import spark.implicits._
+    // localCheckpoint: pv feeds the band-total collect AND the banded
+    // cumulative scan — without it the events aggregate runs twice
+    val pv = Tables.load(spark, dir, "events")
+      .select($"value", ($"user_id" % 2 === 0).as("isA"),
+        expr("CAST(value AS BIGINT) DIV 16").as("bucket"))
+      .groupBy($"bucket", $"value")
+      .agg(sum(when($"isA", 1L).otherwise(0L)).as("ca"),
+        sum(when($"isA", 0L).otherwise(1L)).as("cb"))
+      .localCheckpoint()
+    var accB = 0L
+    var accA = 0L
+    val bases = pv.groupBy($"bucket")
+      .agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
+      .orderBy($"bucket").collect().map { r =>
+        val out = (r.getLong(0), accB)
+        accA += r.getLong(1); accB += r.getLong(2)
+        out
+      }
+    val (na, nb) = (accA, accB)
+    require(na > 0 && nb > 0, s"q179: a half is empty under $dir")
+    // rows (not RANGE) frame is exact here: pv is grouped by value,
+    // so rows within a band are distinct values — "1 preceding" is
+    // precisely "all strictly-smaller values in this band"
+    val w = Window.partitionBy($"bucket").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pv
+      .withColumn("cbl_loc", coalesce(sum($"cb").over(w), lit(0L)))
+      .join(broadcast(bases.toSeq.toDF("bucket", "base_b")), "bucket")
+      .select((($"ca").cast(DecimalType(38, 0)) *
+        (lit(2) * ($"base_b" + $"cbl_loc") + $"cb")).as("contrib"))
+      .agg(sum($"contrib").as("u2a"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        $"u2a".cast("bigint").as("u2_a"),
+        (lit(2) * lit(na).cast(DecimalType(38, 0)) * lit(nb) - $"u2a")
+          .cast("bigint").as("u2_b"),
+        expr(s"CAST(u2a * 1000000 DIV " +
+          s"(2 * CAST(${na}L AS DECIMAL(38,0)) * ${nb}L) AS BIGINT)")
+          .as("auc_a_x1e6"))
+  }
+
   /** q171: chi-square independence test on the event_type × A/B-half
     * contingency table — the A/B-testing primitive ("did the
     * experiment shift the behavior mix?"). Halves are the
@@ -1305,6 +1372,7 @@ object Analytics {
     "q170_decay_attribution" -> q170_decay_attribution,
     "q171_chi_square" -> q171_chi_square,
     "q172_ks_test" -> q172_ks_test,
+    "q179_mann_whitney" -> q179_mann_whitney,
     "q176_cuped" -> q176_cuped,
     "q157_skew_profile" -> q157_skew_profile,
     "q161_decile_analysis" -> q161_decile_analysis,
@@ -1463,6 +1531,28 @@ object Analytics {
         |  CAST(CAST(MAX(abs(ca * t.nb - cb * t.na)) AS HUGEINT) * 1000000
         |    // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS d_x1e6
         |FROM r, t GROUP BY t.na, t.nb""".stripMargin,
+    "q179_mann_whitney" ->
+      // brute single-window formulation over per-distinct-value
+      // counts; ROWS 1-preceding on the grouped table is exactly
+      // "strictly smaller values" (same argument as the Spark side)
+      """WITH pv AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM events GROUP BY value),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pv),
+        |r AS (
+        |  SELECT ca, cb,
+        |    COALESCE(SUM(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbl
+        |  FROM pv),
+        |s AS (SELECT SUM(CAST(ca AS HUGEINT) * (2 * cbl + cb)) AS u2a FROM r)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(s.u2a AS BIGINT) AS u2_a,
+        |  CAST(2 * CAST(t.na AS HUGEINT) * t.nb - s.u2a AS BIGINT) AS u2_b,
+        |  CAST(s.u2a * 1000000 // (2 * CAST(t.na AS HUGEINT) * t.nb)
+        |    AS BIGINT) AS auc_a_x1e6
+        |FROM s, t""".stripMargin,
     "q171_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type,

@@ -175,6 +175,56 @@ object TextOps {
       .orderBy($"token_id")
   }
 
+  /** q181: Zipf's-law fit of the corpus rank–frequency curve — OLS of
+    * ln(freq) on ln(rank) over the q129 vocabulary (freq ∝ rank^slope;
+    * natural text sits near slope ≈ −1, so the fitted slope + r² is a
+    * one-row corpus health check: template/boilerplate floods flatten
+    * the tail, spam skews the head — the corpus-level companion to
+    * q25's per-doc quality score).
+    *
+    * Cross-engine exactness device (stronger than the q110/q166
+    * raw-double sums): each log coordinate is QUANTIZED to
+    * DECIMAL(18,6) — deterministic per value, engine-portable (a
+    * last-ulp ln() difference only matters within 2⁻⁵² of a 0.5e-6
+    * grid midpoint) — so the moment sums are exact decimal arithmetic
+    * in ANY summation order; ONE cast to double per sum, and the
+    * downstream slope/intercept/r² expression is written identically
+    * in both engines (IEEE-deterministic on identical inputs), then
+    * round(…,6). The fit is BY DEFINITION over 6-dp log coordinates.
+    *
+    * Scale shape: the corpus sees exactly one word-count shuffle
+    * (map-side combined); ranking and the moment fold are over the
+    * VOCABULARY (Heaps-bounded — the q129 single-partition-window
+    * stance), and the output is one row.
+    */
+  val q181_zipf_fit: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .where(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .where($"n" >= 5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
+    val p = v.selectExpr(
+      "CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6)) AS x",
+      "CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS y")
+    val m = p.agg(count(lit(1)).cast("double").as("nw"),
+      sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+      sum($"x" * $"x").cast("double").as("sxx"),
+      sum($"x" * $"y").cast("double").as("sxy"),
+      sum($"y" * $"y").cast("double").as("syy"))
+    m.select($"nw".cast("long").as("n_words"),
+      round(($"nw" * $"sxy" - $"sx" * $"sy") /
+        ($"nw" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+      round(($"sy" - (($"nw" * $"sxy" - $"sx" * $"sy") /
+        ($"nw" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"nw", 6).as("intercept"),
+      round(($"nw" * $"sxy" - $"sx" * $"sy") * ($"nw" * $"sxy" - $"sx" * $"sy") /
+        (($"nw" * $"sxx" - $"sx" * $"sx") *
+          ($"nw" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+  }
+
   /** Word co-occurrence counts within a ±2 token window (the GloVe /
     * word2vec statistics pass), formed MAP-SIDE from each document's
     * own token array — a shifted-pair transform per distance, no
@@ -948,6 +998,36 @@ object TextOps {
         |    AS token_id,
         |  token, n, df
         |FROM v ORDER BY token_id""".stripMargin,
+    "q181_zipf_fit" ->
+      // identical quantize-then-sum device: 6-dp DECIMAL log
+      // coordinates, exact decimal moment sums, one cast to double,
+      // identical downstream double expression, round 6
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, COUNT(*) AS n FROM words WHERE LENGTH(token) > 0
+        |  GROUP BY token HAVING COUNT(*) >= 5),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+        |      FROM v),
+        |p AS (
+        |  SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+        |         CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS y
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS nw,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM p)
+        |SELECT CAST(nw AS BIGINT) AS n_words,
+        |  ROUND((nw*sxy - sx*sy) / (nw*sxx - sx*sx), 6) AS slope,
+        |  ROUND((sy - ((nw*sxy - sx*sy) / (nw*sxx - sx*sx)) * sx) / nw, 6)
+        |    AS intercept,
+        |  ROUND((nw*sxy - sx*sy) * (nw*sxy - sx*sy) /
+        |    ((nw*sxx - sx*sx) * (nw*syy - sy*sy)), 6) AS r2
+        |FROM m""".stripMargin,
     "q130_cooccurrence" ->
       """WITH t AS (
         |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
@@ -1197,6 +1277,7 @@ object TextOps {
     "q75_unigram_quality" -> q75_unigram_quality,
     "q76_heavy_hitters" -> q76_heavy_hitters,
     "q129_vocab_build" -> q129_vocab_build,
+    "q181_zipf_fit" -> q181_zipf_fit,
     "q130_cooccurrence" -> q130_cooccurrence,
     "q135_bigram_coherence" -> q135_bigram_coherence,
     "q141_gopher_rules" -> q141_gopher_rules,

@@ -203,6 +203,53 @@ object Training {
       Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")))
   }
 
+  /** q180: duplication-aware SOFT dedup — instead of dropping all but
+    * one doc per near-dup cluster (q114's keep policy), every member
+    * of a size-c cluster gets sampling weight 1/c, so each cluster
+    * contributes exactly one doc's worth of mass to the training mix
+    * (the reweight-don't-remove alternative debated in RefinedWeb /
+    * DataComp-LM-style curation: identical corpus-level counts, no
+    * hard document loss). Reports the per-source effect: raw vs
+    * effective (weighted) document and token mass, integer-exact —
+    * w = 10⁶ DIV c per doc, eff tokens = Σ tokens·10⁶ DIV c.
+    *
+    * Scale shape: the cluster labeling reuses q77's hash-min CC over
+    * the q29 MinHash-LSH pair graph (pair-graph-sized — a tiny
+    * fraction of the corpus) and BROADCASTS into one corpus scan;
+    * unclustered docs default to c = 1 via the left join, so the
+    * corpus never shuffles on anything but the final source key. The
+    * per-source sums ride DECIMAL(38) internally (token·10⁶ mass
+    * passes BIGINT at ~9·10¹² tokens/source) and downcast loudly;
+    * keep_ratio_x1e6 ≤ 10⁶ is the scale-proof statistic.
+    */
+  val q180_soft_dedup: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val comp = connectedComponents(
+      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b"))
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("csize"))
+    val cl = comp.join(sizes, "component").select($"id".as("doc_id"), $"csize")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    docs.join(broadcast(cl), Seq("doc_id"), "left")
+      .withColumn("csize", coalesce($"csize", lit(1L)))
+      .select($"source", $"n_tokens", $"csize",
+        expr("1000000 DIV csize").as("w"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV csize").as("eff_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"csize" > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"w".cast(DecimalType(38, 0))).as("ed"),
+        sum($"eff_tok".cast(DecimalType(38, 0))).as("et"))
+      .select($"source", $"n_docs", $"n_clustered", $"n_tokens",
+        $"ed".cast("bigint").as("eff_docs_x1e6"),
+        $"et".cast("bigint").as("eff_tokens_x1e6"),
+        expr("et DIV n_tokens").cast("bigint").as("keep_ratio_x1e6"))
+      .orderBy($"source")
+  }
+
   /** Two-phase connected components by alternating large-star /
     * small-star edge contraction (Kiveris et al. 2014, "Connected
     * Components in MapReduce and Beyond"): converges in O(log n)
@@ -807,6 +854,30 @@ object Training {
         |FROM t ORDER BY doc_id""".stripMargin,
     "q77_dedup_clusters" -> ccOracleSql,
     "q91_cc_twophase" -> ccOracleSql,
+    "q180_soft_dedup" ->
+      (ccCompCte +
+        """,
+          |cs AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY 1),
+          |cl AS (SELECT c.doc_id, s.csize FROM comp c JOIN cs s USING (component)),
+          |d AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents),
+          |j AS (
+          |  SELECT d.source, d.n_tokens, COALESCE(cl.csize, 1) AS csize,
+          |    1000000 // COALESCE(cl.csize, 1) AS w,
+          |    CAST(d.n_tokens AS HUGEINT) * 1000000 // COALESCE(cl.csize, 1)
+          |      AS eff_tok
+          |  FROM d LEFT JOIN cl USING (doc_id))
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_clustered,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(w) AS BIGINT) AS eff_docs_x1e6,
+          |  CAST(SUM(eff_tok) AS BIGINT) AS eff_tokens_x1e6,
+          |  CAST(SUM(eff_tok) // SUM(n_tokens) AS BIGINT) AS keep_ratio_x1e6
+          |FROM j GROUP BY source ORDER BY source""".stripMargin),
     "q114_dedup_keep_policy" -> keepPolicyOracle,
     "q78_span_dedup" ->
       ("WITH " + wordGramsCte +
@@ -939,6 +1010,7 @@ object Training {
 
   val queries: Map[String, Q] = Map(
     "q77_dedup_clusters" -> q77_dedup_clusters,
+    "q180_soft_dedup" -> q180_soft_dedup,
     "q78_span_dedup" -> q78_span_dedup,
     "q79_bloom_decontaminate" -> q79_bloom_decontaminate,
     "q80_quality_classifier" -> q80_quality_classifier,

@@ -659,6 +659,67 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(d >= 0 && d <= 1000000)
   }
 
+  test("q179: banded 2U statistic equals the brute pair-count replay") {
+    import spark.implicits._
+    val Seq((na, nb, u2a, u2b, auc)) =
+      operators.Analytics.q179_mann_whitney(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val vals = Tables.load(spark, sf, "events")
+      .select($"value", ($"user_id" % 2 === 0).as("isA"))
+      .as[(Double, Boolean)].collect()
+    val a = vals.filter(_._2).map(_._1)
+    val b = vals.filterNot(_._2).map(_._1)
+    assert(na == a.length && nb == b.length)
+    // brute O(na*nb) definition: 2U_A = sum over pairs of 2[a>b]+[a=b]
+    var brute = BigInt(0)
+    for (x <- a; y <- b)
+      brute += (if (x > y) 2 else if (x == y) 1 else 0)
+    assert(BigInt(u2a) == brute, s"2U_A mismatch: $u2a vs $brute")
+    assert(BigInt(u2a) + u2b == BigInt(2) * na * nb)
+    assert(BigInt(auc) == brute * 1000000 / (BigInt(2) * na * nb))
+  }
+
+  test("q181: zipf fit equals a quantized-BigDecimal replay; slope negative") {
+    import spark.implicits._
+    val Seq((nw, slope, intercept, r2)) =
+      operators.TextOps.q181_zipf_fit(spark, sf)
+        .as[(Long, Double, Double, Double)].collect().toSeq
+    val vocab = Tables.load(spark, sf, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .where(length($"t") > 0)
+      .groupBy($"t").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+      .filter(_._2 >= 5)
+      .sortBy { case (t, n) => (-n, t) }
+    assert(nw == vocab.length)
+    // replay the exact device: ln quantized to 6dp (HALF_UP, Spark's
+    // decimal cast mode), exact decimal sums, double downstream
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    def q6(d: Double): JBD =
+      new JBD(d, MathContext.DECIMAL128).setScale(6, RoundingMode.HALF_UP)
+    var (sx, sy, sxx, sxy, syy) =
+      (JBD.ZERO, JBD.ZERO, JBD.ZERO, JBD.ZERO, JBD.ZERO)
+    vocab.zipWithIndex.foreach { case ((_, n), i) =>
+      val x = q6(math.log((i + 1).toDouble))
+      val y = q6(math.log(n.toDouble))
+      sx = sx.add(x); sy = sy.add(y)
+      sxx = sxx.add(x.multiply(x)); sxy = sxy.add(x.multiply(y))
+      syy = syy.add(y.multiply(y))
+    }
+    val (nwD, sxD, syD, sxxD, sxyD, syyD) = (nw.toDouble,
+      sx.doubleValue, sy.doubleValue, sxx.doubleValue, sxy.doubleValue,
+      syy.doubleValue)
+    val slopeRef = (nwD * sxyD - sxD * syD) / (nwD * sxxD - sxD * sxD)
+    val interceptRef = (syD - slopeRef * sxD) / nwD
+    val r2Ref = (nwD * sxyD - sxD * syD) * (nwD * sxyD - sxD * syD) /
+      ((nwD * sxxD - sxD * sxD) * (nwD * syyD - syD * syD))
+    assert(math.abs(slope - slopeRef) < 5e-7, s"slope $slope vs $slopeRef")
+    assert(math.abs(intercept - interceptRef) < 5e-7)
+    assert(math.abs(r2 - r2Ref) < 5e-7)
+    assert(slope < 0, s"rank-frequency slope must be negative: $slope")
+    assert(r2 > 0 && r2 <= 1)
+  }
+
   test("q170: decay attribution conserves purchase value up to per-row DIV truncation") {
     import spark.implicits._
     val got = operators.Analytics.q170_decay_attribution(spark, sf)

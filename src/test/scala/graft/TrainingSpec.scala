@@ -185,4 +185,39 @@ class TrainingSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.8)
     }
   }
+
+  test("q180: soft-dedup masses equal an exact replay from the q77 clusters") {
+    import spark.implicits._
+    val got = Training.q180_soft_dedup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // independent replay over the already-oracle-pinned q77 labeling
+    val csize = Training.q77_dedup_clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("nt"))
+      .as[(Long, String, Long)].collect()
+    val ref = docs.groupBy(_._2).map { case (src, rows) =>
+      val cs = rows.map { case (id, _, nt) => (nt, csize.getOrElse(id, 1L)) }
+      val effDocs = cs.map { case (_, c) => 1000000L / c }.sum
+      val effTok = cs.map { case (nt, c) => BigInt(nt) * 1000000 / c }.sum
+      val totTok = cs.map(_._1).sum
+      src -> (rows.size.toLong, cs.count(_._2 > 1).toLong, totTok,
+        effDocs, effTok, effTok / totTok)
+    }
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (src, (nd, nc, nt, ed, et, kr)) =>
+      val g = got(src)
+      assert(g == ((nd, nc, nt, ed, et.toLong, kr.toLong)), s"$src: $g")
+    }
+    // weighted doc mass is exactly Σ_members (1e6 DIV csize): each
+    // size-c cluster contributes c·(1e6 DIV c) ≈ 1e6, singletons 1e6
+    val totalEff = got.values.map(_._4).sum
+    val expectEff = csize.values.map(1000000L / _).sum +
+      (docs.length - csize.size) * 1000000L
+    assert(totalEff == expectEff, s"doc mass $totalEff != $expectEff")
+    assert(got.values.forall { case (ndocs, nclu, _, ed, _, _) =>
+      ed == ndocs * 1000000L || nclu > 0 })
+  }
 }
