@@ -633,6 +633,48 @@ object Training {
       .orderBy($"rank")
   }
 
+  /** q182: HYBRID retrieval via reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09) — the fusion step every hybrid search stack runs over
+    * its lexical and vector retrievers: fused(d) = Σ_lists
+    * 1/(60 + rank_list(d)). List A is q128's scaled-integer BM25
+    * top-10; list B is the exact-cosine top-10 around doc 0's
+    * embedding (vec_id aligns with doc_id in the corpus). The fusion
+    * itself is integer-exact — 10⁶ DIV (60 + rank) per list, summed —
+    * so the oracle matches bit-for-bit given the two lists (BM25 is
+    * already all-integer; the cosine list rides the q32 ordering
+    * device).
+    *
+    * Scale shape: each retriever's corpus-side cost is its own,
+    * already-audited shape (q128: term-filtered tf aggregate +
+    * TakeOrdered; q32: broadcast query row, corpus never shuffles);
+    * the fusion then joins two K-ROW lists — bounded work regardless
+    * of corpus size, windows only over k rows. The 100 TB form swaps
+    * list B's brute scan for the q47 IVF probe; the fusion is
+    * unchanged.
+    */
+  val q182_hybrid_rrf: Q = (spark, dir) => {
+    import spark.implicits._
+    val kw = q128_keyword_search(spark, dir)
+      .select($"doc_id", $"rank".as("kw_rank"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.where($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val sem = emb.where($"vec_id" =!= 0).crossJoin(broadcast(qv))
+      .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy($"cos".desc, $"vec_id")))
+      .select($"vec_id".as("doc_id"), $"sem_rank")
+    kw.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_x1e6",
+        coalesce(expr("1000000 DIV (60 + kw_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + sem_rank)"), lit(0L)))
+      .orderBy($"rrf_x1e6".desc, $"doc_id").limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"rrf_x1e6".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"kw_rank", $"sem_rank", $"rrf_x1e6")
+      .orderBy($"rank")
+  }
+
   /** Deterministic span masking (T5-style corruption, training prep):
     * every word at 1-based position p with p % 7 == 3 becomes the
     * sentinel token. Pinning the mask by position (not RNG) is what
@@ -988,6 +1030,60 @@ object Training {
         |    AS rank,
         |  doc_id, n_terms, score
         |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q182_hybrid_rrf" ->
+      // q128's BM25 chain verbatim as list A; the q32 cosine device
+      // as list B; integer RRF fusion over the two 10-row lists
+      """WITH words AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE LENGTH(word) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS w_total
+        |        FROM dl),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words
+        |       WHERE word IN ('dup', 'spark') GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_terms,
+        |    CAST(SUM(
+        |      ((tot.n_docs * 1000) // d.df) *
+        |      ((t.tf * 220 * tot.w_total * 1000) //
+        |       (100 * tot.w_total * t.tf + 3000 * tot.w_total
+        |        + 9000 * l.dl * tot.n_docs))) AS BIGINT) AS score
+        |  FROM tf t JOIN df d USING (word) JOIN dl l USING (doc_id)
+        |       CROSS JOIN tot
+        |  GROUP BY t.doc_id),
+        |kw AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+        |      AS kw_rank
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |       WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_dot_product(qv.qe, CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qv.qe, qv.qe)) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+        |sem AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+        |      AS sem_rank
+        |  FROM s ORDER BY cos DESC, doc_id LIMIT 10),
+        |f AS (
+        |  SELECT COALESCE(kw.doc_id, sem.doc_id) AS doc_id,
+        |    kw.kw_rank, sem.sem_rank,
+        |    COALESCE(1000000 // (60 + kw.kw_rank), 0)
+        |      + COALESCE(1000000 // (60 + sem.sem_rank), 0) AS rrf_x1e6
+        |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
+        |SELECT
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_x1e6 DESC, doc_id) AS INTEGER)
+        |    AS rank,
+        |  doc_id, kw_rank, sem_rank, CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+        |FROM f ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin,
     "q84_mask_spans" ->
       """WITH t AS (
         |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'),
@@ -1022,6 +1118,7 @@ object Training {
     "q91_cc_twophase" -> q91_cc_twophase,
     "q114_dedup_keep_policy" -> q114_dedup_keep_policy,
     "q128_keyword_search" -> q128_keyword_search,
+    "q182_hybrid_rrf" -> q182_hybrid_rrf,
     "q150_global_offsets" -> q150_global_offsets,
     "q154_novelty" -> q154_novelty)
 }

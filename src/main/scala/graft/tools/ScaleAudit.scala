@@ -386,6 +386,32 @@ object ScaleAudit {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      // q179: the q172 claim exactly — fixed-width value bands, so 8x
+      // events is 8x rows per band growing together (band-local
+      // windows over the per-distinct-value table, never one global
+      // sort); the distinct-value table itself is value-cardinality-
+      // sized. q180: 8 disjoint suffixed corpora -> the q29 pair graph
+      // grows ~8x intra-copy (no cross-copy token overlap), CC round
+      // count unchanged (same component shapes), then ONE corpus scan
+      // against the broadcast labeling. q181: 8 disjoint vocabularies
+      // -> vocab-sized rank+moment fold grows 8x while the corpus
+      // sees exactly one word-count shuffle (vocab size printed).
+      bench("q179_mann_whitney", dir, graft.SparkEntry.queries("q179_mann_whitney"))
+      bench("q180_soft_dedup", dir, graft.SparkEntry.queries("q180_soft_dedup"))
+      bench("q181_zipf_fit", dir, graft.SparkEntry.queries("q181_zipf_fit"))
+      locally {
+        val v = graft.Tables.load(spark, dir, "documents")
+          .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+          .where(length($"t") > 0)
+          .groupBy($"t").agg(count(lit(1)).as("n")).where($"n" >= 5)
+        val dv = graft.Tables.load(spark, dir, "events")
+          .select($"value").distinct().count()
+        println(s"[audit] q181 vocab @ $dir: n_words=${v.count()}; " +
+          s"q179 distinct values=$dv")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
 
     // q109 runs against the marker-preserving funnel fixture — the

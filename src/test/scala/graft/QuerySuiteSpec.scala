@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 181)
-    assert(SparkEntry.oracleSql.size == 174) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 182)
+    assert(SparkEntry.oracleSql.size == 175) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {

@@ -186,6 +186,41 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("q182: RRF fusion equals the replay from its two component lists") {
+    import spark.implicits._
+    val got = Training.q182_hybrid_rrf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]), r.getLong(4)))
+    assert(got.length == 10 && got.map(_._1).toSeq == (1 to 10))
+    // replay: rebuild both lists independently and fuse driver-side
+    val kw = Training.q128_keyword_search(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val q = emb.find(_._1 == 0).get._2.map(_.toDouble)
+    def cos(v: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < v.length) {
+        d += q(i) * v(i); na += q(i) * q(i); nb += v(i).toDouble * v(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sem = emb.filter(_._1 != 0).map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val fusedRef = (kw.keySet ++ sem.keySet).toSeq.map { id =>
+      val s = kw.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        sem.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    got.zip(fusedRef).foreach { case ((_, id, kwR, semR, s), (refId, refS)) =>
+      assert(id == refId && s == refS, s"fusion mismatch at doc $id")
+      assert(kwR == kw.get(id) && semR == sem.get(id))
+    }
+  }
+
   test("q180: soft-dedup masses equal an exact replay from the q77 clusters") {
     import spark.implicits._
     val got = Training.q180_soft_dedup(spark, sf).collect()
