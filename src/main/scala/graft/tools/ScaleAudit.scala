@@ -399,6 +399,10 @@ object ScaleAudit {
       bench("q179_mann_whitney", dir, graft.SparkEntry.queries("q179_mann_whitney"))
       bench("q180_soft_dedup", dir, graft.SparkEntry.queries("q180_soft_dedup"))
       bench("q181_zipf_fit", dir, graft.SparkEntry.queries("q181_zipf_fit"))
+      // q182: corpus-side cost is its two retrievers' (q128 audited on
+      // the funnel fixture, q32's broadcast-query scan); the fusion
+      // joins two 10-row lists, so 8x should track the BM25 scan
+      bench("q182_hybrid_rrf", dir, graft.SparkEntry.queries("q182_hybrid_rrf"))
       locally {
         val v = graft.Tables.load(spark, dir, "documents")
           .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
