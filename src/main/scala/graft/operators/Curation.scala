@@ -463,6 +463,87 @@ object Curation {
       .orderBy($"segment", $"nation", $"bal_band")
   }
 
+  /** q183: l-diversity audit (Machanavajjhala et al. ICDE'06) — the
+    * strictly stronger release criterion than q142's k-anonymity: a
+    * QI group can be large (k-anonymous) yet expose its members when
+    * the SENSITIVE attribute is homogeneous inside it (the paper's
+    * homogeneity attack). Per QI group (nation, balance band) over
+    * the sensitive market segment: distinct l, the top segment's
+    * share, and both published criteria — distinct 3-diversity
+    * (l ≥ 3) and recursive (2,·)-diversity (the most frequent
+    * sensitive value is outweighed by the rest: m1 < 2·(k − m1)) —
+    * all integer-exact.
+    *
+    * Scale shape: one (QI, segment) hash aggregate with map-side
+    * combine (the shuffle carries one row per group×segment, bounded
+    * by the QI-domain × segment-domain product, never per customer),
+    * then a group-domain-sized rollup. At 100 TB: same two
+    * exchanges over domain-bounded tables.
+    */
+  val q183_l_diversity: Q = (spark, dir) => {
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "customer")
+      .groupBy($"c_nationkey".as("nation"),
+        floor($"c_acctbal" / 5000).as("bal_band"),
+        $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy($"nation", $"bal_band")
+      .agg(sum($"c").as("k"), count(lit(1)).as("l_distinct"),
+        max($"c").as("m1"))
+      .select($"nation", $"bal_band", $"k", $"l_distinct",
+        expr("m1 * 1000 DIV k").as("top_share_x1000"),
+        ($"l_distinct" >= 3 && $"m1" < lit(2) * ($"k" - $"m1")).as("diverse"))
+      .orderBy($"nation", $"bal_band")
+  }
+
+  /** q184: mutual information between source and language over the
+    * corpus — "how language-specialized are the sources", the
+    * information-theoretic summary of the q146 card's per-source
+    * language mix (MI = 0 ⇔ independent; MI = H(lang) ⇔ source
+    * determines language). Reports MI, H(lang), and the uncertainty
+    * coefficient U = MI/H(lang) (Theil), in nats.
+    *
+    * Exactness: the q181 quantized-ln device — every ln is applied
+    * to an INTEGER count (bit-identical double input in both
+    * engines) and quantized to DECIMAL(18,6), so each cell's term
+    * c·(ln c + ln N − ln c_s − ln c_l) is exact decimal arithmetic
+    * and the sums are order-independent; one cast to double, the
+    * identical downstream division, round 6.
+    *
+    * Scale shape: ONE corpus scan into the (source, lang) aggregate
+    * (map-side combined); everything downstream — margins, totals,
+    * the term sum — is domain-bounded (sources × langs), broadcast
+    * joins only. At 100 TB: same single exchange.
+    */
+  val q184_mutual_info: Q = (spark, dir) => {
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds margins + totals + the term sum
+    val cs = cells.groupBy($"source").agg(sum($"c").as("cs"))
+    val cl = cells.groupBy($"lang").agg(sum($"c").as("cl"))
+    val tot = cells.agg(sum($"c").as("n"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs"))
+    def lnq(col: String) =
+      s"CAST(ln(CAST($col AS DOUBLE)) AS DECIMAL(18,6))"
+    val miSum = cells.join(broadcast(cs), "source").join(broadcast(cl), "lang")
+      .crossJoin(broadcast(tot))
+      .select(expr(s"CAST(c AS DECIMAL(18,0)) * (${lnq("c")} + ${lnq("n")}" +
+        s" - ${lnq("cs")} - ${lnq("cl")})").as("t"))
+      .agg(sum($"t").as("mi_sum"))
+    val hlSum = cl.select(
+        expr(s"CAST(cl AS DECIMAL(18,0)) * ${lnq("cl")}").as("t"))
+      .agg(sum($"t").as("hl_sum"))
+    miSum.crossJoin(hlSum).crossJoin(broadcast(tot))
+      .select($"n".as("n_docs"), $"n_sources", $"n_langs",
+        round(expr("CAST(mi_sum AS DOUBLE) / n"), 6).as("mi_nats"),
+        round(expr(s"CAST(${lnq("n")} AS DOUBLE)" +
+          " - CAST(hl_sum AS DOUBLE) / n"), 6).as("h_lang_nats"),
+        round(expr(s"(CAST(mi_sum AS DOUBLE) / n) / (CAST(${lnq("n")} AS" +
+          " DOUBLE) - CAST(hl_sum AS DOUBLE) / n)"), 6).as("uncertainty"))
+  }
+
   /** Dataset card (Gebru et al. 2021 "Datasheets for Datasets"): the
     * per-source profile block a corpus release publishes — volume
     * (docs, tokens), redundancy (exact-dup doc count via the q28
@@ -829,6 +910,54 @@ object Curation {
         |FROM customer
         |GROUP BY 1, 2, 3
         |ORDER BY segment, nation, bal_band""".stripMargin,
+    "q184_mutual_info" ->
+      // identical quantized-ln device: every ln over an integer
+      // count, cast to DECIMAL(18,6); exact decimal term sums; one
+      // cast to double; identical downstream division; round 6
+      """WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cs AS (SELECT source, SUM(c) AS cs FROM cells GROUP BY 1),
+        |cl AS (SELECT lang, SUM(c) AS cl FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM cells),
+        |mi AS (
+        |  SELECT SUM(CAST(c.c AS DECIMAL(18,0)) *
+        |    (CAST(ln(CAST(c.c AS DOUBLE)) AS DECIMAL(18,6))
+        |     + CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6))
+        |     - CAST(ln(CAST(cs.cs AS DOUBLE)) AS DECIMAL(18,6))
+        |     - CAST(ln(CAST(cl.cl AS DOUBLE)) AS DECIMAL(18,6)))) AS mi_sum
+        |  FROM cells c JOIN cs USING (source) JOIN cl USING (lang)
+        |       CROSS JOIN tot),
+        |hl AS (
+        |  SELECT SUM(CAST(cl AS DECIMAL(18,0)) *
+        |    CAST(ln(CAST(cl AS DOUBLE)) AS DECIMAL(18,6))) AS hl_sum
+        |  FROM cl)
+        |SELECT tot.n AS n_docs, tot.n_sources, tot.n_langs,
+        |  ROUND(CAST(mi_sum AS DOUBLE) / tot.n, 6) AS mi_nats,
+        |  ROUND(CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6))
+        |          AS DOUBLE)
+        |    - CAST(hl_sum AS DOUBLE) / tot.n, 6) AS h_lang_nats,
+        |  ROUND((CAST(mi_sum AS DOUBLE) / tot.n) /
+        |    (CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+        |     - CAST(hl_sum AS DOUBLE) / tot.n), 6) AS uncertainty
+        |FROM mi, hl, tot""".stripMargin,
+    "q183_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(FLOOR(c_acctbal / 5000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS segment, COUNT(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, bal_band,
+        |  CAST(SUM(c) AS BIGINT) AS k,
+        |  COUNT(*) AS l_distinct,
+        |  CAST(CAST(MAX(c) AS HUGEINT) * 1000 // SUM(c) AS BIGINT)
+        |    AS top_share_x1000,
+        |  (COUNT(*) >= 3 AND MAX(c) < 2 * (SUM(c) - MAX(c))) AS diverse
+        |FROM cells GROUP BY nation, bal_band
+        |ORDER BY nation, bal_band""".stripMargin,
     "q122_group_split" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -1006,6 +1135,8 @@ object Curation {
     "q96_scd2" -> q96_scd2,
     "q97_dq_report" -> q97_dq_report,
     "q142_k_anonymity" -> q142_k_anonymity,
+    "q183_l_diversity" -> q183_l_diversity,
+    "q184_mutual_info" -> q184_mutual_info,
     "q146_dataset_card" -> q146_dataset_card,
     "q178_curate_card_diff" -> q178_curate_card_diff,
     "q149_skyline" -> q149_skyline,

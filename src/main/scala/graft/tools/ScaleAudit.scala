@@ -403,6 +403,13 @@ object ScaleAudit {
       // the funnel fixture, q32's broadcast-query scan); the fusion
       // joins two 10-row lists, so 8x should track the BM25 scan
       bench("q182_hybrid_rrf", dir, graft.SparkEntry.queries("q182_hybrid_rrf"))
+      // q183: both aggregates are domain-bounded (QI x segment); 8x
+      // customers is 8x rows into the same map-side combine. q184:
+      // one (source, lang) aggregate; 8x docs with 8x sources grows
+      // the cell table 8x but it stays domain-sized; margins/terms
+      // broadcast.
+      bench("q183_l_diversity", dir, graft.SparkEntry.queries("q183_l_diversity"))
+      bench("q184_mutual_info", dir, graft.SparkEntry.queries("q184_mutual_info"))
       locally {
         val v = graft.Tables.load(spark, dir, "documents")
           .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))

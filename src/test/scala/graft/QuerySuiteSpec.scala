@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 182)
-    assert(SparkEntry.oracleSql.size == 175) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 184)
+    assert(SparkEntry.oracleSql.size == 177) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -112,6 +112,58 @@ class QuerySuiteSpec extends AnyFunSuite {
         assert(math.abs(s - e) / e <= 0.02, s"$src col $i: sketch $s vs exact $e")
       }
     }
+  }
+
+  test("q183: l-diversity criteria equal a driver-side replay of the cells") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q183_l_diversity")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val cells = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"), floor(col("c_acctbal") / 5000).cast("long"),
+        col("c_mktsegment"))
+      .collect().map(r => ((r.getAs[Number](0).longValue, r.getLong(1)), r.getString(2)))
+    val ref = cells.groupBy(_._1).map { case (qi, rows) =>
+      val bySeg = rows.groupBy(_._2).map(_._2.size.toLong)
+      val (k, l, m1) = (bySeg.sum, bySeg.size.toLong, bySeg.max)
+      qi -> (k, l, m1 * 1000 / k, l >= 3 && m1 < 2 * (k - m1))
+    }
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    ref.foreach { case (qi, r) => assert(got(qi) == r, s"QI $qi: ${got(qi)} vs $r") }
+  }
+
+  test("q184: MI replay in quantized BigDecimal; 0 <= MI <= H(lang), U in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val Seq(row) = SparkEntry.queries("q184_mutual_info")(spark, sf)
+      .collect().toSeq
+    val (n, mi, hl, u) = (row.getLong(0), row.getDouble(3), row.getDouble(4),
+      row.getDouble(5))
+    val cells = Tables.load(spark, sf, "documents")
+      .groupBy(col("source"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    def lnq(x: Long): JBD =
+      new JBD(math.log(x.toDouble), MathContext.DECIMAL128)
+        .setScale(6, RoundingMode.HALF_UP)
+    val cs = cells.groupBy(_._1).map { case (s, r) => s -> r.map(_._3).sum }
+    val cl = cells.groupBy(_._2).map { case (l, r) => l -> r.map(_._3).sum }
+    val nRef = cells.map(_._3).sum
+    assert(n == nRef)
+    var miSum = JBD.ZERO
+    cells.foreach { case (s, l, c) =>
+      val t = lnq(c).add(lnq(nRef)).subtract(lnq(cs(s))).subtract(lnq(cl(l)))
+      miSum = miSum.add(new JBD(c).multiply(t))
+    }
+    var hlSum = JBD.ZERO
+    cl.values.foreach(c => hlSum = hlSum.add(new JBD(c).multiply(lnq(c))))
+    val miRef = miSum.doubleValue / n
+    val hRef = lnq(nRef).doubleValue - hlSum.doubleValue / n
+    assert(math.abs(mi - miRef) < 5e-7, s"MI $mi vs $miRef")
+    assert(math.abs(hl - hRef) < 5e-7, s"H $hl vs $hRef")
+    assert(math.abs(u - miRef / hRef) < 5e-7)
+    // 6-dp quantization slack on the information inequalities
+    assert(mi >= -1e-4 && mi <= hl + 1e-4, s"MI $mi outside [0, H=$hl]")
+    assert(u >= -1e-4 && u <= 1 + 1e-4)
   }
 
   test("q70 merged daily sketches equal the direct sketch and track exact") {
