@@ -201,6 +201,44 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"more than the one band exchange:\n$p")
   }
 
+  test("q179: U cumulative is band-local — no global sort, broadcast bases") {
+    val p = plan("q179_mann_whitney")
+    // same contract as q172: the only SinglePartition is the 1-row
+    // contribution fold, fed by a map-side partial_sum
+    assert(countOf(p, "Exchange SinglePartition") <= 1 && p.contains("partial_sum"),
+      s"data-sized single-partition stage:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global range sort:\n$p")
+    assert(p.contains("Window"), s"band-local cumulative window missing:\n$p")
+    // the per-distinct-value table is checkpointed upstream; the only
+    // visible hash exchange re-clusters it by band for the window
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"more than the band exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band bases not broadcast:\n$p")
+  }
+
+  test("q180: corpus joins the cluster labeling by broadcast, never a shuffle") {
+    val p = plan("q180_soft_dedup")
+    // the (doc_id -> csize) labeling is pair-graph-sized and must
+    // broadcast into the corpus scan; a shuffled left join here would
+    // move the whole corpus on doc_id at 100 TB
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftOuter".r
+      .findFirstIn(p).isDefined,
+      s"labeling not broadcast into the corpus scan:\n$p")
+    // the CORPUS join must never be a shuffle join; the pair-graph-
+    // sized comp x sizes inner join may compile as SMJ (AQE converts
+    // it to broadcast at runtime — both sides are label-table-sized)
+    assert("SortMergeJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftOuter".r
+      .findFirstIn(p).isEmpty,
+      s"corpus shuffled to meet the labeling:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine on the source agg:\n$p")
+  }
+
+  test("q184: everything downstream of the cell checkpoint is broadcast-only") {
+    val p = plan("q184_mutual_info")
+    assert(!p.contains("SortMergeJoin"), s"domain-sized table shuffled to join:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"unexpected sort:\n$p")
+  }
+
   test("q170: attribution is window + explode, never a user-keyed self-join") {
     val p = plan("q170_decay_attribution")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
