@@ -540,8 +540,12 @@ object Curation {
         round(expr("CAST(mi_sum AS DOUBLE) / n"), 6).as("mi_nats"),
         round(expr(s"CAST(${lnq("n")} AS DOUBLE)" +
           " - CAST(hl_sum AS DOUBLE) / n"), 6).as("h_lang_nats"),
-        round(expr(s"(CAST(mi_sum AS DOUBLE) / n) / (CAST(${lnq("n")} AS" +
-          " DOUBLE) - CAST(hl_sum AS DOUBLE) / n)"), 6).as("uncertainty"))
+        // nullif: a single-language corpus has H(lang) = 0 exactly
+        // (hl_sum = n·lnq(n)) — Spark would emit NaN, DuckDB NULL;
+        // both engines agree on NULL through the guard
+        round(expr(s"(CAST(mi_sum AS DOUBLE) / n) / nullif(CAST(${lnq("n")}" +
+          " AS DOUBLE) - CAST(hl_sum AS DOUBLE) / n, 0.0D)"), 6)
+          .as("uncertainty"))
   }
 
   /** Dataset card (Gebru et al. 2021 "Datasheets for Datasets"): the
@@ -941,8 +945,9 @@ object Curation {
         |          AS DOUBLE)
         |    - CAST(hl_sum AS DOUBLE) / tot.n, 6) AS h_lang_nats,
         |  ROUND((CAST(mi_sum AS DOUBLE) / tot.n) /
-        |    (CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
-        |     - CAST(hl_sum AS DOUBLE) / tot.n), 6) AS uncertainty
+        |    NULLIF(CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6))
+        |             AS DOUBLE)
+        |     - CAST(hl_sum AS DOUBLE) / tot.n, 0.0), 6) AS uncertainty
         |FROM mi, hl, tot""".stripMargin,
     "q183_l_diversity" ->
       """WITH cells AS (
