@@ -117,11 +117,16 @@ object ScaleAudit {
       .write.mode("overwrite").parquet(s"$work/orders.parquet")
     // customer: key-shifted copies matching the orders shift, so the
     // q123 bucketed join sees a mult-x dimension with mult-x facts
+    // nationkey/mktsegment ride along UNCHANGED per copy: the q183 QI
+    // domain (nation x bal band x segment) stays constant while the
+    // customer count grows mult-x — the domain-bounded-output claim
     val cust = graft.Tables.load(spark, base, "customer")
-      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey",
+        $"c_mktsegment")
     (0 until mult).map { c =>
       cust.select(($"c_custkey" + lit(c.toLong * 10000000L)).as("c_custkey"),
-        concat($"c_name", lit(s"_$c")).as("c_name"), $"c_acctbal")
+        concat($"c_name", lit(s"_$c")).as("c_name"), $"c_acctbal",
+        $"c_nationkey", $"c_mktsegment")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$work/customer.parquet")
     val line = graft.Tables.load(spark, base, "lineitem")
