@@ -566,6 +566,62 @@ object Dedup {
     if (seal) Relational.dropAfter(out, sh) else out
   }
 
+  /** q185: duplicated-segment scrub — exact substring dedup at fixed
+    * segment granularity (Lee et al. ACL'22, "Deduplicating Training
+    * Data Makes Language Models Better"; the CCNet paragraph-dedup
+    * shape, Wenzek et al. LREC'20, with 10-word segments standing in
+    * for paragraphs — the fixture's texts carry no newlines). Every
+    * doc is cut into non-overlapping 10-word segments; a segment whose
+    * exact text occurs in ≥ 3 DISTINCT documents is boilerplate and is
+    * scrubbed. Unlike the pairwise dedup family (q28–q31, q139, q164),
+    * this removes SUB-document duplication while keeping the doc — the
+    * readout is the per-source retention summary (docs touched,
+    * segments and words kept) a curation run reads before committing.
+    *
+    * Plan shape for 100 TB:
+    *  - ONE corpus scan explodes ~n_words/10 segment rows per doc; the
+    *    per-(segment, doc) occurrence table is a map-side-combinable
+    *    groupBy (the only corpus-wide shuffle, keyed on segment text)
+    *    and localCheckpoints — it feeds df AND the final fold (q167
+    *    stance: without it the explode re-runs per consumer).
+    *  - df re-aggregates FROM that table (map-side combinable; rows
+    *    already distinct per (segment, doc), so count(*) = distinct-doc
+    *    frequency — no countDistinct shuffle).
+    *  - the scrub is a segment-keyed equi-join back. Deliberately
+    *    groupBy+join, NOT a count-over-window: a boilerplate segment
+    *    hitting millions of docs is a splittable AQE skew-join key
+    *    here, where a window partition would be a single-task whale.
+    * All-integer output; one DIV at the end (same denominator both
+    * engines).
+    */
+  val q185_segment_scrub: Q = (spark, dir) => {
+    import spark.implicits._
+    val occ = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) > 0)")
+          .as("ws"))
+      .where(size($"ws") > 0)
+      .select($"doc_id", $"source", $"ws",
+        explode(expr("sequence(0, (size(ws) - 1) DIV 10)")).as("i"))
+      .select($"doc_id", $"source",
+        expr("concat_ws(' ', slice(ws, i * 10 + 1, 10))").as("seg"),
+        expr("CAST(size(slice(ws, i * 10 + 1, 10)) AS BIGINT)").as("w"))
+      .groupBy($"seg", $"doc_id", $"source")
+      .agg(count(lit(1)).as("occ"), sum($"w").as("wsum"))
+      .localCheckpoint()
+    val dfq = occ.groupBy($"seg").agg(count(lit(1)).as("df"))
+    occ.join(dfq, "seg")
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        sum($"occ").as("n_segs"),
+        sum(when($"df" >= 3, $"occ").otherwise(0L)).as("dup_segs"),
+        sum($"wsum").as("total_words"),
+        sum(when($"df" < 3, $"wsum").otherwise(0L)).as("kept_words"),
+        expr("CAST(sum(CASE WHEN df < 3 THEN wsum ELSE 0 END) * 1000" +
+          " DIV sum(wsum) AS BIGINT)").as("kept_x1000"))
+      .orderBy($"source")
+  }
+
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken
     * SIGMOD'03 — the MOSS algorithm). The fifth blocking family next to
     * LSH bands (q29), SimHash pigeonholes (q30), prefix filters (q139),
@@ -742,6 +798,32 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q185_segment_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS seg,
+        |    CAST(len(ws[i * 10 + 1 : i * 10 + 10]) AS BIGINT) AS w
+        |  FROM w, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(i)
+        |  WHERE len(ws) > 0),
+        |occ AS (
+        |  SELECT seg, doc_id, source, COUNT(*) AS occ, SUM(w) AS wsum
+        |  FROM segs GROUP BY 1, 2, 3),
+        |dfq AS (SELECT seg, COUNT(*) AS df FROM occ GROUP BY 1)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(occ) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN df >= 3 THEN occ ELSE 0 END) AS BIGINT) AS dup_segs,
+        |  CAST(SUM(wsum) AS BIGINT) AS total_words,
+        |  CAST(SUM(CASE WHEN df < 3 THEN wsum ELSE 0 END) AS BIGINT) AS kept_words,
+        |  CAST(SUM(CASE WHEN df < 3 THEN wsum ELSE 0 END) * 1000 // SUM(wsum)
+        |    AS BIGINT) AS kept_x1000
+        |FROM occ JOIN dfq USING (seg)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q30_dedup_simhash" -> HashOracleSql.q30Oracle,
     "q164_winnowing" -> winnowOracle,
     "q173_winnow_incremental" -> winnowIncrementalOracle,
@@ -901,5 +983,6 @@ object Dedup {
     "q162_snm_multipass" -> q162_snm_multipass,
     "q164_winnowing" -> q164_winnowing,
     "q173_winnow_incremental" -> q173_winnow_incremental,
-    "q144_containment_join" -> q144_containment_join)
+    "q144_containment_join" -> q144_containment_join,
+    "q185_segment_scrub" -> q185_segment_scrub)
 }

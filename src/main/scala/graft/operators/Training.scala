@@ -512,6 +512,69 @@ object Training {
       .orderBy($"doc_id")
   }
 
+  /** q186: bigram-LM perplexity quality scoring — the CCNet device
+    * (Wenzek et al. LREC'20: score CommonCrawl against a KenLM trained
+    * on Wikipedia; here the `lang = 'en'` slice stands in for the
+    * reference corpus) at bigram order with add-one smoothing. Each
+    * doc's negative log-likelihood per bigram ranks it head / middle /
+    * tail — the quality gate CCNet cuts its corpus with, and the
+    * LM-based sibling of q80's weighted-vocab heuristic.
+    *
+    * Exactness: every bigram's NLL term is ln(c1+V) − ln(c2+1) with
+    * BOTH logs quantized to DECIMAL(18,6) of an integer argument (the
+    * q181/q184 device — bit-identical double input each engine, exact
+    * decimal sums in any order), per-doc sums stay DECIMAL, the
+    * head/tail threshold compare is cross-multiplied decimal×integer
+    * (no division), and the single cast-to-double division happens
+    * once per source with an identical downstream expression.
+    *
+    * Plan shape for 100 TB: the bigram stream localCheckpoints (feeds
+    * train AND score — one corpus explode, the q167 stance); the LM
+    * tables aggregate map-side (c2 bigram-type-bounded, c1 vocab-
+    * bounded, V one row); scoring is a (w1,w2) equi-join the optimizer
+    * broadcasts while the LM fits (it does here; CCNet's real 4 GB
+    * KenLM is the broadcast ceiling) and AQE falls back to a shuffle
+    * join keyed on the bigram beyond it — deliberately unhinted.
+    * Per-doc then per-source folds are map-side-combinable groupBys.
+    */
+  val q186_lm_quality: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+    val bi = w.where(size($"ws") >= 2)
+      .select($"doc_id", $"source", $"lang",
+        explode(expr("transform(sequence(1, size(ws) - 1), i ->" +
+          " struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("b"))
+      .select($"doc_id", $"source", $"lang", $"b.w1", $"b.w2")
+      .localCheckpoint()
+    val c2 = bi.where($"lang" === "en")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2n"))
+      .localCheckpoint() // feeds c1 and the scoring join
+    val c1 = c2.groupBy($"w1").agg(sum($"c2n").as("c1n"))
+    val v = w.where($"lang" === "en")
+      .select(explode($"ws").as("word"))
+      .agg(countDistinct($"word").as("v"))
+    def lnq(c: String) = s"CAST(ln(CAST($c AS DOUBLE)) AS DECIMAL(18,6))"
+    val d = bi.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select($"doc_id", $"source",
+        expr(s"${lnq("coalesce(c1n, 0L) + v")} - ${lnq("coalesce(c2n, 0L) + 1")}")
+          .as("t"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"t").as("dn"), count(lit(1)).as("nb"))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("n_bigrams"),
+        round(sum($"dn").cast("double") / sum($"nb").cast("double"), 6).as("nll"),
+        sum(when($"dn" * 100 < $"nb" * 335, 1L).otherwise(0L)).as("n_head"),
+        sum(when($"dn" * 100 > $"nb" * 347, 1L).otherwise(0L)).as("n_tail"))
+      .orderBy($"source")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the
     * compression step a 100 TB embedding store runs before ANN
     * serving (4x over float32; IVF lists of int8 codes). Entirely
@@ -870,6 +933,37 @@ object Training {
           |FROM j ORDER BY doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q186_lm_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, source, lang, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM w, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2n FROM bi
+        |       WHERE lang = 'en' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2n) AS c1n FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT word) AS v FROM
+        |       (SELECT unnest(ws) AS word FROM w WHERE lang = 'en')),
+        |t AS (
+        |  SELECT b.doc_id, b.source,
+        |    CAST(ln(CAST(COALESCE(c1.c1n, 0) + v AS DOUBLE)) AS DECIMAL(18,6))
+        |    - CAST(ln(CAST(COALESCE(c2.c2n, 0) + 1 AS DOUBLE)) AS DECIMAL(18,6))
+        |      AS t
+        |  FROM bi b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v),
+        |d AS (SELECT doc_id, source, SUM(t) AS dn, COUNT(*) AS nb
+        |      FROM t GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(dn) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE), 6) AS nll,
+        |  CAST(SUM(CASE WHEN dn * 100 < nb * 335 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_head,
+        |  CAST(SUM(CASE WHEN dn * 100 > nb * 347 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tail
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q154_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -1110,6 +1204,7 @@ object Training {
     "q78_span_dedup" -> q78_span_dedup,
     "q79_bloom_decontaminate" -> q79_bloom_decontaminate,
     "q80_quality_classifier" -> q80_quality_classifier,
+    "q186_lm_quality" -> q186_lm_quality,
     "q81_embedding_quantize" -> q81_embedding_quantize,
     "q82_csv_roundtrip" -> q82_csv_roundtrip,
     "q83_tfidf" -> q83_tfidf,

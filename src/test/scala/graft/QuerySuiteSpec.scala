@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 184)
-    assert(SparkEntry.oracleSql.size == 177) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 186)
+    assert(SparkEntry.oracleSql.size == 179) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -164,6 +164,30 @@ class QuerySuiteSpec extends AnyFunSuite {
     // 6-dp quantization slack on the information inequalities
     assert(mi >= -1e-4 && mi <= hl + 1e-4, s"MI $mi outside [0, H=$hl]")
     assert(u >= -1e-4 && u <= 1 + 1e-4)
+  }
+
+  test("q185: segment scrub equals a driver-side replay; fixture has boilerplate") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q185_segment_scrub")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val segRows = docs.flatMap { case (id, src, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.grouped(10).map(g => (id, src, g.mkString(" "), g.length.toLong)).toSeq
+    }
+    val dfBySeg = segRows.groupBy(_._3)
+      .map { case (s, rs) => s -> rs.map(_._1).distinct.size }
+    val ref = segRows.groupBy(_._2).map { case (src, rs) =>
+      val tot = rs.map(_._4).sum
+      val kept = rs.filter(r => dfBySeg(r._3) < 3).map(_._4).sum
+      src -> (rs.map(_._1).distinct.size.toLong, rs.size.toLong,
+        rs.count(r => dfBySeg(r._3) >= 3).toLong, tot, kept, kept * 1000 / tot)
+    }
+    assert(got == ref && got.nonEmpty)
+    assert(got.values.map(_._3).sum > 0, "fixture should contain boilerplate segments")
   }
 
   test("q70 merged daily sketches equal the direct sketch and track exact") {
