@@ -496,6 +496,87 @@ object Curation {
       .orderBy($"nation", $"bal_band")
   }
 
+  /** q188: t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) —
+    * the third rung of the release-privacy ladder after q142's
+    * k-anonymity and q183's l-diversity: a QI group can be diverse
+    * yet still leak when its sensitive-value DISTRIBUTION differs
+    * from the corpus-wide one (the paper's skewness attack). Per QI
+    * group (nation, balance band), the distance of the group's
+    * sensitive distribution from the global baseline, both ways the
+    * paper defines it:
+    *  - ordered sensitive attribute (per-customer order count): EMD
+    *    on the ordered value grid = Σ|cumP − cumQ| / (m−1),
+    *  - categorical (market segment): total-variation distance
+    *    ½ Σ|p − q| (the q167 statistic, here group-vs-global).
+    *
+    * Exactness: both numerators are integer cross-multiplications
+    * (|cumP·N − cumQ·n_g| — DECIMAL(38) on the Spark side, HUGEINT
+    * under DuckDB's rounding-`//` per the house rule), one scaled
+    * DIV at the end; the absent-segment mass is folded in CLOSED
+    * FORM ((N − Σ_present gs)·n_g) so the categorical side needs no
+    * value grid at all; nullif guards the degenerate m = 1 corpus.
+    *
+    * Scale shape: the only corpus-sized work is the customer⋈orders
+    * count join and two (QI × value)-bounded aggregates; the grid is
+    * QI-domain × sensitive-domain rows (cross join of two broadcast
+    * domain tables), the global cum runs a window over the m-row
+    * value table (domain-sized single partition — bounded by the
+    * sensitive domain, not the data), and every join below the base
+    * aggregates is broadcast. At 100 TB: same two exchanges.
+    */
+  val q188_t_closeness: Q = (spark, dir) => {
+    import spark.implicits._
+    val ocnt = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey".as("c_custkey")).agg(count(lit(1)).as("s_ord_c"))
+    val base = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey".as("nation"),
+        floor($"c_acctbal" / 5000).as("bal_band"),
+        $"c_mktsegment".as("segment"))
+      .join(ocnt, Seq("c_custkey"), "left")
+      .select($"nation", $"bal_band", $"segment",
+        coalesce($"s_ord_c", lit(0L)).as("s_ord"))
+      .localCheckpoint() // feeds the ordered AND categorical cell tables
+    val cells = base.groupBy($"nation", $"bal_band", $"s_ord")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds grp + global dist + the grid join
+    val grp = cells.groupBy($"nation", $"bal_band").agg(sum($"c").as("ng"))
+    val gd = cells.groupBy($"s_ord").agg(sum($"c").as("gc"))
+    val wg = Window.orderBy($"s_ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = gd.select($"s_ord", sum($"gc").over(wg).as("gcum"))
+    val gtot = gd.agg(count(lit(1)).as("m"), sum($"gc").as("n"))
+    val wp = Window.partitionBy($"nation", $"bal_band").orderBy($"s_ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = grp.crossJoin(broadcast(gv)).crossJoin(broadcast(gtot))
+      .join(cells, Seq("nation", "bal_band", "s_ord"), "left")
+      .select($"nation", $"bal_band", $"ng", $"s_ord", $"gcum", $"m", $"n",
+        coalesce($"c", lit(0L)).as("c0"))
+      .withColumn("cump", sum($"c0").over(wp))
+      .groupBy($"nation", $"bal_band")
+      .agg(first($"ng").as("ng"), first($"m").as("m"), first($"n").as("n"),
+        sum(expr("abs(CAST(cump AS DECIMAL(38,0)) * n" +
+          " - CAST(gcum AS DECIMAL(38,0)) * ng)")).as("num"))
+    val cc = base.groupBy($"nation", $"bal_band", $"segment")
+      .agg(count(lit(1)).as("cg"))
+    val gs = base.groupBy($"segment").agg(count(lit(1)).as("gsc"))
+    val cat = cc.join(broadcast(gs), "segment")
+      .join(broadcast(grp), Seq("nation", "bal_band"))
+      .crossJoin(broadcast(gtot))
+      .groupBy($"nation", $"bal_band")
+      .agg((sum(expr("abs(CAST(cg AS DECIMAL(38,0)) * n" +
+        " - CAST(gsc AS DECIMAL(38,0)) * ng)"))
+        + (first($"n") - sum($"gsc")) * first($"ng")).as("numc"))
+    emd.join(cat, Seq("nation", "bal_band"))
+      .select($"nation", $"bal_band", $"ng".cast("long").as("k"),
+        expr("CAST(num * 1000000 DIV nullif((m - 1)" +
+          " * CAST(ng AS DECIMAL(38,0)) * n, 0) AS BIGINT)").as("t_ord_x1e6"),
+        expr("CAST(numc * 1000000 DIV (2 * CAST(ng AS DECIMAL(38,0)) * n)" +
+          " AS BIGINT)").as("t_cat_x1e6"))
+      .withColumn("t_close",
+        $"t_ord_x1e6" <= 150000 && $"t_cat_x1e6" <= 200000)
+      .orderBy($"nation", $"bal_band")
+  }
+
   /** q184: mutual information between source and language over the
     * corpus — "how language-specialized are the sources", the
     * information-theoretic summary of the q146 card's per-source
@@ -963,6 +1044,57 @@ object Curation {
         |  (COUNT(*) >= 3 AND MAX(c) < 2 * (SUM(c) - MAX(c))) AS diverse
         |FROM cells GROUP BY nation, bal_band
         |ORDER BY nation, bal_band""".stripMargin,
+    "q188_t_closeness" ->
+      """WITH ocnt AS (
+        |  SELECT o_custkey AS c_custkey, COUNT(*) AS s_ord_c
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey, c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS segment, COALESCE(s_ord_c, 0) AS s_ord
+        |  FROM customer LEFT JOIN ocnt USING (c_custkey)),
+        |cells AS (SELECT nation, bal_band, s_ord, COUNT(*) AS c
+        |          FROM base GROUP BY 1, 2, 3),
+        |grp AS (SELECT nation, bal_band, SUM(c) AS ng FROM cells GROUP BY 1, 2),
+        |gd AS (SELECT s_ord, SUM(c) AS gc FROM cells GROUP BY 1),
+        |gv AS (SELECT s_ord,
+        |         SUM(gc) OVER (ORDER BY s_ord ROWS UNBOUNDED PRECEDING) AS gcum
+        |       FROM gd),
+        |gtot AS (SELECT COUNT(*) AS m, SUM(gc) AS n FROM gd),
+        |grid AS (
+        |  SELECT g.nation, g.bal_band, g.ng, v.s_ord, v.gcum, t.m, t.n,
+        |    COALESCE(c.c, 0) AS c0
+        |  FROM grp g CROSS JOIN gv v CROSS JOIN gtot t
+        |  LEFT JOIN cells c ON c.nation = g.nation
+        |    AND c.bal_band = g.bal_band AND c.s_ord = v.s_ord),
+        |cum AS (
+        |  SELECT nation, bal_band, ng, gcum, m, n,
+        |    SUM(c0) OVER (PARTITION BY nation, bal_band ORDER BY s_ord
+        |      ROWS UNBOUNDED PRECEDING) AS cump
+        |  FROM grid),
+        |emd AS (
+        |  SELECT nation, bal_band, ANY_VALUE(ng) AS ng, ANY_VALUE(m) AS m,
+        |    ANY_VALUE(n) AS n,
+        |    SUM(abs(CAST(cump AS HUGEINT) * n - CAST(gcum AS HUGEINT) * ng))
+        |      AS num
+        |  FROM cum GROUP BY 1, 2),
+        |cc AS (SELECT nation, bal_band, segment, COUNT(*) AS cg
+        |       FROM base GROUP BY 1, 2, 3),
+        |gs AS (SELECT segment, COUNT(*) AS gsc FROM base GROUP BY 1),
+        |cat AS (
+        |  SELECT cc.nation, cc.bal_band,
+        |    SUM(abs(CAST(cg AS HUGEINT) * n - CAST(gsc AS HUGEINT) * ng))
+        |      + (ANY_VALUE(n) - SUM(gsc)) * ANY_VALUE(ng) AS numc
+        |  FROM cc JOIN gs USING (segment) JOIN grp USING (nation, bal_band)
+        |  CROSS JOIN gtot
+        |  GROUP BY 1, 2)
+        |SELECT e.nation, e.bal_band, CAST(e.ng AS BIGINT) AS k,
+        |  CAST(e.num * 1000000 // nullif((e.m - 1) * e.ng * e.n, 0) AS BIGINT)
+        |    AS t_ord_x1e6,
+        |  CAST(c.numc * 1000000 // (2 * e.ng * e.n) AS BIGINT) AS t_cat_x1e6,
+        |  (t_ord_x1e6 <= 150000 AND t_cat_x1e6 <= 200000) AS t_close
+        |FROM emd e JOIN cat c USING (nation, bal_band)
+        |ORDER BY nation, bal_band""".stripMargin,
     "q122_group_split" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -1141,6 +1273,7 @@ object Curation {
     "q97_dq_report" -> q97_dq_report,
     "q142_k_anonymity" -> q142_k_anonymity,
     "q183_l_diversity" -> q183_l_diversity,
+    "q188_t_closeness" -> q188_t_closeness,
     "q184_mutual_info" -> q184_mutual_info,
     "q146_dataset_card" -> q146_dataset_card,
     "q178_curate_card_diff" -> q178_curate_card_diff,

@@ -575,6 +575,73 @@ object Training {
       .orderBy($"source")
   }
 
+  /** q187: DSIR hashed-n-gram importance weights (Xie et al.
+    * NeurIPS'23, "Data Selection for Language Models via Importance
+    * Resampling") — the domain-targeting sibling of q186's perplexity
+    * gate: instead of scoring fluency under a reference LM, weigh each
+    * raw doc by how target-like its hashed bigram FEATURE distribution
+    * is, log w(doc) = Σ_f ln(p_target(f) / p_raw(f)), and resample by
+    * the weight. Target = the `lang = 'en'` slice (the q186 stance);
+    * raw = the full corpus; features = word bigrams poly-31-hashed
+    * into B = 256 buckets — DSIR's whole point is that the bucketed
+    * feature table stays FIXED-SIZE (B rows) no matter the corpus.
+    *
+    * Exactness: the bucket hash is an integer char fold (the q147
+    * rolling-hash family — `h·31 + ord(c) mod 1000003`, then mod 256 —
+    * Spark `aggregate`, DuckDB `list_reduce`, same recurrence); both
+    * smoothed log terms ride the q181/q184 quantized-ln device
+    * (DECIMAL(18,6) of integer arguments), per-doc log-weights are
+    * exact decimal sums so the `log w > 0` selection compare is
+    * engine-exact, and the one division per source casts to double
+    * once with an identical downstream expression.
+    *
+    * Plan shape for 100 TB: ONE corpus scan emits the (doc, bucket)
+    * feature stream map-side and localCheckpoints (feeds the bucket
+    * histogram AND the scoring join — the q167 stance); target/raw
+    * bucket counts build in ONE conditional aggregate (256 rows,
+    * map-side combined); scoring joins the broadcast 256-row table —
+    * no corpus-sized side ever shuffles on a skewable key; doc and
+    * source folds are map-side-combinable groupBys.
+    */
+  val q187_dsir_weights: Q = (spark, dir) => {
+    import spark.implicits._
+    val b = 256
+    val feats = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      .where(size($"ws") >= 2)
+      .select($"doc_id", $"source", $"lang",
+        explode(expr("transform(sequence(1, size(ws) - 1), i ->" +
+          " concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("f"))
+      .select($"doc_id", $"source", $"lang",
+        // positional fold, not split(f, ''): Spark's split keeps a
+        // trailing empty string (ascii('') = 0 would corrupt the hash)
+        expr(s"aggregate(sequence(1, length(f)), 0L," +
+          s" (h, i) -> (h * 31 + ascii(substring(f, i, 1))) % 1000003) % $b")
+          .as("bkt"))
+      .localCheckpoint()
+    val hist = feats.groupBy($"bkt")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    def lnq(c: String) = s"CAST(ln(CAST($c AS DOUBLE)) AS DECIMAL(18,6))"
+    val tot = hist.agg(sum($"ct").as("t"), sum($"cr").as("r"))
+    val d = feats.join(broadcast(hist), "bkt")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"source",
+        expr(s"${lnq("ct + 1")} - ${lnq(s"t + $b")}" +
+          s" - ${lnq("cr + 1")} + ${lnq(s"r + $b")}").as("lw"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"lw").as("lw"), count(lit(1)).as("nf"))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nf").as("n_feats"),
+        round(sum($"lw").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_logw"),
+        sum(when($"lw" > 0, 1L).otherwise(0L)).as("n_selected"))
+      .orderBy($"source")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the
     * compression step a 100 TB embedding store runs before ANN
     * serving (4x over float32; IVF lists of int8 codes). Entirely
@@ -933,6 +1000,39 @@ object Training {
           |FROM j ORDER BY doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q187_dsir_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, lang,
+        |    list_reduce([ord(substr(s, i, 1)) for i in range(1, length(s) + 1)],
+        |      (h, c) -> (h * 31 + c) % 1000003) % 256 AS bkt
+        |  FROM (SELECT doc_id, source, lang, ws[i] || ' ' || ws[i + 1] AS s
+        |        FROM w, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2)),
+        |hist AS (
+        |  SELECT bkt,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM hist),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    SUM(CAST(ln(CAST(ct + 1 AS DOUBLE)) AS DECIMAL(18,6))
+        |      - CAST(ln(CAST(t + 256 AS DOUBLE)) AS DECIMAL(18,6))
+        |      - CAST(ln(CAST(cr + 1 AS DOUBLE)) AS DECIMAL(18,6))
+        |      + CAST(ln(CAST(r + 256 AS DOUBLE)) AS DECIMAL(18,6))) AS lw,
+        |    COUNT(*) AS nf
+        |  FROM f JOIN hist USING (bkt), tot GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nf) AS BIGINT) AS n_feats,
+        |  round(CAST(SUM(lw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_logw,
+        |  CAST(SUM(CASE WHEN lw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q186_lm_quality" ->
       """WITH w AS (
         |  SELECT doc_id, source, lang,
@@ -1205,6 +1305,7 @@ object Training {
     "q79_bloom_decontaminate" -> q79_bloom_decontaminate,
     "q80_quality_classifier" -> q80_quality_classifier,
     "q186_lm_quality" -> q186_lm_quality,
+    "q187_dsir_weights" -> q187_dsir_weights,
     "q81_embedding_quantize" -> q81_embedding_quantize,
     "q82_csv_roundtrip" -> q82_csv_roundtrip,
     "q83_tfidf" -> q83_tfidf,

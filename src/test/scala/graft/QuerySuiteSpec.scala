@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 186)
-    assert(SparkEntry.oracleSql.size == 179) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 188)
+    assert(SparkEntry.oracleSql.size == 181) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -188,6 +188,66 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
     assert(got == ref && got.nonEmpty)
     assert(got.values.map(_._3).sum > 0, "fixture should contain boilerplate segments")
+  }
+
+  test("q186/q187: LM-quality and DSIR feature counts agree; buckets disjoint") {
+    import org.apache.spark.sql.functions._
+    val lm = SparkEntry.queries("q186_lm_quality")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val ds = SparkEntry.queries("q187_dsir_weights")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(lm.keySet == ds.keySet && lm.nonEmpty)
+    // both walk the same bigram stream: per-source feature counts equal
+    lm.foreach { case (src, (nDocs, nBi, nll, head, tail)) =>
+      val (dDocs, dFeats, dSel) = ds(src)
+      assert(dDocs == nDocs && dFeats == nBi, s"$src stream drift")
+      assert(head + tail <= nDocs, s"$src head/tail overlap")
+      assert(dSel <= nDocs)
+      assert(nll > 0 && nll < 20, s"$src nll $nll out of range")
+    }
+    // the en-trained LM must score the corpus better than uniform over V
+    val v = Tables.load(spark, sf, "documents").where(col("lang") === "en")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0).agg(countDistinct(col("w"))).head.getLong(0)
+    val wNll = lm.values.map { case (_, nb, nll, _, _) => nb * nll }.sum /
+      lm.values.map(_._2).sum
+    assert(wNll < math.log(v.toDouble + 1), s"mean NLL $wNll vs uniform ${math.log(v + 1.0)}")
+  }
+
+  test("q188: t-closeness equals an exact BigInt driver replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q188_t_closeness")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val ocnt = Tables.load(spark, sf, "orders").groupBy(col("o_custkey"))
+      .count().collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val base = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") / 5000).cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getAs[Number](1).longValue, r.getLong(2),
+        r.getString(3), ocnt.getOrElse(r.getAs[Number](0).longValue, 0L)))
+    val n = BigInt(base.length)
+    val values = base.map(_._4).distinct.sorted
+    val m = BigInt(values.length)
+    val gCum = values.map(v => v -> BigInt(base.count(_._4 <= v))).toMap
+    val gSeg = base.groupBy(_._3).map { case (s, r) => s -> BigInt(r.size) }
+    val ref = base.groupBy(b => (b._1, b._2)).map { case (qi, rows) =>
+      val ng = BigInt(rows.size)
+      val emdNum = values.map(v =>
+        (BigInt(rows.count(_._4 <= v)) * n - gCum(v) * ng).abs).sum
+      val present = rows.groupBy(_._3).map { case (s, r) => s -> BigInt(r.size) }
+      val catNum = present.map { case (s, cg) => (cg * n - gSeg(s) * ng).abs }.sum +
+        (n - present.keysIterator.map(gSeg).sum) * ng
+      val tOrd = emdNum * 1000000 / ((m - 1) * ng * n)
+      val tCat = catNum * 1000000 / (2 * ng * n)
+      qi -> (ng.toLong, tOrd.toLong, tCat.toLong,
+        tOrd <= 150000 && tCat <= 200000)
+    }
+    assert(got.keySet == ref.keySet && got.size == ref.size && got.nonEmpty)
+    ref.foreach { case (qi, r) => assert(got(qi) == r, s"QI $qi: ${got(qi)} vs $r") }
+    // fixture exercises both outcomes of the flag
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
 
   test("q70 merged daily sketches equal the direct sketch and track exact") {
