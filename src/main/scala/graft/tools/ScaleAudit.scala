@@ -415,6 +415,44 @@ object ScaleAudit {
       // broadcast.
       bench("q183_l_diversity", dir, graft.SparkEntry.queries("q183_l_diversity"))
       bench("q184_mutual_info", dir, graft.SparkEntry.queries("q184_mutual_info"))
+      // q185: segment stream 8x through one segment-keyed shuffle; the
+      // derived fixture suffixes words per copy, so segment df stays
+      // intra-copy (no cross-copy dup inflation) — max segment df
+      // printed to show the join-back key skew bound. q186/q187: the
+      // bigram stream 8x; q186's LM/bucket tables grow with the
+      // suffixed vocab (bigram types printed) while q187's histogram
+      // is FIXED at 256 rows by construction — the DSIR scale claim.
+      // q188: both cell tables domain-bounded; 8x customers is 8x
+      // rows into the same two map-side-combined aggregates.
+      bench("q185_segment_scrub", dir, graft.SparkEntry.queries("q185_segment_scrub"))
+      bench("q186_lm_quality", dir, graft.SparkEntry.queries("q186_lm_quality"))
+      bench("q187_dsir_weights", dir, graft.SparkEntry.queries("q187_dsir_weights"))
+      bench("q188_t_closeness", dir, graft.SparkEntry.queries("q188_t_closeness"))
+      locally {
+        val ws = graft.Tables.load(spark, dir, "documents")
+          .select($"doc_id", expr(
+            "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+            .as("ws"))
+        val segDf = ws.where(size($"ws") > 0)
+          .select($"doc_id",
+            explode(expr("sequence(0, (size(ws) - 1) DIV 10)")).as("i"),
+            $"ws")
+          .select($"doc_id",
+            expr("concat_ws(' ', slice(ws, i * 10 + 1, 10))").as("seg"))
+          .groupBy($"seg", $"doc_id").count()
+          .groupBy($"seg").agg(count(lit(1)).as("df"))
+          .agg(count(lit(1)).as("n_segs"), max($"df").as("max_df")).collect()(0)
+        val biTypes = ws.where(size($"ws") >= 2)
+          .select(explode(expr("transform(sequence(1, size(ws) - 1)," +
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+            .as("b"))
+          .distinct().count()
+        println(s"[audit] q185 segments @ $dir: n_distinct=${segDf.getLong(0)} " +
+          s"max_df=${segDf.getLong(1)}; q186 bigram types=$biTypes (q187 buckets=256)")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       locally {
         val v = graft.Tables.load(spark, dir, "documents")
           .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
