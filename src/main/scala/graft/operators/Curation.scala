@@ -577,6 +577,45 @@ object Curation {
       .orderBy($"nation", $"bal_band")
   }
 
+  /** q189: proportional quota allocation by largest remainder (the
+    * Hamilton apportionment method) — given a sampling budget of
+    * K = 1000 docs, allocate per-source quotas proportional to token
+    * mass such that Σ quota = K EXACTLY (floor the proportional share,
+    * then hand the leftover seats to the largest fractional
+    * remainders, source-name tie-break). This is the deterministic
+    * allocation step in front of every stratified corpus sample
+    * (q92/q122 pick the rows; this decides HOW MANY per stratum) —
+    * done naively with doubles, Σ round(K·p_s) misses K by ±#sources.
+    *
+    * Exactness: base = K·toks DIV T and remainder = K·toks MOD T are
+    * pure integer ops (K·toks ≤ 10³·10¹⁴ at 100 TB — inside BIGINT);
+    * rank-by-remainder is a total order (rem DESC, source ASC).
+    *
+    * Scale shape: ONE corpus aggregate to the source-domain table;
+    * the rank window and leftover sum run single-partition over
+    * domain-sized rows (one per source — bounded by the catalog, not
+    * the data).
+    */
+  val q189_quota_alloc: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 1000L
+    val s = Tables.load(spark, dir, "documents")
+      .select($"source",
+        size(expr("filter(split(lower(trim(text)), '\\\\s+')," +
+          " x -> length(x) > 0)")).cast("long").as("n"))
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"), sum($"n").as("toks"))
+    val t = s.agg(sum($"toks").as("tt"))
+    s.crossJoin(broadcast(t))
+      .select($"source", $"n_docs", $"toks",
+        expr(s"($k * toks) DIV tt").as("base"),
+        expr(s"($k * toks) % tt").as("rem"))
+      .withColumn("rk", row_number().over(Window.orderBy($"rem".desc, $"source")))
+      .withColumn("leftover", lit(k) - sum($"base").over(Window.partitionBy()))
+      .select($"source", $"n_docs", $"toks",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("quota"))
+      .orderBy($"source")
+  }
+
   /** q184: mutual information between source and language over the
     * corpus — "how language-specialized are the sources", the
     * information-theoretic summary of the q146 card's per-source
@@ -1044,6 +1083,26 @@ object Curation {
         |  (COUNT(*) >= 3 AND MAX(c) < 2 * (SUM(c) - MAX(c))) AS diverse
         |FROM cells GROUP BY nation, bal_band
         |ORDER BY nation, bal_band""".stripMargin,
+    "q189_quota_alloc" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS n
+        |  FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs, SUM(n) AS toks
+        |      FROM w GROUP BY 1),
+        |t AS (SELECT SUM(toks) AS tt FROM s),
+        |b AS (SELECT source, n_docs, toks,
+        |        CAST(1000 * toks AS HUGEINT) // tt AS base,
+        |        CAST(1000 * toks AS HUGEINT) % tt AS rem
+        |      FROM s, t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+        |        1000 - SUM(base) OVER () AS leftover FROM b)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(toks AS BIGINT) AS toks,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r ORDER BY source""".stripMargin,
     "q188_t_closeness" ->
       """WITH ocnt AS (
         |  SELECT o_custkey AS c_custkey, COUNT(*) AS s_ord_c
@@ -1274,6 +1333,7 @@ object Curation {
     "q142_k_anonymity" -> q142_k_anonymity,
     "q183_l_diversity" -> q183_l_diversity,
     "q188_t_closeness" -> q188_t_closeness,
+    "q189_quota_alloc" -> q189_quota_alloc,
     "q184_mutual_info" -> q184_mutual_info,
     "q146_dataset_card" -> q146_dataset_card,
     "q178_curate_card_diff" -> q178_curate_card_diff,

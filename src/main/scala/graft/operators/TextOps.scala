@@ -678,6 +678,50 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** q190: vocabulary-coverage projection per source — Good–Turing
+    * unseen mass (Good, Biometrika 1953: the probability the NEXT
+    * token is a new type ≈ N₁/N, singletons over tokens) and the
+    * bias-corrected Chao1 richness estimate (Chao 1984/Chiu 2014:
+    * V + N₁(N₁−1)/(2(N₂+1)), defined even when doubletons are zero)
+    * over word BIGRAM types. The curation readout behind "have we
+    * seen this source's vocabulary yet": a high unseen mass says more
+    * crawling will keep finding new n-grams (matters for dedup index
+    * sizing and tokenizer training); Chao1 projects the total type
+    * count the source would converge to.
+    *
+    * Exactness: pure integer arithmetic — counts, conditional counts,
+    * one scaled DIV each for the unseen mass and the Chao1 correction
+    * (DECIMAL(38) on the Spark side, HUGEINT under DuckDB — N₁² needs
+    * headroom past BIGINT once a source holds ≳3·10⁹ singleton
+    * types).
+    *
+    * Scale shape: ONE (source, bigram) count shuffle (map-side
+    * combined), then a vocabulary-sized re-aggregate per source —
+    * the corpus is scanned once and never shuffled wider than the
+    * bigram vocabulary (the q129/q181 stance).
+    */
+  val q190_vocab_coverage: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      .where(size($"ws") >= 2)
+      .select($"source", explode(expr("transform(sequence(1, size(ws) - 1)," +
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+      .groupBy($"source", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("n2"))
+      .select($"source", $"n_tokens", $"vocab", $"n1", $"n2",
+        expr("CAST(CAST(n1 AS DECIMAL(38,0)) * 1000000 DIV n_tokens" +
+          " AS BIGINT)").as("unseen_x1e6"),
+        expr("CAST(vocab + CAST(n1 AS DECIMAL(38,0)) * (n1 - 1)" +
+          " DIV (2 * (n2 + 1)) AS BIGINT)").as("chao1"))
+      .orderBy($"source")
+  }
+
   /** q177: distinctive terms per source — for each source, the top-5
     * words most OVERrepresented vs the rest of the corpus ("what
     * characterizes this domain"), the curation readout behind
@@ -823,6 +867,27 @@ object TextOps {
         |SELECT source, CAST(rn AS INT) AS rn, word, a, lift
         |FROM ranked WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin,
+    "q190_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |bi AS (SELECT source, ws[i] || ' ' || ws[i + 1] AS g
+        |       FROM w, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+        |c AS (SELECT source, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // SUM(c) AS BIGINT) AS unseen_x1e6,
+        |  CAST(COUNT(*) + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      AS HUGEINT)
+        |    * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+        |    // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)) AS BIGINT)
+        |    AS chao1
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q167_corpus_shift" ->
       """WITH w AS (
         |  SELECT lang, (doc_id % 2 = 0) AS old_half, word FROM (
@@ -1262,6 +1327,7 @@ object TextOps {
     "q155_bpe_merges" -> q155_bpe_merges,
     "q165_bpe_encode" -> q165_bpe_encode,
     "q167_corpus_shift" -> q167_corpus_shift,
+    "q190_vocab_coverage" -> q190_vocab_coverage,
     "q177_source_terms" -> q177_source_terms,
     "q24_token_count" -> q24_token_count,
     "q25_quality_score" -> q25_quality_score,

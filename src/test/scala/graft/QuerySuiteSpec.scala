@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 188)
-    assert(SparkEntry.oracleSql.size == 181) // 7 rows-only by design
+    assert(SparkEntry.queries.size == 190)
+    assert(SparkEntry.oracleSql.size == 183) // 7 rows-only by design
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -248,6 +248,41 @@ class QuerySuiteSpec extends AnyFunSuite {
     ref.foreach { case (qi, r) => assert(got(qi) == r, s"QI $qi: ${got(qi)} vs $r") }
     // fixture exercises both outcomes of the flag
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
+  test("q189: Hamilton quotas sum to K exactly and sit within 1 of proportional") {
+    val rows = SparkEntry.queries("q189_quota_alloc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val k = 1000L
+    val tt = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == k, "quotas must sum to the budget exactly")
+    rows.foreach { case (src, toks, quota) =>
+      val base = k * toks / tt
+      assert(quota == base || quota == base + 1, s"$src quota $quota vs floor $base")
+    }
+  }
+
+  test("q190: Good-Turing/Chao1 equals a driver replay; estimates are sane") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q190_vocab_coverage")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val grams = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect().flatMap { r =>
+        val ws = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        ws.sliding(2).filter(_.length == 2).map(g => (r.getString(0), g.mkString(" ")))
+      }
+    val ref = grams.groupBy(_._1).map { case (src, gs) =>
+      val counts = gs.groupBy(_._2).map(_._2.size.toLong)
+      val (n, v) = (counts.sum, counts.size.toLong)
+      val n1 = counts.count(_ == 1L).toLong
+      val n2 = counts.count(_ == 2L).toLong
+      src -> (n, v, n1, n2, n1 * 1000000L / n, v + n1 * (n1 - 1) / (2 * (n2 + 1)))
+    }
+    assert(got == ref && got.nonEmpty)
+    got.values.foreach { case (n, v, n1, n2, unseen, chao1) =>
+      assert(n1 + 2 * n2 <= n && chao1 >= v && unseen <= 1000000L)
+    }
   }
 
   test("q70 merged daily sketches equal the direct sketch and track exact") {
