@@ -554,8 +554,11 @@ object Training {
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2n"))
       .localCheckpoint() // feeds c1 and the scoring join
     val c1 = c2.groupBy($"w1").agg(sum($"c2n").as("c1n"))
-    val v = w.where($"lang" === "en")
-      .select(explode($"ws").as("word"))
+    // V from the bigram-TYPE table (w1 ∪ w2), NOT a second corpus
+    // scan: every train word reaches the vocab through some bigram
+    // (docs enter with ≥ 2 words), and c2 is vocabulary²-bounded
+    // where re-exploding the corpus is another full 100 TB pass
+    val v = c2.select($"w1".as("word")).union(c2.select($"w2".as("word")))
       .agg(countDistinct($"word").as("v"))
     def lnq(c: String) = s"CAST(ln(CAST($c AS DOUBLE)) AS DECIMAL(18,6))"
     val d = bi.join(c2, Seq("w1", "w2"), "left")
@@ -1046,7 +1049,7 @@ object Training {
         |       WHERE lang = 'en' GROUP BY 1, 2),
         |c1 AS (SELECT w1, SUM(c2n) AS c1n FROM c2 GROUP BY 1),
         |v AS (SELECT COUNT(DISTINCT word) AS v FROM
-        |       (SELECT unnest(ws) AS word FROM w WHERE lang = 'en')),
+        |       (SELECT w1 AS word FROM c2 UNION ALL SELECT w2 FROM c2)),
         |t AS (
         |  SELECT b.doc_id, b.source,
         |    CAST(ln(CAST(COALESCE(c1.c1n, 0) + v AS DOUBLE)) AS DECIMAL(18,6))

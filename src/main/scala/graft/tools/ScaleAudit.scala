@@ -428,6 +428,12 @@ object ScaleAudit {
       bench("q186_lm_quality", dir, graft.SparkEntry.queries("q186_lm_quality"))
       bench("q187_dsir_weights", dir, graft.SparkEntry.queries("q187_dsir_weights"))
       bench("q188_t_closeness", dir, graft.SparkEntry.queries("q188_t_closeness"))
+      // q189: one corpus aggregate, then source-domain-sized windows.
+      // q190: one (source, bigram) count shuffle, vocab-sized re-agg
+      // (the suffixed fixture grows the bigram vocabulary ~8x —
+      // printed above with q186's types).
+      bench("q189_quota_alloc", dir, graft.SparkEntry.queries("q189_quota_alloc"))
+      bench("q190_vocab_coverage", dir, graft.SparkEntry.queries("q190_vocab_coverage"))
       locally {
         val ws = graft.Tables.load(spark, dir, "documents")
           .select($"doc_id", expr(
