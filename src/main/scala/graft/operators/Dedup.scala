@@ -207,14 +207,17 @@ object Dedup {
     * pair list against the per-doc sorted-token arrays (doc-keyed
     * shuffles) and finishes map-side.
     */
-  /** q139's (dt, prefix) streams — `dt` the per-doc token-rank pairs,
-    * `prefix` each doc's rare-first prefix rows (doc_id, trank, t, rn).
-    * Exposed `private[graft]` so ScaleAudit can profile the candidate
-    * join-key (trank) bucket occupancy over the SAME derivation the
-    * query joins on, instead of a drifting copy.
+  /** q139's streams — `toks` the persisted token explode, `ranked`
+    * the checkpointed vocab rank table (returned so the caller can
+    * release its blocks on seal — round-9 ADVICE #5), `dt` the
+    * per-doc token-rank pairs, `prefix` each doc's rare-first prefix
+    * rows (doc_id, trank, t, rn). Exposed `private[graft]` so
+    * ScaleAudit can profile the candidate join-key (trank) bucket
+    * occupancy over the SAME derivation the query joins on, instead
+    * of a drifting copy.
     */
   private[graft] def setsimStreams(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
@@ -249,7 +252,7 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .where($"rn" <= expr("t - (9 * t + 9) DIV 10 + 1"))
       .select($"doc_id", $"trank", $"t", $"rn")
-    (toks, dt, prefix)
+    (toks, ranked, dt, prefix)
   }
 
   val q139_setsim_join: Q = (spark, dir) => setsimJoin(spark, dir, seal = true)
@@ -260,7 +263,7 @@ object Dedup {
   private[graft] def setsimJoin(spark: org.apache.spark.sql.SparkSession,
       dir: String, seal: Boolean): DataFrame = {
     import spark.implicits._
-    val (toks, dt, prefix) = setsimStreams(spark, dir)
+    val (toks, ranked, dt, prefix) = setsimStreams(spark, dir)
     // PPJoin position filter: at a pair's EARLIEST common token the
     // remaining overlap is at most 1 + min(t_a - rn_a, t_b - rn_b)
     // (everything common sits at or after that token in both rare-
@@ -286,7 +289,7 @@ object Dedup {
         ($"na" + $"nb" - $"inter").as("uni"),
         expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
       .orderBy($"doc_a", $"doc_b")
-    if (seal) Relational.dropAfter(out, toks) else out
+    if (seal) Relational.dropAfter(out, toks, ranked) else out
   }
 
   /** q140: sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD'95)

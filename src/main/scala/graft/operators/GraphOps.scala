@@ -323,8 +323,23 @@ object GraphOps {
       .where($"node" % 2 === 0 && expr("(node DIV 2) % 10 = 0"))
       .persist()
     val nS = seeds.count()
-    require(nS > 0, "forwardPush: no seed customers in the degree table")
+    if (nS == 0) {
+      // No seed-pattern nodes yet — legitimate in the streaming twin's
+      // early micro-batches, where the accumulated degree store may
+      // hold only odd customer keys. An empty snapshot (all walk mass
+      // undefined) is the correct PPR of an empty seed set; throwing
+      // here would kill the whole streaming query from inside
+      // foreachBatch (round-9 ADVICE #3).
+      seeds.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      return spark.range(0)
+        .select($"id".as("node"), $"id".as("est"), $"id".as("res"))
+    }
     var r = seeds.select($"node", lit(Total / nS).as("res")).localCheckpoint()
+    // per-round checkpoints released after the output seals — a local
+    // checkpoint is a persist; without this the 6 rd frames per call
+    // outlive the query (round-9 ADVICE #5)
+    val ckpts = scala.collection.mutable.ArrayBuffer(r)
     val contribs = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     var round = 0
@@ -338,6 +353,7 @@ object GraphOps {
       val rd = r.join(degN, "node")
         .withColumn("pushes", $"res" > $"degree" * Eps)
         .localCheckpoint()
+      ckpts += rd
       val push = rd.where($"pushes").select($"node", $"res", $"degree")
       if (earlyExit && push.isEmpty) fixedPoint = true
       else {
@@ -368,6 +384,7 @@ object GraphOps {
       .orderBy($"node")
     edges.unpersist(blocking = false)
     seeds.unpersist(blocking = false)
+    ckpts.foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -29,6 +29,13 @@ object Relational {
     * embedding applications get predictable memory and bench sessions
     * see no cross-query cache interference. The checkpoint must come
     * FIRST: the lazy output still references the caches.
+    *
+    * `caches` must include EVERY block-holding intermediate —
+    * explicit persist()s AND localCheckpoint()ed frames (a local
+    * checkpoint is a persist with truncated lineage; its blocks
+    * linger identically). Iterative operators that checkpoint per
+    * round (forwardPush, BFS) release those inline instead, since
+    * the frames go out of scope mid-loop.
     */
   private[graft] def dropAfter(out: DataFrame,
       caches: DataFrame*): DataFrame = {

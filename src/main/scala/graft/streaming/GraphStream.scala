@@ -37,8 +37,15 @@ object GraphStream {
         val ss = batch.sparkSession
         import ss.implicits._
         val up = batch.select($"c", $"s").distinct().localCheckpoint()
+        // Existence must resolve through the path's OWN filesystem —
+        // java.io.File sees only the local FS, so an hdfs:// or s3://
+        // storeDir would always look absent and every batch would
+        // silently restart from an empty store (round-9 ADVICE #2).
+        val pairsPath = new org.apache.hadoop.fs.Path(s"$storeDir/pairs")
+        val storeFs = pairsPath
+          .getFileSystem(ss.sparkContext.hadoopConfiguration)
         val (store0, deg0) =
-          if (new java.io.File(s"$storeDir/pairs").exists())
+          if (storeFs.exists(pairsPath))
             (ss.read.parquet(s"$storeDir/pairs"),
               ss.read.parquet(s"$storeDir/degree"))
           else

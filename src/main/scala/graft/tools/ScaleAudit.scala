@@ -241,7 +241,7 @@ object ScaleAudit {
       // quantity is Σ probe·post over PROBED grams plus the largest
       // probed posting bucket.
       locally {
-        val (_, _, prefix139) = graft.operators.Dedup.setsimStreams(spark, dir)
+        val (_, _, _, prefix139) = graft.operators.Dedup.setsimStreams(spark, dir)
         val p = prefix139.groupBy($"trank").agg(count(lit(1)).as("cnt"))
           .agg(count(lit(1)).as("n_keys"), max($"cnt").as("max_bucket"),
             sum($"cnt" * $"cnt").as("sum_sq")).collect()(0)
