@@ -1361,6 +1361,7 @@ object Analytics {
       .localCheckpoint() // 1 row — drop the query-local caches below
     e.unpersist(blocking = false)
     o.unpersist(blocking = false)
+    Relational.releaseCkpt(cs) // RDD-level: Dataset.unpersist skips ckpts
     out
   }
 

@@ -566,7 +566,7 @@ object Curation {
       .agg((sum(expr("abs(CAST(cg AS DECIMAL(38,0)) * n" +
         " - CAST(gsc AS DECIMAL(38,0)) * ng)"))
         + (first($"n") - sum($"gsc")) * first($"ng")).as("numc"))
-    emd.join(cat, Seq("nation", "bal_band"))
+    val out = emd.join(cat, Seq("nation", "bal_band"))
       .select($"nation", $"bal_band", $"ng".cast("long").as("k"),
         expr("CAST(num * 1000000 DIV nullif((m - 1)" +
           " * CAST(ng AS DECIMAL(38,0)) * n, 0) AS BIGINT)").as("t_ord_x1e6"),
@@ -575,6 +575,8 @@ object Curation {
       .withColumn("t_close",
         $"t_ord_x1e6" <= 150000 && $"t_cat_x1e6" <= 200000)
       .orderBy($"nation", $"bal_band")
+    // seal the QI-domain-sized rows; release the base and cell ckpts
+    Relational.dropAfter(out, base, cells)
   }
 
   /** q189: proportional quota allocation by largest remainder (the
@@ -655,17 +657,22 @@ object Curation {
     val hlSum = cl.select(
         expr(s"CAST(cl AS DECIMAL(18,0)) * ${lnq("cl")}").as("t"))
       .agg(sum($"t").as("hl_sum"))
-    miSum.crossJoin(hlSum).crossJoin(broadcast(tot))
+    val out = miSum.crossJoin(hlSum).crossJoin(broadcast(tot))
       .select($"n".as("n_docs"), $"n_sources", $"n_langs",
         round(expr("CAST(mi_sum AS DOUBLE) / n"), 6).as("mi_nats"),
         round(expr(s"CAST(${lnq("n")} AS DOUBLE)" +
           " - CAST(hl_sum AS DOUBLE) / n"), 6).as("h_lang_nats"),
-        // nullif: a single-language corpus has H(lang) = 0 exactly
-        // (hl_sum = n·lnq(n)) — Spark would emit NaN, DuckDB NULL;
-        // both engines agree on NULL through the guard
-        round(expr(s"(CAST(mi_sum AS DOUBLE) / n) / nullif(CAST(${lnq("n")}" +
-          " AS DOUBLE) - CAST(hl_sum AS DOUBLE) / n, 0.0D)"), 6)
+        // integer gate: a single-language corpus has H(lang) = 0 (the
+        // uncertainty coefficient is undefined) — gating on the INT
+        // n_langs = 1 condition instead of exact double cancellation
+        // (the old nullif(H, 0.0)) keeps the guard independent of
+        // float arithmetic; with n_langs > 1 the quantized-ln H is
+        // strictly positive
+        round(expr(s"IF(n_langs = 1, NULL, (CAST(mi_sum AS DOUBLE) / n)" +
+          s" / (CAST(${lnq("n")} AS DOUBLE) - CAST(hl_sum AS DOUBLE) / n))"), 6)
           .as("uncertainty"))
+    // seal the 1-row result, release the (source × lang) cell ckpt
+    Relational.dropAfter(out, cells)
   }
 
   /** Dataset card (Gebru et al. 2021 "Datasheets for Datasets"): the
@@ -1064,10 +1071,11 @@ object Curation {
         |  ROUND(CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6))
         |          AS DOUBLE)
         |    - CAST(hl_sum AS DOUBLE) / tot.n, 6) AS h_lang_nats,
-        |  ROUND((CAST(mi_sum AS DOUBLE) / tot.n) /
-        |    NULLIF(CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6))
+        |  ROUND(CASE WHEN tot.n_langs = 1 THEN NULL ELSE
+        |    (CAST(mi_sum AS DOUBLE) / tot.n) /
+        |    (CAST(CAST(ln(CAST(tot.n AS DOUBLE)) AS DECIMAL(18,6))
         |             AS DOUBLE)
-        |     - CAST(hl_sum AS DOUBLE) / tot.n, 0.0), 6) AS uncertainty
+        |     - CAST(hl_sum AS DOUBLE) / tot.n) END, 6) AS uncertainty
         |FROM mi, hl, tot""".stripMargin,
     "q183_l_diversity" ->
       """WITH cells AS (

@@ -175,11 +175,13 @@ object GraphOps {
       val newFrontier = reached.join(labels, Seq("node"), "left_anti")
         .select($"node", lit(h).as("hop"))
         .persist()
-      labels = labels.union(newFrontier).localCheckpoint()
-      // the eager checkpoint above just materialized newFrontier;
-      // the PREVIOUS round's frontier is now dead — drop its cache
-      // so a 161-query bench session doesn't accumulate one block
-      // set per BFS round (the round-5 phantom-regression lesson)
+      val next = labels.union(newFrontier).localCheckpoint()
+      // the eager checkpoint above just materialized newFrontier AND
+      // re-stored the previous label set — the prior round's frontier
+      // cache and labels checkpoint are both dead now (RDD-level
+      // release for the checkpoint: Dataset.unpersist never sees it)
+      Relational.releaseCkpt(labels)
+      labels = next
       if (frontier ne init) frontier.unpersist(blocking = false)
       frontier = newFrontier
     }
@@ -193,9 +195,12 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
       .select(lit(-1).as("hop"), $"n_nodes", $"sum_node")
       .where($"n_nodes" > 0)
-    hist.unionByName(unreached)
+    val out = hist.unionByName(unreached)
       .select($"hop".as("hops"), $"n_nodes", $"sum_node")
       .orderBy($"hops")
+    // seal: the hop histogram is tiny; the node-sized labels
+    // checkpoint must not be what the caller inherits
+    Relational.dropAfter(out, labels)
   }
 
   /** q145: personalized PageRank (PPR) — the seeded variant of q104:
@@ -329,7 +334,12 @@ object GraphOps {
       // hold only odd customer keys. An empty snapshot (all walk mass
       // undefined) is the correct PPR of an empty seed set; throwing
       // here would kill the whole streaming query from inside
-      // foreachBatch (round-9 ADVICE #3).
+      // foreachBatch (round-9 ADVICE #3). Loud, though: in the BATCH
+      // q163 path an empty seed set means staged-graph data damage,
+      // and a silently-fast empty bench line would mask it.
+      System.err.println(
+        "WARN graft.GraphOps.forwardPush: empty seed set - returning an " +
+          "empty PPR snapshot (legitimate only for an early streaming batch)")
       seeds.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       return spark.range(0)
@@ -384,7 +394,9 @@ object GraphOps {
       .orderBy($"node")
     edges.unpersist(blocking = false)
     seeds.unpersist(blocking = false)
-    ckpts.foreach(_.unpersist(blocking = false))
+    // RDD-level release: these are localCheckpoints, which
+    // Dataset.unpersist silently ignores (round-10 hygiene finding)
+    Relational.releaseCkpt(ckpts.toSeq: _*)
     out
   }
 
@@ -439,14 +451,19 @@ object GraphOps {
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("node"), "full")
         .where($"lbl".isNull || $"prev".isNull || $"lbl" =!= $"prev")
         .isEmpty
+      // the probe above was the last reader of the previous round's
+      // checkpoint — RDD-level release (Dataset.unpersist ignores it)
+      Relational.releaseCkpt(labels)
       labels = next
     }
     // the per-round eager checkpoints mean the final labels no longer
     // reference the edge cache — drop it before returning
     edges.unpersist(blocking = false)
-    labels.groupBy($"lbl".as("community"))
+    val out = labels.groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"), sum($"node").as("sum_node"))
       .orderBy($"community")
+    // seal: community histogram is tiny vs the node-sized label table
+    Relational.dropAfter(out, labels)
   }
 
   private val lpOracle: String = {
@@ -589,17 +606,26 @@ object GraphOps {
       .select($"c".as("node"), lit(S).as("score")).localCheckpoint()
     var auth = spark.emptyDataFrame
     for (_ <- 1 to 2) {
-      auth = l1norm(
+      // roll: each new checkpoint makes the PRIOR one on its side dead
+      // (its only consumer, the other side's last step, already
+      // materialized) — release at the RDD level, Dataset.unpersist
+      // never sees a local checkpoint
+      val a2 = l1norm(
         cs.join(hub.withColumnRenamed("node", "c"), "c")
           .groupBy($"s").agg(sum($"score").as("raw")), "s").localCheckpoint()
-      hub = l1norm(
+      Relational.releaseCkpt(auth)
+      auth = a2
+      val h2 = l1norm(
         cs.join(auth.withColumnRenamed("node", "s"), "s")
           .groupBy($"c").agg(sum($"score").as("raw")), "c").localCheckpoint()
+      Relational.releaseCkpt(hub)
+      hub = h2
     }
     val out = hub.select(lit("hub").as("side"), $"node", $"score")
       .union(auth.select(lit("auth").as("side"), $"node", $"score"))
       .orderBy($"side", $"node")
-    out
+    // seal the (2 x nodes)-row result, drop the final per-side ckpts
+    Relational.dropAfter(out, hub, auth)
   }
 
   /** q174: k-core peeling (Seidman 1983; the standard graph-curation
@@ -645,7 +671,12 @@ object GraphOps {
         .where($"dc" >= k).select($"c")
       val keepS = edges.groupBy($"s").agg(count(lit(1)).as("ds"))
         .where($"ds" >= k).select($"s")
-      edges = edges.join(keepC, "c").join(keepS, "s").localCheckpoint()
+      val next = edges.join(keepC, "c").join(keepS, "s").localCheckpoint()
+      // previous round's edge checkpoint is dead once the new one is
+      // materialized (round 1: `edges` is a lazy staged-parquet scan,
+      // so the release is a no-op there)
+      Relational.releaseCkpt(edges)
+      edges = next
       val ne = edges.count()
       val nn = edges.select($"c".as("n")).union(edges.select($"s".as("n")))
         .distinct().count()
@@ -657,6 +688,9 @@ object GraphOps {
       prevNe = ne
       r += 1
     }
+    // the result is driver-side rows — the last edge checkpoint has no
+    // remaining consumer
+    Relational.releaseCkpt(edges)
     out.result().toDF("round", "n_nodes", "n_edges").orderBy($"round")
   }
 

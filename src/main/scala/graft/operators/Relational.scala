@@ -41,8 +41,30 @@ object Relational {
       caches: DataFrame*): DataFrame = {
     val sealedOut = out.localCheckpoint()
     caches.foreach(_.unpersist(blocking = false))
+    releaseCkpt(caches: _*)
     sealedOut
   }
+
+  /** RDD-level release for `localCheckpoint`ed frames.
+    * `Dataset.unpersist` consults only the SQL cache manager, which
+    * never tracks a local checkpoint (its blocks are an RDD-level
+    * persist under a `LogicalRDD` leaf) — so on a checkpointed frame
+    * it is a SILENT NO-OP, and every "release" that called it leaked
+    * the blocks for the life of the JVM (the round-10 hygiene
+    * finding). This walks the frame's plan and unpersists the backing
+    * RDDs directly (the `Training.rollCheckpoint` device, generalized).
+    * On a plain `persist()`ed frame it finds no `LogicalRDD` and does
+    * nothing, so `dropAfter` can route every cache kind through it.
+    * Only call it on frames the query itself materialized: releasing
+    * a checkpoint someone else still references makes their
+    * truncated-lineage data unrecoverable.
+    */
+  private[graft] def releaseCkpt(dfs: DataFrame*): Unit =
+    dfs.foreach(_.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    })
 
   /** Decimal-exact sum emitted as double: deterministic across engines
     * regardless of aggregation order (double sums are not associative;

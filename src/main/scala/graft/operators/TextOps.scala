@@ -1194,7 +1194,10 @@ object TextOps {
     */
   val q155_bpe_merges: Q = (spark, dir) => {
     import spark.implicits._
-    val (_, merges) = bpeTrain(spark, dir, 8)
+    val (vocab, merges) = bpeTrain(spark, dir, 8)
+    // the merge table is driver-side rows — the final vocabulary
+    // checkpoint has no consumer here (q165 is the one that encodes)
+    Relational.releaseCkpt(vocab)
     merges.toDF("step", "left", "right", "pair_count")
       .orderBy($"step")
   }
@@ -1236,7 +1239,7 @@ object TextOps {
       // greedy left-to-right non-overlap: the merged token (l+r)
       // differs from l, so a fresh occurrence of the pair never
       // re-consumes the symbol just produced
-      vocab = vocab.select(
+      val next = vocab.select(
         $"word",
         aggregate($"syms", array().cast("array<string>"),
           (acc, s) => when(size(acc) > 0 &&
@@ -1245,6 +1248,11 @@ object TextOps {
             .otherwise(concat(acc, array(s)))).as("syms"),
         $"freq")
         .localCheckpoint()
+      // roll: the new checkpoint re-stores the whole vocabulary, so
+      // the previous step's blocks are dead (RDD-level release —
+      // Dataset.unpersist never sees a local checkpoint)
+      Relational.releaseCkpt(vocab)
+      vocab = next
     }
     (vocab, merges.result())
   }
@@ -1271,7 +1279,7 @@ object TextOps {
     import spark.implicits._
     val (vocab, _) = bpeTrain(spark, dir, 8)
     val enc = vocab.select($"word", size($"syms").cast("long").as("n_toks"))
-    Tables.load(spark, dir, "documents")
+    val out = Tables.load(spark, dir, "documents")
       .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("word"))
       .where(length($"word") > 0)
       .join(broadcast(enc), "word")
@@ -1281,6 +1289,8 @@ object TextOps {
         sum($"n_toks").as("n_tokens"))
       .withColumn("chars_per_tok_x1000", expr("(n_chars * 1000) DIV n_tokens"))
       .orderBy($"source")
+    // seal the per-source rows, release the final vocabulary ckpt
+    Relational.dropAfter(out, vocab)
   }
 
   /** q160: cross-source vocabulary-overlap matrix — pairwise Jaccard

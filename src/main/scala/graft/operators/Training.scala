@@ -148,7 +148,9 @@ object Training {
     require(!changed,
       s"connectedComponents: not converged after $rounds rounds " +
         "(graph diameter exceeds the cap)")
-    labels.select($"id", $"lbl".as("component"))
+    // seal: hand the caller ONE node-sized block set and release the
+    // final rolling checkpoint (drop-on-return policy)
+    Relational.dropAfter(labels.select($"id", $"lbl".as("component")), labels)
   }
 
   /** SemDeDup-style keep-policy over the near-dup components: pair
@@ -199,8 +201,11 @@ object Training {
 
   val q77_dedup_clusters: Q = (spark, dir) => {
     import spark.implicits._
-    clusterReport(connectedComponents(
-      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")))
+    val pairs = Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")
+    val cc = connectedComponents(pairs) // sealed (eager) inside
+    // q29's sealed output was only this query's input — release it
+    Relational.releaseCkpt(pairs)
+    Relational.dropAfter(clusterReport(cc), cc)
   }
 
   /** q180: duplication-aware SOFT dedup — instead of dropping all but
@@ -328,8 +333,11 @@ object Training {
       .union(e.select($"b".as("id"), $"a".as("nb")))
     val lbl = symF.groupBy($"id").agg(min($"nb").as("mn"))
       .select($"id", least($"mn", $"id").as("component"))
-    nodes.join(lbl, Seq("id"), "left")
+    val out = nodes.join(lbl, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
+    // seal the node-sized labeling; release the final star-contraction
+    // edge checkpoint and the node table (drop-on-return policy)
+    Relational.dropAfter(out, nodes, e)
   }
 
   /** q77's cluster report computed with the two-phase kernel — same
@@ -339,8 +347,11 @@ object Training {
     */
   val q91_cc_twophase: Q = (spark, dir) => {
     import spark.implicits._
-    clusterReport(connectedComponentsTwoPhase(
-      Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")))
+    val pairs = Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")
+    val cc = connectedComponentsTwoPhase(pairs) // sealed (eager) inside
+    // q29's sealed output was only this query's input — release it
+    Relational.releaseCkpt(pairs)
+    Relational.dropAfter(clusterReport(cc), cc)
   }
 
   private def docWords(spark: SparkSession, dir: String): DataFrame = {
@@ -569,13 +580,15 @@ object Training {
           .as("t"))
       .groupBy($"doc_id", $"source")
       .agg(sum($"t").as("dn"), count(lit(1)).as("nb"))
-    d.groupBy($"source")
+    val out = d.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"nb").as("n_bigrams"),
         round(sum($"dn").cast("double") / sum($"nb").cast("double"), 6).as("nll"),
         sum(when($"dn" * 100 < $"nb" * 335, 1L).otherwise(0L)).as("n_head"),
         sum(when($"dn" * 100 > $"nb" * 347, 1L).otherwise(0L)).as("n_tail"))
       .orderBy($"source")
+    // seal the per-source rows; release the bigram-stream and LM ckpts
+    Relational.dropAfter(out, bi, c2)
   }
 
   /** q187: DSIR hashed-n-gram importance weights (Xie et al.

@@ -304,12 +304,18 @@ object EventsStream {
         // one row per touched key; checkpointed so the store rewrite
         // below cannot re-trigger the stateful computation
         val up = updates.localCheckpoint()
+        // existence through the path's OWN filesystem (java.io.File
+        // sees only the local FS — an hdfs:// store would silently
+        // bootstrap empty every batch; the GraphStream round-10 fix)
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(ss.sparkContext.hadoopConfiguration).exists(p)
+        }
         val store0: Dataset[CdcUpdate] =
-          if (new java.io.File(storeDir).exists())
-            ss.read.parquet(storeDir).as[CdcUpdate]
+          if (exists(storeDir)) ss.read.parquet(storeDir).as[CdcUpdate]
           else ss.emptyDataset[CdcUpdate]
         val agg0: CdcAgg =
-          if (new java.io.File(aggDir).exists())
+          if (exists(aggDir))
             ss.read.parquet(aggDir).as[CdcAgg].collect()
               .headOption.getOrElse(CdcAgg(0L, 0.0, 0L, 0L))
           else CdcAgg(0L, 0.0, 0L, 0L)
@@ -337,6 +343,11 @@ object EventsStream {
           .as[CdcUpdate].union(up).localCheckpoint()
         store1.write.mode("overwrite").parquet(storeDir)
         Seq(agg1).toDS().write.mode("overwrite").parquet(aggDir)
+        // drop-on-write: both checkpoints are on disk — release their
+        // blocks so a long-lived stream doesn't accumulate one block
+        // set per micro-batch (Dataset.unpersist never sees a local
+        // checkpoint)
+        graft.operators.Relational.releaseCkpt(up.toDF(), store1.toDF())
         ()
       }
       .trigger(Trigger.AvailableNow())

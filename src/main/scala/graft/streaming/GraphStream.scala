@@ -42,13 +42,22 @@ object GraphStream {
         // storeDir would always look absent and every batch would
         // silently restart from an empty store (round-9 ADVICE #2).
         val pairsPath = new org.apache.hadoop.fs.Path(s"$storeDir/pairs")
+        val degPath = new org.apache.hadoop.fs.Path(s"$storeDir/degree")
         val storeFs = pairsPath
           .getFileSystem(ss.sparkContext.hadoopConfiguration)
+        // Crash safety: degree is written BEFORE pairs below, so a
+        // pairs store implies its degree store exists — but a crash
+        // inside either non-atomic overwrite can still leave a torn
+        // store, so degree is REBUILT from pairs when absent (it is
+        // derived state; pairs is the source of truth).
         val (store0, deg0) =
-          if (storeFs.exists(pairsPath))
-            (ss.read.parquet(s"$storeDir/pairs"),
-              ss.read.parquet(s"$storeDir/degree"))
-          else
+          if (storeFs.exists(pairsPath)) {
+            val p = ss.read.parquet(s"$storeDir/pairs")
+            val d =
+              if (storeFs.exists(degPath)) ss.read.parquet(s"$storeDir/degree")
+              else graft.operators.BipartiteGraph.degreesOf(p)
+            (p, d)
+          } else
             (Seq.empty[(Long, Long)].toDF("c", "s"),
               Seq.empty[(Long, Long)].toDF("src", "degree"))
         // delta-sized: only pairs the store has never seen change any
@@ -62,12 +71,21 @@ object GraphStream {
           .groupBy($"src").agg(sum($"degree").as("degree"))
           .localCheckpoint()
         // localCheckpoint above materialized both BEFORE the overwrite,
-        // so neither write reads the directory it replaces
-        store1.write.mode("overwrite").parquet(s"$storeDir/pairs")
+        // so neither write reads the directory it replaces. Degree
+        // first: the bootstrap probes pairs, so writing pairs last
+        // means a crash between the two writes can never leave a pairs
+        // store whose degree is from the previous batch.
         deg1.write.mode("overwrite").parquet(s"$storeDir/degree")
-        graft.operators.GraphOps
+        store1.write.mode("overwrite").parquet(s"$storeDir/pairs")
+        val snap = graft.operators.GraphOps
           .forwardPush(ss, store1, deg1, earlyExit = true)
-          .write.mode("overwrite").parquet(outDir)
+        snap.write.mode("overwrite").parquet(outDir)
+        // drop-on-write: the four per-batch checkpoints and the push
+        // snapshot are on disk now — without the RDD-level release
+        // their blocks accumulate across micro-batches for the life
+        // of the stream (Dataset.unpersist never sees a local
+        // checkpoint)
+        graft.operators.Relational.releaseCkpt(up, newPairs, store1, deg1, snap)
         ()
       }
       .trigger(Trigger.AvailableNow())
