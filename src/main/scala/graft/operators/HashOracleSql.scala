@@ -44,16 +44,32 @@ private[operators] object HashOracleSql {
 
   /** CTE chain `n, gpos, g1..g3, gh, fp`: per-doc winnowing-style
     * fingerprint = MIN over positions of the SIGNED mixed 8-gram
-    * poly-31 hash (`docFingerprint`; sub-8-char docs don't occur in
-    * the corpus and the kernel's String.hashCode fallback is omitted).
+    * poly-31 hash (`docFingerprint`). Sub-8-char docs take the
+    * kernel's `mix64(String.hashCode)` fallback, reproduced here as a
+    * single gpos row: the int32-wrapping poly-31 fold, sign-extended
+    * to the unsigned-64 view, then the SAME mix chain — so the oracle
+    * is TOTAL and a short-doc corpus diverges loudly in the hash
+    * compare instead of silently dropping rows.
     */
   private val fpCtes: String = {
     var h = "CAST(1125899906842597 AS HUGEINT)"
     for (j <- 0 until 8)
       h = s"(($h)*31 + ord(substring(t, i+$j, 1))) % $U64"
+    // Java String.hashCode: signed-int32 31-fold (h starts at 0);
+    // .toLong sign-extends, so the u64 view adds 2^64 - 2^32 above 2^31
+    val hc32 =
+      "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, length(t)+1), " +
+        "i -> CAST(ord(substring(t,i,1)) AS HUGEINT))), " +
+        "(h, c) -> (h*31 + c) % 4294967296)"
+    val hcU64 = s"(CASE WHEN ($hc32) < 2147483648 THEN ($hc32) " +
+      s"ELSE ($hc32) - 4294967296 + $U64 END)"
     s"""n AS (SELECT doc_id, text AS t FROM documents),
        |gpos AS (SELECT doc_id, $h AS h0
-       |         FROM n, UNNEST(range(1, length(t) - 6)) AS u(i)),
+       |         FROM n, UNNEST(range(1, length(t) - 6)) AS u(i)
+       |         WHERE length(t) >= 8
+       |         UNION ALL
+       |         SELECT doc_id, $hcU64 AS h0 FROM n WHERE length(t) < 8),
        |${mix64Ctes("g", "gpos", "h0")},
        |fp AS (SELECT doc_id, MIN(${s64("hm")}) AS fingerprint
        |       FROM gh GROUP BY doc_id)""".stripMargin
@@ -84,11 +100,18 @@ private[operators] object HashOracleSql {
        |t0 AS (SELECT doc_id, $poly AS h0 FROM tok),
        |${mix64Ctes("m", "t0", "h0")},
        |vt AS (SELECT doc_id, $votes FROM mh GROUP BY doc_id),
-       |sim AS (SELECT doc_id, ($bits) AS simu, ${s64(s"($bits)")} AS sig
-       |        FROM vt)""".stripMargin
+       |sim0 AS (SELECT doc_id, ($bits) AS simu, ${s64(s"($bits)")} AS sig
+       |        FROM vt),
+       |sim AS (SELECT n.doc_id, COALESCE(simu, 0) AS simu,
+       |          COALESCE(sig, CAST(0 AS BIGINT)) AS sig
+       |        FROM n LEFT JOIN sim0 USING (doc_id))""".stripMargin
   }
 
-  /** q27 oracle: (doc_id, fingerprint, simhash). */
+  /** q27 oracle: (doc_id, fingerprint, simhash). `sim` is TOTAL over
+    * the doc set (a doc with no tokens has no vote rows, but the
+    * kernel still emits simhash 0 — all 64 votes negative), so the
+    * join drops nothing.
+    */
   val q27Oracle: String =
     s"""WITH $fpCtes,
        |$simCtes
