@@ -368,8 +368,9 @@ object Relational {
     * argmax per keyword, filtered at confidence >= 70 (reference thold,
     * config/settings_example.toml:34). Candidates broadcast — at scale
     * this is a broadcast nested-loop scoring pass, never a shuffle.
-    * No SQL oracle: InDel similarity is not expressible in DuckDB
-    * (its levenshtein permits substitutions) — rows-only check.
+    * Oracle-gated since round 11: DuckDB's levenshtein permits
+    * substitutions, so [[q23Oracle]] instead unrolls the InDel LCS DP
+    * itself into nested list_reduce folds.
     */
   val q23_fuzzy_topk: Q = (spark, dir) => {
     import spark.implicits._
@@ -542,7 +543,61 @@ object Relational {
     "q22_ascii_fold" ->
       ("SELECT n_nationkey, n_name, " +
         "strip_accents(translate(lower(n_name), 'aeio', 'áéíö')) AS folded " +
-        "FROM nation ORDER BY n_nationkey"))
+        "FROM nation ORDER BY n_nationkey"),
+    "q23_fuzzy_topk" -> q23Oracle)
+
+  /** q23's DuckDB oracle: the InDel LCS DP unrolled into nested
+    * `list_reduce` folds (the HashOracleSql precedent for variable-
+    * length folds). The outer fold walks the candidate's chars with
+    * the DP row (a list) as accumulator; the inner fold rebuilds the
+    * row left-to-right, which expresses the new-row prefix dependency
+    * `r_new[j-1]` that `list_transform` cannot. Accumulator and
+    * element types must MATCH in DuckDB's list_reduce, so chars and
+    * column indices ride as single-element int lists. The ratio
+    * mirrors the kernel's exact double recipe — same ops, same order,
+    * banker's rounding (`round_even` = `math.rint`) — so scores are
+    * bit-identical and the top-1 tiebreak agrees.
+    */
+  // lazy: referenced from the `oracles` map literal above, which
+  // initializes first in declaration order
+  private lazy val q23Oracle: String = {
+    val lcs = """list_reduce(
+      |  list_prepend(list_transform(range(0, length(s) + 1), x -> 0),
+      |    list_transform(range(1, length(l) + 1),
+      |      i -> list_value(ord(substring(l, i, 1)), 0))),
+      |  (row, cl) -> list_reduce(
+      |      list_prepend(list_value(0),
+      |        list_transform(range(1, length(s) + 1),
+      |          j -> list_value(CAST(j AS INT)))),
+      |      (nr, jx) -> list_append(nr,
+      |        CASE WHEN ord(substring(s, jx[1], 1)) = cl[1]
+      |             THEN row[jx[1]] + 1
+      |             ELSE greatest(row[jx[1] + 1], nr[jx[1]]) END))
+      |)[length(s) + 1]""".stripMargin
+    s"""WITH cand AS (SELECT lower(n_name) AS candidate FROM nation),
+       |kw AS (SELECT DISTINCT regexp_replace(lower(n_name), '[aeiou]', '', 'g')
+       |         AS keyword FROM nation),
+       |pairs AS (
+       |  SELECT keyword, candidate, keyword AS s, candidate AS l
+       |  FROM kw CROSS JOIN cand),
+       |scored AS (
+       |  SELECT keyword, candidate,
+       |    CASE WHEN length(s) + length(l) = 0 THEN 100.0
+       |         ELSE round_even(100.0 * (1.0 -
+       |            CAST(length(s) + length(l) - 2 * ($lcs) AS DOUBLE)
+       |            / CAST(length(s) + length(l) AS DOUBLE)) * 10000.0, 0)
+       |           / 10000.0
+       |    END AS score
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT keyword, candidate AS matched, score,
+       |    row_number() OVER (PARTITION BY keyword
+       |                       ORDER BY score DESC, candidate) AS rn
+       |  FROM scored)
+       |SELECT keyword, matched, score FROM ranked
+       |WHERE rn = 1 AND score >= 70.0
+       |ORDER BY keyword""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,

@@ -54,7 +54,7 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
     assert(SparkEntry.queries.size == 190)
-    assert(SparkEntry.oracleSql.size == 183) // 7 rows-only by design
+    assert(SparkEntry.oracleSql.size == 184) // 6 rows-only by design (all approximate/recall-pinned)
   }
 
   test("entry() flagship smoke: rows > 0") {
