@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench harness's session hygiene (rounds 8-10 found the
+  * in-session bench overstating heavy queries up to 3.7x vs isolated
+  * runs purely through cross-query debris). Two properties:
+  *
+  *  1. [[Bench.resetSession]] actually restores a pre-query state:
+  *     zero persistent RDDs (including localCheckpoint blocks, which
+  *     `clearCache` alone never releases) and an empty SQL cache,
+  *     even after a query that persists AND checkpoints.
+  *  2. [[Bench.minStable]] resets BETWEEN runs (so the reported
+  *     minimum never times a run executed under a previous run's
+  *     debris) and fires its third run exactly when the first two
+  *     disagree by >25% on a >=0.8 s query.
+  */
+class BenchHygieneSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("resetSession releases SQL-cached plans AND checkpoint blocks") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // one SQL-cache entry + one localCheckpoint (the block family
+    // Dataset.unpersist misses) + a query that does both internally
+    val cached = Tables.load(spark, sf, "nation").persist()
+    cached.count()
+    val ckpt = Tables.load(spark, sf, "region").localCheckpoint()
+    ckpt.count()
+    SparkEntry.queries("q139_setsim_join")(spark, sf).count()
+    assert(sc.getPersistentRDDs.nonEmpty) // the fixture is live
+    Bench.resetSession(spark)
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"blocks survived resetSession: ${sc.getPersistentRDDs.keySet}")
+    assert(spark.sharedState.cacheManager.isEmpty, "SQL cache not empty")
+  }
+
+  test("minStable resets between runs and re-runs only unstable queries") {
+    // stable fast query: 2 runs, 2 resets, min reported
+    var resets = 0
+    var i = 0
+    val stable = Bench.minStable(
+      () => { i += 1; Seq(0.10, 0.12)(i - 1) }, () => resets += 1)
+    assert(stable == 0.10 && i == 2 && resets == 2)
+    // the reset must fall BETWEEN the runs, not after both: assert
+    // run 2 observes run 1's reset
+    var order = List.empty[String]
+    Bench.minStable(
+      () => { order :+= "run"; 0.1 }, () => order :+= "reset")
+    assert(order.take(3) == List("run", "reset", "run"))
+    // unstable heavy query (>25% spread at >=0.8s): third run fires
+    // and the minimum over all three is reported
+    var j = 0
+    val heavy = Bench.minStable(
+      () => { j += 1; Seq(1.40, 0.90, 0.85)(j - 1) }, () => ())
+    assert(heavy == 0.85 && j == 3)
+    // 25% spread below the 0.8s floor: quantization noise, no re-run
+    var k = 0
+    val tiny = Bench.minStable(
+      () => { k += 1; Seq(0.2, 0.4)(k - 1) }, () => ())
+    assert(tiny == 0.2 && k == 2)
+  }
+}
