@@ -706,11 +706,23 @@ object Dedup {
     * boilerplate (and the staged artifact could not reflect it
     * anyway). Mirrored in the oracle.
     */
-  val q173_winnow_incremental: Q = (spark, dir) => {
+  /** The q164/q173 winnowed fingerprint stream over a documents frame
+    * — (doc_id, h) rows, one per selected window-min 20-gram hash.
+    * Shared by q173's staged index and the streaming ingest gate
+    * ([[graft.streaming.WinnowStream]]), so the stream and its batch
+    * twin fingerprint through the SAME derivation.
+    */
+  private[graft] def winnowFp(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
-    def winnowed(d: DataFrame) = d.select($"doc_id",
+    d.select($"doc_id",
       explode(winnow_set(
         trim(regexp_replace(lower($"text"), "\\s+", " ")), 20, 8)).as("h"))
+  }
+
+  val q173_winnow_incremental: Q = (spark, dir) => {
+    import spark.implicits._
+    def winnowed(d: DataFrame) = winnowFp(d)
     val staged = graft.Staging.stage(
       s"winnow_fp#$dir", Tables.fingerprint(dir, "documents")) { out =>
       val fp = winnowed(Tables.load(spark, dir, "documents")

@@ -451,6 +451,62 @@ class StreamingSpec extends AnyFunSuite {
       s0.duration_us == 5L * 60 * 1000000)
   }
 
+  test("streaming near-dup gate equals batch q173 after the delta batch") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.WinnowStream
+    val work = Files.createTempDirectory("graft_winnow_stream_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // the q173 ingest split as two stream files; the delta file also
+    // RE-DELIVERS a slice of corpus docs — the at-least-once condition
+    // the gate's doc_id anti-join must absorb (they must neither flag
+    // nor perturb the index)
+    shipFile(docs.where(col("doc_id") % 10 =!= 7), "0_corpus")
+    shipFile(docs.where(col("doc_id") % 10 === 7)
+      .union(docs.where(col("doc_id") % 10 === 1)), "1_delta")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = WinnowStream.nearDupGateStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt")
+    q.awaitTermination()
+    val flagSchema = "new_doc LONG, old_doc LONG, shared LONG"
+    // batch 0 probes an empty index: no flags
+    assert(spark.read.schema(flagSchema)
+      .parquet(s"$work/out/batch_0").count() == 0)
+    // batch 1's flags are EXACTLY batch q173 (re-delivered corpus
+    // docs contribute nothing)
+    val flags = spark.read.schema(flagSchema)
+      .parquet(s"$work/out/batch_1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q173_winnow_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flags == batch,
+      s"streamed flags != batch q173: ${(flags diff batch).take(3)} / ${(batch diff flags).take(3)}")
+    // and the accumulated index is the full corpus's fingerprint set
+    // with a consistent derived df table
+    val fp = spark.read.parquet(s"$work/store/fp")
+    val full = graft.operators.Dedup.winnowFp(docs)
+    assert(fp.except(full).isEmpty && full.except(fp).isEmpty,
+      "accumulated fp store != full-corpus fingerprints")
+    val dfStore = spark.read.parquet(s"$work/store/df")
+    val dfDerived = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    assert(dfStore.except(dfDerived).isEmpty &&
+      dfDerived.except(dfStore).isEmpty,
+      "df store inconsistent with fp store")
+  }
+
   test("streaming forward-push PPR equals batch q163 after the final delta batch") {
     import org.apache.spark.sql.functions._
     import graft.streaming.GraphStream
