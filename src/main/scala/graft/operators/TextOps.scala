@@ -169,6 +169,8 @@ object TextOps {
       .groupBy($"token")
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
       .where($"n" >= 5)
+      // unpartitioned window is BOUNDED: input is the n>=5 vocabulary
+      // (Heaps-law-sized), not the corpus token stream
       .withColumn("token_id",
         (row_number().over(Window.orderBy($"n".desc, $"token")) + 3).cast("int"))
       .select($"token_id", $"token", $"n", $"df")
@@ -205,6 +207,8 @@ object TextOps {
       .where(length($"token") > 0)
       .groupBy($"token").agg(count(lit(1)).as("n"))
       .where($"n" >= 5)
+      // unpartitioned window is BOUNDED: vocab-sized input (the q129
+      // single-partition-window stance)
       .withColumn("rank",
         row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
     val p = v.selectExpr(

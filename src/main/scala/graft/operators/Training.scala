@@ -773,6 +773,7 @@ object Training {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), sum($"part").as("score"))
     scored.orderBy($"score".desc, $"doc_id").limit(10)
+      // unpartitioned window is BOUNDED: runs over the 10-row limit()
       .withColumn("rank", row_number().over(
         Window.orderBy($"score".desc, $"doc_id")))
       .select($"rank", $"doc_id", $"n_terms", $"score")
@@ -807,6 +808,7 @@ object Training {
     val sem = emb.where($"vec_id" =!= 0).crossJoin(broadcast(qv))
       .withColumn("cos", cosine_sim($"q_emb", $"embedding"))
       .orderBy($"cos".desc, $"vec_id").limit(10)
+      // unpartitioned window is BOUNDED: runs over the 10-row limit()
       .withColumn("sem_rank",
         row_number().over(Window.orderBy($"cos".desc, $"vec_id")))
       .select($"vec_id".as("doc_id"), $"sem_rank")
@@ -815,6 +817,8 @@ object Training {
         coalesce(expr("1000000 DIV (60 + kw_rank)"), lit(0L)) +
           coalesce(expr("1000000 DIV (60 + sem_rank)"), lit(0L)))
       .orderBy($"rrf_x1e6".desc, $"doc_id").limit(10)
+      // unpartitioned window is BOUNDED: runs over the 10-row limit()
+      // of the <=20-row fused list
       .withColumn("rank",
         row_number().over(Window.orderBy($"rrf_x1e6".desc, $"doc_id")))
       .select($"rank", $"doc_id", $"kw_rank", $"sem_rank", $"rrf_x1e6")

@@ -434,6 +434,15 @@ object ScaleAudit {
       // printed above with q186's types).
       bench("q189_quota_alloc", dir, graft.SparkEntry.queries("q189_quota_alloc"))
       bench("q190_vocab_coverage", dir, graft.SparkEntry.queries("q190_vocab_coverage"))
+      // q178 both ways: the oracle-gated exact path (per-source
+      // window sort for the percentiles) vs the 100 TB twin (both
+      // cards through the GK sketch — no corpus-sized sort). The gap
+      // between the two at 8x IS the cost of the exact sort the twin
+      // exists to remove.
+      bench("q178_curate_card_diff", dir,
+        graft.SparkEntry.queries("q178_curate_card_diff"))
+      bench("q178_sketch_twin", dir,
+        (s, d) => graft.operators.Curation.curateCardDiff(s, d, exact = false))
       locally {
         val ws = graft.Tables.load(spark, dir, "documents")
           .select($"doc_id", expr(
