@@ -625,6 +625,73 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** q191: cross-segment scrub — q185's fixed-grid segment dedup plus
+    * a SECOND grid offset by half a segment (words 6-15, 16-25, …),
+    * closing q185's boundary blind spot: a duplicated span that
+    * straddles a 10-word boundary matches no offset-0 segment, but any
+    * duplicated run of ≥ 15 words fully contains a complete block of
+    * ONE of the two grids (block starts every 5 words, and a 15-word
+    * window always covers some [b, b+10) with b in [s, s+5]). The
+    * double-pass is the shingled variant of Lee et al. ACL'22 §3.1's
+    * exact-substring pass, trading its suffix-array generality for two
+    * fixed grids that stay in the q185 groupBy+join shape. Segment df
+    * is counted over DISTINCT docs across BOTH grids (identical
+    * 10-word text is the key — which grid surfaced it is irrelevant to
+    * "is this boilerplate"). The readout adds the straddle catch: docs
+    * flagged ONLY by the offset grid — exactly the spans q185 misses.
+    *
+    * Plan shape for 100 TB: identical to q185 with 2x the segment
+    * stream — one corpus scan, one lambda building both grids' (grid,
+    * start) pairs per doc (no second scan, no union re-read), one
+    * segment-keyed map-side-combinable groupBy that localCheckpoints
+    * (feeds df and the fold), df re-aggregated from it (rows already
+    * per-(seg, doc) distinct), a segment-keyed equi-join back
+    * (AQE-splittable boilerplate keys, never a window), then doc- and
+    * source-grain folds. All-integer output.
+    */
+  val q191_cross_segment_scrub: Q = (spark, dir) => {
+    import spark.implicits._
+    val occ = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) > 0)")
+          .as("ws"))
+      .where(size($"ws") > 0)
+      .select($"doc_id", $"source", $"ws", explode(expr(
+        // grid 0: starts 1, 11, 21, …; grid 1: starts 6, 16, … (needs
+        // >= 6 words); partial tail blocks kept in both grids (the
+        // q185 convention)
+        "concat(" +
+          "transform(sequence(0, (size(ws) - 1) DIV 10)," +
+          "  i -> named_struct('g', 0, 'st', i * 10 + 1))," +
+          "if(size(ws) >= 6," +
+          "  transform(sequence(0, (size(ws) - 6) DIV 10)," +
+          "    i -> named_struct('g', 1, 'st', i * 10 + 6))," +
+          "  array()))")).as("b"))
+      .select($"doc_id", $"source", $"b.g".as("g"),
+        expr("concat_ws(' ', slice(ws, b.st, 10))").as("seg"))
+      .groupBy($"seg", $"doc_id", $"source")
+      .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("occ0"),
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("occ1"))
+      .localCheckpoint() // feeds df AND the join-back fold
+    val dfq = occ.groupBy($"seg").agg(count(lit(1)).as("df"))
+    val docs = occ.join(dfq, "seg")
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"occ0" + $"occ1").as("segs"),
+        sum(when($"df" >= 3, $"occ0" + $"occ1").otherwise(0L)).as("dup_segs"),
+        max(when($"df" >= 3 && $"occ0" > 0, 1L).otherwise(0L)).as("f0"),
+        max(when($"df" >= 3 && $"occ1" > 0, 1L).otherwise(0L)).as("f1"))
+    val out = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"segs").as("n_segs"),
+        sum($"dup_segs").as("dup_segs"),
+        sum($"f0").as("dup_docs_g0"),
+        sum(greatest($"f0", $"f1")).as("dup_docs_any"),
+        sum(when($"f1" === 1 && $"f0" === 0, 1L).otherwise(0L))
+          .as("straddle_docs"))
+      .orderBy($"source")
+    Relational.dropAfter(out, occ)
+  }
+
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken
     * SIGMOD'03 — the MOSS algorithm). The fifth blocking family next to
     * LSH bands (q29), SimHash pigeonholes (q30), prefix filters (q139),
@@ -839,6 +906,44 @@ object Dedup {
         |    AS BIGINT) AS kept_x1000
         |FROM occ JOIN dfq USING (seg)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q191_cross_segment_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, source, 0 AS g,
+        |    array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS seg
+        |  FROM w, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(i)
+        |  WHERE len(ws) > 0
+        |  UNION ALL
+        |  SELECT doc_id, source, 1 AS g,
+        |    array_to_string(ws[i * 10 + 6 : i * 10 + 15], ' ') AS seg
+        |  FROM w, UNNEST(range(0, (len(ws) - 6) // 10 + 1)) AS u(i)
+        |  WHERE len(ws) >= 6),
+        |occ AS (
+        |  SELECT seg, doc_id, source,
+        |    SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS occ0,
+        |    SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS occ1
+        |  FROM segs GROUP BY 1, 2, 3),
+        |dfq AS (SELECT seg, COUNT(*) AS df FROM occ GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    SUM(occ0 + occ1) AS segs,
+        |    SUM(CASE WHEN df >= 3 THEN occ0 + occ1 ELSE 0 END) AS dup_segs,
+        |    MAX(CASE WHEN df >= 3 AND occ0 > 0 THEN 1 ELSE 0 END) AS f0,
+        |    MAX(CASE WHEN df >= 3 AND occ1 > 0 THEN 1 ELSE 0 END) AS f1
+        |  FROM occ JOIN dfq USING (seg) GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(segs) AS BIGINT) AS n_segs,
+        |  CAST(SUM(dup_segs) AS BIGINT) AS dup_segs,
+        |  CAST(SUM(f0) AS BIGINT) AS dup_docs_g0,
+        |  CAST(SUM(GREATEST(f0, f1)) AS BIGINT) AS dup_docs_any,
+        |  CAST(SUM(CASE WHEN f1 = 1 AND f0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS straddle_docs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q30_dedup_simhash" -> HashOracleSql.q30Oracle,
     "q164_winnowing" -> winnowOracle,
     "q173_winnow_incremental" -> winnowIncrementalOracle,
@@ -999,5 +1104,6 @@ object Dedup {
     "q164_winnowing" -> q164_winnowing,
     "q173_winnow_incremental" -> q173_winnow_incremental,
     "q144_containment_join" -> q144_containment_join,
-    "q185_segment_scrub" -> q185_segment_scrub)
+    "q185_segment_scrub" -> q185_segment_scrub,
+    "q191_cross_segment_scrub" -> q191_cross_segment_scrub)
 }

@@ -36,6 +36,11 @@ object ScaleAudit {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same timing hygiene as Bench: shuffle on tmpfs keeps the
+      // audit's 8x fixtures' churn off the virtio disk the next
+      // query reads parquet from
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config("spark.local.dir", graft.Bench.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -150,7 +155,14 @@ object ScaleAudit {
     // the same class as round 5's bench pollution. Driver-side memo
     // artifacts (centroids, Blooms, Staging dirs) are deliberately
     // kept: those are the index economics being measured.
+    // optional args(3): comma-separated name substrings — bench only
+    // matching queries (iteration aid: re-measure one family without
+    // paying for the full ~50-query x 2-dir audit)
+    val only =
+      if (args.length > 3) args(3).split(",").filter(_.nonEmpty).toSet
+      else Set.empty[String]
     def bench(name: String, dir: String, q: (SparkSession, String) => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       time(q(spark, dir).count())
       val (t, n) = time(q(spark, dir).count())
       println(f"[audit] $name dir=$dir rows=$n time=$t%.2f s")
@@ -425,6 +437,11 @@ object ScaleAudit {
       // q188: both cell tables domain-bounded; 8x customers is 8x
       // rows into the same two map-side-combined aggregates.
       bench("q185_segment_scrub", dir, graft.SparkEntry.queries("q185_segment_scrub"))
+      // q191: q185's shape with a 2x segment stream (both grids built
+      // in one lambda off the same scan) — should track ~2x q185's
+      // segment-shuffle cost at both 1x and 8x, same max-df skew bound
+      bench("q191_cross_segment_scrub", dir,
+        graft.SparkEntry.queries("q191_cross_segment_scrub"))
       bench("q186_lm_quality", dir, graft.SparkEntry.queries("q186_lm_quality"))
       bench("q187_dsir_weights", dir, graft.SparkEntry.queries("q187_dsir_weights"))
       bench("q188_t_closeness", dir, graft.SparkEntry.queries("q188_t_closeness"))

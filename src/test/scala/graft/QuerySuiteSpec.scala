@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 190)
-    assert(SparkEntry.oracleSql.size == 184) // 6 rows-only by design (all approximate/recall-pinned)
+    assert(SparkEntry.queries.size == 191)
+    assert(SparkEntry.oracleSql.size == 185) // 6 rows-only by design (all approximate/recall-pinned)
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -188,6 +188,68 @@ class QuerySuiteSpec extends AnyFunSuite {
     }
     assert(got == ref && got.nonEmpty)
     assert(got.values.map(_._3).sum > 0, "fixture should contain boilerplate segments")
+  }
+
+  test("q191: cross-segment scrub equals a driver-side double-grid replay") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q191_cross_segment_scrub")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // (doc, source, seg, grid): grid 0 = grouped(10); grid 1 = the
+    // same grouping after dropping the first 5 words (starts 6, 16, …)
+    val segRows = docs.flatMap { case (id, src, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val g0 = ws.grouped(10).map(g => (id, src, g.mkString(" "), 0)).toSeq
+      val g1 = if (ws.length >= 6)
+        ws.drop(5).grouped(10).map(g => (id, src, g.mkString(" "), 1)).toSeq
+      else Seq.empty
+      g0 ++ g1
+    }
+    val dfBySeg = segRows.groupBy(_._3)
+      .map { case (s, rs) => s -> rs.map(_._1).distinct.size }
+    val ref = segRows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((id, src), rs) =>
+        val dup = rs.filter(r => dfBySeg(r._3) >= 3)
+        (src, rs.size.toLong, dup.size.toLong,
+          if (dup.exists(_._4 == 0)) 1L else 0L,
+          if (dup.nonEmpty) 1L else 0L)
+      }
+      .groupBy(_._1).map { case (src, ds) =>
+        src -> (ds.size.toLong, ds.map(_._2).sum, ds.map(_._3).sum,
+          ds.map(_._4).sum, ds.map(_._5).sum,
+          ds.count(d => d._5 == 1L && d._4 == 0L).toLong)
+      }
+    assert(got == ref && got.nonEmpty)
+    // per-source identity: any = g0-caught + straddle-only
+    got.values.foreach { case (_, _, _, g0, any, straddle) =>
+      assert(any == g0 + straddle)
+    }
+    assert(got.values.map(_._3).sum > 0, "fixture should contain boilerplate")
+  }
+
+  test("q191 catches a boundary-straddling duplicated span that q185 misses") {
+    import spark.implicits._
+    // a 15-word span duplicated across 3 docs at word positions 2-16:
+    // neither grid-0 block overlapping it (1-10 and 11-20) is pure —
+    // each mixes per-doc filler — but grid-1's 6-15 block sits wholly
+    // inside the span and is identical in all three docs. (A grid-0
+    // start b in {1, 11, 21, …} is inside [s, s+5] only when s mod 10
+    // is in {6, …, 10, 1}; s = 2 avoids that while keeping grid-1's
+    // b = 6 in range.)
+    val span = (1 to 15).map(i => s"dup$i")
+    val mk = (id: Long) =>
+      (id, "t", (Seq(s"u$id") ++ span ++
+        (1 to 9).map(i => s"v${id}w$i")).mkString(" "))
+    val docs = Seq(mk(1L), mk(2L), mk(3L)).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q191_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q191_cross_segment_scrub")(spark, dir)
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(out == ((0L, 3L, 3L)),
+      s"expected all 3 docs caught only by the offset grid, got $out")
   }
 
   test("q186/q187: LM-quality and DSIR feature counts agree; buckets disjoint") {
