@@ -36,4 +36,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC (measured: scattered 2-30x inflation on cheap queries in the
   // q6x-q8x alphabetical band); the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Xms = Xmx: G1 UNCOMMITS the heap after every System.gc() (down to
+  // ~1.1 GB committed for a ~300 MB live set, per -Xlog:gc), so each
+  // bench query's timed region was paying multi-second page-fault
+  // stalls re-growing the heap through an OS page cache full of the
+  // session's shuffle files — measured q139 runs of 13/64/31 s whose
+  // GC log shows a 55 s stretch with ONE young GC. Pinning the
+  // committed size removes heap regrowth from the timed path; the
+  // per-query System.gc() still runs (cleaner queue drain) but can no
+  // longer shrink what the next run allocates into.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -47,8 +47,8 @@ class BenchHygieneSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty, "SQL cache not empty")
   }
 
-  test("minStable resets between runs and re-runs only unstable queries") {
-    // stable fast query: 2 runs, 2 resets, min reported
+  test("minStable resets between runs and samples heavies harder") {
+    // fast query: 2 runs, 2 resets, min reported
     var resets = 0
     var i = 0
     val stable = Bench.minStable(
@@ -60,12 +60,17 @@ class BenchHygieneSpec extends AnyFunSuite {
     Bench.minStable(
       () => { order :+= "run"; 0.1 }, () => order :+= "reset")
     assert(order.take(3) == List("run", "reset", "run"))
-    // unstable heavy query (>25% spread at >=0.8s): third run fires
-    // and the minimum over all three is reported
+    // >=0.8s query: always 3 draws; best two agree -> stop, min wins
     var j = 0
     val heavy = Bench.minStable(
       () => { j += 1; Seq(1.40, 0.90, 0.85)(j - 1) }, () => ())
     assert(heavy == 0.85 && j == 3)
+    // best two of three still disagree >25% (steal burst spanned
+    // several draws): a 4th fires and the overall minimum is reported
+    var b = 0
+    val burst = Bench.minStable(
+      () => { b += 1; Seq(2.00, 1.00, 1.50, 0.95)(b - 1) }, () => ())
+    assert(burst == 0.95 && b == 4)
     // 25% spread below the 0.8s floor: quantization noise, no re-run
     var k = 0
     val tiny = Bench.minStable(
