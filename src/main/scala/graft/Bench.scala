@@ -48,10 +48,14 @@ object Bench {
     * identical back-to-back runs spreading 7.6 s / 32.9 s with zero
     * GC events — the hypervisor taking the cores away): sub-0.8 s
     * queries take 2 draws (quantization floor anyway); >=0.8 s
-    * queries always take 3, plus a 4th when even the best two of the
-    * three disagree by >25% (the burst-spanned-several-runs
-    * signature). The reported minimum is wrong only when EVERY draw
-    * was stolen; each extra draw multiplies that probability down.
+    * queries take 2 inline draws plus an adaptive 3rd when those
+    * disagree by >25%, and then ONE MORE draw in a second pass after
+    * the whole suite ([[withDeferredPass]]). The deferred draw is the
+    * burst defense that inline retries cannot be: a steal burst long
+    * enough to blanket three back-to-back draws (measured: q139
+    * 13.3/11.6/29.5 s in one slot, honest wall ~6.5 s) is 15+ minutes
+    * away from the second pass. The reported minimum is wrong only
+    * when draws MINUTES APART were all stolen.
     */
   private[graft] def minStable(run: () => Double, reset: () => Unit): Double =
     minStableNamed("", run, reset)
@@ -66,14 +70,28 @@ object Bench {
       if (dbg) System.err.println(f"[bench-dbg] $name $tag $t%.2f")
     val t1 = run(); logRun("r1", t1); reset()
     val t2 = run(); logRun("r2", t2); reset()
-    if (math.min(t1, t2) < 0.8) return math.min(t1, t2)
-    val t3 = run(); logRun("r3", t3); reset()
-    val sorted = Seq(t1, t2, t3).sorted
-    if (sorted(1) > sorted(0) * 1.25) {
-      val t4 = run(); logRun("r4", t4); reset()
-      math.min(sorted(0), t4)
-    } else sorted(0)
+    val lo = math.min(t1, t2)
+    if (lo >= 0.8 && math.max(t1, t2) > lo * 1.25) {
+      val t3 = run(); logRun("r3", t3); reset()
+      math.min(lo, t3)
+    } else lo
   }
+
+  /** Second pass: one time-decorrelated extra draw for every >=0.8 s
+    * query, in suite order, min-merged with the inline result. A
+    * rerun that throws keeps the inline number (and still resets).
+    */
+  private[graft] def withDeferredPass(inline: Seq[(String, Double)],
+      rerun: String => Double, reset: () => Unit): Seq[(String, Double)] =
+    inline.map { case (name, t) =>
+      if (t >= 0.8) {
+        val t2 = try rerun(name) catch { case _: Throwable => Double.MaxValue }
+        reset()
+        if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+          System.err.println(f"[bench-dbg] $name deferred $t2%.2f")
+        name -> math.min(t, t2)
+      } else name -> t
+    }
 
   /** tmpfs-backed Spark local dir when available (see the builder
     * comment), else the JVM temp dir.
@@ -111,6 +129,17 @@ object Bench {
       // local-mode stand-in, and sf0.1 shuffle volumes are GBs
       // against 126 GB of /dev/shm.
       .config("spark.local.dir", Bench.localDir)
+      // The live status store retains 1000 executions / 1000 jobs /
+      // 100k tasks of history even with the UI off; 150 queries into
+      // the session that's a steadily growing in-memory KV store
+      // every task completion updates — measured as a consistent
+      // ~1 s in-session surcharge on stage-heavy queries (q188:
+      // 2.76/2.37/2.20 s draws vs 1.29 isolated). The bench session
+      // reads none of that history; keep only a screenful.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .withExtensions(new GraftExtensions) // the production install path
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -118,16 +147,20 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t = try minStableNamed(name, () => once(), () => resetSession(spark))
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val inline = ordered.map { case (name, fn) =>
+      val t = try minStableNamed(name, () => once(fn), () => resetSession(spark))
         catch { case _: Throwable => resetSession(spark); -1.0 }
       name -> t
     }
+    val byName = ordered.toMap
+    val results =
+      withDeferredPass(inline, n => once(byName(n)), () => resetSession(spark))
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(qs: String, tot: String) =
       s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -60,21 +60,35 @@ class BenchHygieneSpec extends AnyFunSuite {
     Bench.minStable(
       () => { order :+= "run"; 0.1 }, () => order :+= "reset")
     assert(order.take(3) == List("run", "reset", "run"))
-    // >=0.8s query: always 3 draws; best two agree -> stop, min wins
+    // >=0.8s query whose 2 inline draws disagree >25%: adaptive 3rd
     var j = 0
     val heavy = Bench.minStable(
       () => { j += 1; Seq(1.40, 0.90, 0.85)(j - 1) }, () => ())
     assert(heavy == 0.85 && j == 3)
-    // best two of three still disagree >25% (steal burst spanned
-    // several draws): a 4th fires and the overall minimum is reported
-    var b = 0
-    val burst = Bench.minStable(
-      () => { b += 1; Seq(2.00, 1.00, 1.50, 0.95)(b - 1) }, () => ())
-    assert(burst == 0.95 && b == 4)
     // 25% spread below the 0.8s floor: quantization noise, no re-run
     var k = 0
     val tiny = Bench.minStable(
       () => { k += 1; Seq(0.2, 0.4)(k - 1) }, () => ())
     assert(tiny == 0.2 && k == 2)
+  }
+
+  test("deferred pass re-draws exactly the >=0.8s queries and min-merges") {
+    // the time-decorrelated second pass: a steal burst that blanketed
+    // q_b's whole inline slot is corrected minutes later; q_a (fast)
+    // is not re-run; a rerun that throws keeps the inline number
+    var reruns = List.empty[String]
+    var resets = 0
+    val out = Bench.withDeferredPass(
+      Seq("q_a" -> 0.3, "q_b" -> 11.6, "q_c" -> 2.0, "q_d" -> 1.5),
+      rerun = {
+        case "q_b" => reruns :+= "q_b"; 6.5  // burst over, honest wall
+        case "q_c" => reruns :+= "q_c"; 2.4  // slower re-draw ignored
+        case "q_d" => reruns :+= "q_d"; throw new RuntimeException("boom")
+        case other => fail(s"unexpected rerun of $other")
+      },
+      reset = () => resets += 1)
+    assert(out == Seq("q_a" -> 0.3, "q_b" -> 6.5, "q_c" -> 2.0, "q_d" -> 1.5))
+    assert(reruns == List("q_b", "q_c", "q_d")) // suite order, no q_a
+    assert(resets == 3) // reset after every re-draw, throwing included
   }
 }
