@@ -93,14 +93,28 @@ object Bench {
       } else name -> t
     }
 
-  /** tmpfs-backed Spark local dir when available (see the builder
-    * comment), else the JVM temp dir.
+  /** Spark local dir for the bench session: `SPARK_GRAFT_LOCAL_DIR`
+    * when set (the operator override — e.g. redirect to disk when
+    * tmpfs is too small for a bigger SF), else tmpfs when available
+    * (see the builder comment), else the JVM temp dir. The bench-owned
+    * tmpfs directory is wiped at startup: a killed prior run leaves
+    * its shuffle files behind, and on tmpfs leftovers silently consume
+    * RAM for the life of the box (round-11 ADVICE #4).
     */
-  private[graft] def localDir: String = {
+  private[graft] def localDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-bench-local"
-    else System.getProperty("java.io.tmpdir")
-  }
+    if (shm.isDirectory && shm.canWrite) {
+      val mine = new java.io.File(shm, "graft-bench-local")
+      if (mine.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(mine)
+      }
+      mine.getPath
+    } else System.getProperty("java.io.tmpdir")
+  })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -631,10 +631,20 @@ object Dedup {
     * straddles a 10-word boundary matches no offset-0 segment, but any
     * duplicated run of ≥ 15 words fully contains a complete block of
     * ONE of the two grids (block starts every 5 words, and a 15-word
-    * window always covers some [b, b+10) with b in [s, s+5]). The
-    * double-pass is the shingled variant of Lee et al. ACL'22 §3.1's
-    * exact-substring pass, trading its suffix-array generality for two
-    * fixed grids that stay in the q185 groupBy+join shape. Segment df
+    * window always covers some [b, b+10) with b in [s, s+5]).
+    *
+    * SCOPE OF THE GUARANTEE (round-11 ADVICE): a block's TEXT depends
+    * on where the grid lands inside the span, i.e. on the copy's word
+    * offset mod 5 — so the ≥ 15-word catch holds for ALIGNMENT-
+    * PRESERVING duplication (copies whose start offsets agree mod 5:
+    * whole-document copies, boilerplate templates stamped at fixed
+    * positions — the df ≥ 3 population this query targets). Copies of
+    * the same span at offsets differing by ≠ 0 mod 5 cut different
+    * blocks and evade BOTH grids regardless of span length; catching
+    * those needs the suffix-array generality of Lee et al. ACL'22
+    * §3.1, which this fixed-grid trade deliberately forgoes. The
+    * double-pass is the shingled variant of that exact-substring pass,
+    * kept in the q185 groupBy+join shape. Segment df
     * is counted over DISTINCT docs across BOTH grids (identical
     * 10-word text is the key — which grid surfaced it is irrelevant to
     * "is this boilerplate"). The readout adds the straddle catch: docs

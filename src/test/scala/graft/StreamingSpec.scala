@@ -393,9 +393,9 @@ class StreamingSpec extends AnyFunSuite {
     // final compacted store (live keys) == the single-shot batch q152
     // over the full log — despite two runs, multiple micro-batches,
     // and a restart in the middle
-    val live = spark.read.parquet(store).where(!col("deleted"))
-      .select(col("key"), col("value"), col("n_ops")).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val resolved = EventsStream.readCdcStore(spark, store)
+    val live = resolved.filter(u => !u.deleted).collect()
+      .map(u => (u.key, u.value, u.n_ops)).toSet
     val batch = SparkEntry.queries("q152_cdc_apply")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(batch.nonEmpty && live == batch,
@@ -404,8 +404,16 @@ class StreamingSpec extends AnyFunSuite {
     // path never drifted), and total_ops == total events (each event
     // folded exactly once)
     val a = spark.read.parquet(agg).collect()(0)
-    val storeRows = spark.read.parquet(store).collect()
-      .map(r => (r.getBoolean(1), r.getDouble(2), r.getLong(3)))
+    val storeRows = resolved.collect().map(u => (u.deleted, u.value, u.n_ops))
+    // DELTA-SIZED maintenance: each segment's kv table holds only that
+    // batch's touched keys — the sum of segment rows can exceed the
+    // resolved store (keys re-touched across batches) but no single
+    // delta segment may hold the whole key space unless that batch
+    // touched every key; here phase-1 and phase-2 keys overlap, so at
+    // least 2 segments exist and none is base (compactEvery = 8)
+    import graft.streaming.SegStore
+    val segs = SegStore.active(spark, store)
+    assert(segs.size >= 2 && segs.forall(!_.base), s"unexpected layout: $segs")
     assert(a.getAs[Long]("live_keys") == storeRows.count(!_._1))
     assert(a.getAs[Long]("tomb_keys") == storeRows.count(_._1))
     assert(math.abs(a.getAs[Double]("live_sum") -
@@ -474,6 +482,12 @@ class StreamingSpec extends AnyFunSuite {
     shipFile(docs.where(col("doc_id") % 10 =!= 7), "0_corpus")
     shipFile(docs.where(col("doc_id") % 10 === 7)
       .union(docs.where(col("doc_id") % 10 === 1)), "1_delta")
+    // a third, TINY batch (3 new doc_ids re-using corpus texts) — the
+    // per-batch store-write-volume probe for the delta-sized segment
+    // log (round-12: round 11 rewrote the full store every batch)
+    val tiny = docs.where(col("doc_id") < 3)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    shipFile(tiny, "2_tiny")
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1")
@@ -494,17 +508,52 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(flags == batch,
       s"streamed flags != batch q173: ${(flags diff batch).take(3)} / ${(batch diff flags).take(3)}")
-    // and the accumulated index is the full corpus's fingerprint set
+    // and the accumulated index is the full shipped set's fingerprints
     // with a consistent derived df table
-    val fp = spark.read.parquet(s"$work/store/fp")
-    val full = graft.operators.Dedup.winnowFp(docs)
+    val (fp, dfStore) = WinnowStream.readIndex(spark, s"$work/store")
+    val full = graft.operators.Dedup.winnowFp(docs.union(tiny))
     assert(fp.except(full).isEmpty && full.except(fp).isEmpty,
       "accumulated fp store != full-corpus fingerprints")
-    val dfStore = spark.read.parquet(s"$work/store/df")
     val dfDerived = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
     assert(dfStore.except(dfDerived).isEmpty &&
       dfDerived.except(dfStore).isEmpty,
       "df store inconsistent with fp store")
+    // DELTA-SIZED store maintenance: three committed delta segments,
+    // batch 2's holding ONLY the tiny batch's fingerprints — per-batch
+    // write volume (rows AND bytes) tracks the delta, not the corpus
+    import graft.streaming.SegStore
+    val segs = SegStore.active(spark, s"$work/store")
+    assert(segs.map(s => (s.id, s.base)) == Seq((0L, false), (1L, false), (2L, false)),
+      s"unexpected segment layout: $segs")
+    val seg2fp = spark.read.parquet(s"${segs.last.path}/fp").count()
+    val tinyFp = graft.operators.Dedup.winnowFp(tiny).count()
+    assert(seg2fp == tinyFp && tinyFp > 0,
+      s"batch-2 segment holds $seg2fp fp rows, expected the tiny delta's $tinyFp")
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else s"file://$p").getPath))
+    }
+    val (b0, b2) = (dirBytes(segs.head.path), dirBytes(segs.last.path))
+    assert(b2 * 5 < b0,
+      s"batch-2 store write ($b2 B) not delta-sized vs corpus segment ($b0 B)")
+  }
+
+  test("forwardPush: strict batch path throws on empty seeds, lenient stream path yields the empty snapshot") {
+    import spark.implicits._
+    val cs = Seq.empty[(Long, Long)].toDF("c", "s")
+    val deg = Seq.empty[(Long, Long)].toDF("src", "degree")
+    // lenient (streaming-twin default): empty PPR snapshot, no failure
+    assert(graft.operators.GraphOps
+      .forwardPush(spark, cs, deg, earlyExit = true).count() == 0)
+    // strict (the batch q163 path): staged-graph damage fails loudly
+    // instead of benching a silently-fast empty snapshot
+    intercept[IllegalStateException] {
+      graft.operators.GraphOps
+        .forwardPush(spark, cs, deg, earlyExit = true, strictSeeds = true)
+    }
   }
 
   test("streaming forward-push PPR equals batch q163 after the final delta batch") {
@@ -538,11 +587,27 @@ class StreamingSpec extends AnyFunSuite {
       s"$work/store", s"$work/out", s"$work/ckpt")
     q.awaitTermination()
     // the incrementally-maintained store must BE the full pair index
-    val store = spark.read.parquet(s"$work/store/pairs")
+    val (store, degStore) = GraphStream.readGraph(spark, s"$work/store")
     val full = graft.operators.BipartiteGraph.pairs(spark, sf)
     assert(store.count() == full.count() &&
       store.except(full).isEmpty && full.except(store).isEmpty,
       "accumulated pair store != full distinct pair index")
+    // degree folded across segments == degree derived from the pairs
+    val degDerived = graft.operators.BipartiteGraph.degreesOf(store)
+    assert(degStore.except(degDerived).isEmpty &&
+      degDerived.except(degStore).isEmpty,
+      "degree store inconsistent with pair store")
+    // DELTA-SIZED maintenance: two delta segments; batch 1 wrote only
+    // the never-seen pairs (strictly fewer than the accumulated store,
+    // despite the delta file re-delivering overlapping pairs)
+    import graft.streaming.SegStore
+    val segs = SegStore.active(spark, s"$work/store")
+    assert(segs.map(_.base) == Seq(false, false), s"unexpected layout: $segs")
+    val seg1 = spark.read.parquet(s"${segs.last.path}/pairs").count()
+    val seg0 = spark.read.parquet(s"${segs.head.path}/pairs").count()
+    assert(seg0 + seg1 == full.count(),
+      "segment pair counts must partition the distinct pair index")
+    assert(seg1 < seg0, "batch-1 segment not delta-sized")
     // and the final snapshot is EXACTLY batch q163 over the full graph
     val snap = spark.read.parquet(s"$work/out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
