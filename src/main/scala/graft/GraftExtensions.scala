@@ -76,6 +76,7 @@ object GraftExtensions {
       intArg(xs, 3, 4, "min_hash_bands_words"))),
     "gram_set" -> (xs => GramSetExpr(xs.head, intArg(xs, 1, 3, "gram_set"))),
     "jaccard_sorted" -> (xs => JaccardSortedExpr(xs.head, xs(1))),
+    "sorted_inter_atleast" -> (xs => SortedInterAtLeastExpr(xs.head, xs(1), xs(2))),
     "jaccard_grams" -> (xs =>
       JaccardGramsExpr(xs.head, xs(1), intArg(xs, 2, 3, "jaccard_grams"))),
     "cosine_sim" -> (xs => CosineSimExpr(xs.head, xs(1))),

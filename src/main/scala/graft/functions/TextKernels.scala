@@ -351,6 +351,50 @@ object TextKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Intersection size of two SORTED-ascending distinct long arrays
+    * when it can reach `need`, else -1 — the set-similarity VERIFY
+    * kernel. One merge walk (no per-pair hash-set build, which is what
+    * `array_intersect` pays) with the pigeonhole early exit: the
+    * moment `inter + min(remaining_a, remaining_b) < need` the pair
+    * cannot pass and the walk bails (Xiao et al. WWW'08 §4's
+    * verification economics — failing candidates fail EARLY in the
+    * rare-first order). Exact when it passes: q139/q144 emit the
+    * intersection size, so there is no positive early exit.
+    */
+  def sortedInterAtLeastLong(a: ArrayData, b: ArrayData, need: Int): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na < need || nb < need) return -1
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < need) return -1
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (inter >= need) inter else -1
+  }
+
+  /** [[sortedInterAtLeastLong]] over string arrays sorted in Spark's
+    * binary (`UTF8String.compareTo`) order — `sort_array` output. The
+    * q144 verify walks 3-gram TEXTS directly: hashing grams to longs
+    * first would trade exactness for collision risk the oracle
+    * doesn't share.
+    */
+  def sortedInterAtLeastStr(a: ArrayData, b: ArrayData, need: Int): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na < need || nb < need) return -1
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < need) return -1
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    if (inter >= need) inter else -1
+  }
+
   /** Exact Jaccard similarity of the two strings' char k-gram sets.
     * Raw double division of exact integer counts — bit-identical in any
     * engine computing the same counts (rounding would NOT be: half-even

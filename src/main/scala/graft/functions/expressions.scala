@@ -117,6 +117,38 @@ case class GramSetExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Set-similarity verify kernel: intersection size of two sorted
+  * distinct arrays IF it reaches `need` (a per-row expression — the
+  * PPJoin overlap threshold depends on the pair's sizes), else -1.
+  * Element-type dispatch at plan time: long arrays (q139's token
+  * ranks) or string arrays in `sort_array` binary order (q144's
+  * 3-gram texts). Codegen-friendly ternary — stays inside
+  * whole-stage codegen via a static kernel call.
+  */
+case class SortedInterAtLeastExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_inter_atleast"
+  private lazy val kernel = first.dataType match {
+    case ArrayType(LongType, _) => "sortedInterAtLeastLong"
+    case ArrayType(StringType, _) => "sortedInterAtLeastStr"
+    case other => throw new IllegalArgumentException(
+      s"sorted_inter_atleast: expected array<long> or array<string>, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val need = n.asInstanceOf[Int]
+    if (kernel == "sortedInterAtLeastLong")
+      TextKernels.sortedInterAtLeastLong(ad, bd, need)
+    else TextKernels.sortedInterAtLeastStr(ad, bd, need)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) => s"graft.functions.TextKernels.$kernel($a, $b, $n)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -353,6 +385,8 @@ object GraftFunctions {
     c(MinHashBandsWordsExpr(e(a), w, bands, rowsPerBand))
   def gram_set(a: Column, k: Int = 3): Column = c(GramSetExpr(e(a), k))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSortedExpr(e(a), e(b)))
+  def sorted_inter_atleast(a: Column, b: Column, need: Column): Column =
+    c(SortedInterAtLeastExpr(e(a), e(b), e(need)))
   def jaccard_grams(a: Column, b: Column, k: Int = 3): Column =
     c(JaccardGramsExpr(e(a), e(b), k))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))

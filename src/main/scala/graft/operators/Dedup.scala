@@ -280,11 +280,18 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
     val arrs = dt.groupBy($"doc_id")
       .agg(sort_array(collect_list($"trank")).as("toks"), count(lit(1)).as("n"))
+    // verify via ONE merge walk per candidate over the sorted rank
+    // arrays (codegen kernel) instead of array_intersect's per-pair
+    // hash-set build; `inter >= ceil(9(na+nb)/19)` <=> the old
+    // `19*inter >= 9*(na+nb)` test, and the kernel bails the moment
+    // the remaining elements can't reach that bound — failing
+    // candidates exit early in the rare-first order (Xiao WWW'08 §4)
     val out = cands
       .join(arrs.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na")), "doc_a")
       .join(arrs.select($"doc_id".as("doc_b"), $"toks".as("tb"), $"n".as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect($"ta", $"tb")))
-      .where(expr("19 * inter >= 9 * (na + nb)"))
+      .withColumn("inter", graft.functions.GraftFunctions.sorted_inter_atleast(
+        $"ta", $"tb", expr("CAST((9 * (na + nb) + 18) DIV 19 AS INT)")))
+      .where($"inter" >= 0)
       .select($"doc_a", $"doc_b", $"inter",
         ($"na" + $"nb" - $"inter").as("uni"),
         expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
@@ -525,8 +532,11 @@ object Dedup {
         expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)").as("ws"))
       .where(size($"ws") >= 3)
       .select($"doc_id", expr(
-        """array_distinct(transform(sequence(0, size(ws) - 3),
-          |  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])))""".stripMargin
+        // sort_array: the verify stage merge-walks the gram arrays in
+        // UTF8 binary order (sortedInterAtLeastStr); set semantics
+        // everywhere else, so the order is free to choose here
+        """sort_array(array_distinct(transform(sequence(0, size(ws) - 3),
+          |  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))))""".stripMargin
           .replace("\n", " ")).as("grams"))
       .persist()
     val dg = sh.select($"doc_id", explode($"grams").as("g"))
@@ -557,12 +567,18 @@ object Dedup {
         $"tb" * td >= $"ta" * tn &&
         (lit(1) + least($"ta" - $"ra", $"tb" - $"rb")) * td >= $"ta" * tn)
       .select($"doc_a", $"doc_b").distinct()
+    // exact-verify with ONE merge walk per candidate over the sorted
+    // gram-text arrays (sortedInterAtLeastStr — no per-pair hash-set
+    // build, early exit when the containment bound is unreachable);
+    // `inter >= ceil(tn*ta/td)` <=> the old `inter*td >= ta*tn`
     val out = cands
       .join(sh.select($"doc_id".as("doc_a"), $"grams".as("ga")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"grams".as("gb")), "doc_b")
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"ga", $"gb")).as("inter"), size($"ga").as("ta"))
-      .where($"inter" * td >= $"ta" * tn)
+        graft.functions.GraftFunctions.sorted_inter_atleast($"ga", $"gb",
+          expr(s"CAST(($tn * size(ga) + ${td - 1}) DIV $td AS INT)")).as("inter"),
+        size($"ga").as("ta"))
+      .where($"inter" >= 0)
       .withColumn("cont_x1000",
         expr("(CAST(inter AS BIGINT) * 1000) DIV ta"))
       .orderBy($"doc_a", $"doc_b")

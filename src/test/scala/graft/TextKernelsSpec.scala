@@ -262,4 +262,39 @@ class TextKernelsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- sorted_inter_atleast: the q139/q144 verify kernel must agree
+  // with the plain set intersection it replaces (array_intersect):
+  // exact size when it reaches `need`, -1 otherwise — over every
+  // early-exit path (size pigeonhole, mid-walk bound, full walk).
+  test("sorted_inter_atleast (long): equals set-intersection semantics for all thresholds") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val setGen = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted.toArray)
+    forAll(Gen.zip(setGen, setGen)) { case (xs, ys) =>
+      val inter = xs.toSet.intersect(ys.toSet).size
+      val (a, b) = (new GenericArrayData(xs), new GenericArrayData(ys))
+      (0 to math.min(xs.length, ys.length) + 2).foreach { need =>
+        val got = TextKernels.sortedInterAtLeastLong(a, b, need)
+        assert(got == (if (inter >= need) inter else -1),
+          s"xs=${xs.toList} ys=${ys.toList} need=$need got=$got inter=$inter")
+      }
+    }
+  }
+  test("sorted_inter_atleast (string): equals set-intersection semantics in UTF8 binary order") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val word = Gen.listOfN(3, Gen.choose('a', 'f')).map(_.mkString)
+    val setGen = Gen.listOf(word).map(_.distinct.toArray)
+    forAll(Gen.zip(setGen, setGen)) { case (xs, ys) =>
+      val inter = xs.toSet.intersect(ys.toSet).size
+      // Spark's sort_array order over ASCII == UTF8String.compareTo order
+      def arr(ws: Array[String]) =
+        new GenericArrayData(ws.sorted.map(w => UTF8String.fromString(w): Any))
+      val (a, b) = (arr(xs), arr(ys))
+      (0 to math.min(xs.length, ys.length) + 2).foreach { need =>
+        val got = TextKernels.sortedInterAtLeastStr(a, b, need)
+        assert(got == (if (inter >= need) inter else -1),
+          s"xs=${xs.toList} ys=${ys.toList} need=$need got=$got inter=$inter")
+      }
+    }
+  }
 }
