@@ -676,8 +676,24 @@ object Dedup {
     * source-grain folds. All-integer output.
     */
   val q191_cross_segment_scrub: Q = (spark, dir) => {
-    import spark.implicits._
-    val occ = Tables.load(spark, dir, "documents")
+    val occ = crossSegOcc(Tables.load(spark, dir, "documents"))
+      .localCheckpoint() // feeds df AND the join-back fold
+    val out = crossSegReadout(occ)
+    Relational.dropAfter(out, occ)
+  }
+
+  /** q191's per-(segment, doc) occurrence table over both grids — ONE
+    * corpus scan, one lambda building both grids' (grid, start) pairs
+    * per doc. Factored out so the streaming twin
+    * ([[graft.streaming.SegScrubStream]]) derives its delta rows from
+    * the SAME lambda the batch query uses (the winnowFp discipline —
+    * one derivation site, no drifting copy). Occurrence rows are
+    * append-only facts: a doc's segments never change, so the
+    * streaming store accumulates exactly these rows.
+    */
+  private[graft] def crossSegOcc(docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"source",
         expr("filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) > 0)")
           .as("ws"))
@@ -698,7 +714,16 @@ object Dedup {
       .groupBy($"seg", $"doc_id", $"source")
       .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("occ0"),
         sum(when($"g" === 1, 1L).otherwise(0L)).as("occ1"))
-      .localCheckpoint() // feeds df AND the join-back fold
+  }
+
+  /** q191's readout over an occurrence table: df re-aggregated from it
+    * (rows already per-(seg, doc) distinct), segment-keyed equi-join
+    * back (AQE-splittable boilerplate keys, never a window), then doc-
+    * and source-grain folds. All-integer output. Shared by the batch
+    * query and the streaming twin's per-batch snapshot.
+    */
+  private[graft] def crossSegReadout(occ: DataFrame): DataFrame = {
+    import occ.sparkSession.implicits._
     val dfq = occ.groupBy($"seg").agg(count(lit(1)).as("df"))
     val docs = occ.join(dfq, "seg")
       .groupBy($"doc_id", $"source")
@@ -706,7 +731,7 @@ object Dedup {
         sum(when($"df" >= 3, $"occ0" + $"occ1").otherwise(0L)).as("dup_segs"),
         max(when($"df" >= 3 && $"occ0" > 0, 1L).otherwise(0L)).as("f0"),
         max(when($"df" >= 3 && $"occ1" > 0, 1L).otherwise(0L)).as("f1"))
-    val out = docs.groupBy($"source")
+    docs.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"segs").as("n_segs"),
         sum($"dup_segs").as("dup_segs"),
@@ -715,7 +740,77 @@ object Dedup {
         sum(when($"f1" === 1 && $"f0" === 0, 1L).otherwise(0L))
           .as("straddle_docs"))
       .orderBy($"source")
-    Relational.dropAfter(out, occ)
+  }
+
+  /** q192: ALIGNMENT-INDEPENDENT boilerplate scrub — the suffix-array
+    * blind spot of the fixed-grid family (q185/q191) closed with
+    * word-level winnowing (Schleimer-Wilkerson-Aiken SIGMOD'03, the
+    * q164 selection at word granularity). q191's >= 15-word catch
+    * guarantee holds only for copies whose word offsets agree mod 5;
+    * here every doc's word-8-gram stream is window-min-selected
+    * (w = 8), and the selected gram TEXTS depend only on the text
+    * itself — so ANY duplicated run of >= k + w - 1 = 15 words shares
+    * a selected fingerprint AT ARBITRARY ALIGNMENT: the run contains
+    * >= w consecutive grams in both copies, every window fully inside
+    * the run picks the same minimum gram text in both, and the df >= 3
+    * rule then flags it exactly as the grid family would. Same K = 15
+    * as q191, guarantee strictly stronger.
+    *
+    * The window minimum is taken in the gram text's BINARY order, not
+    * a hash order: classical winnowing hashes for uniform selection
+    * density, but the catch guarantee is order-independent, and the
+    * text order keeps the query exactly SQL-expressible (hash-free
+    * DuckDB oracle — the q185/q191 discipline). The cost is skewed
+    * density (lexicographically small grams over-selected), a
+    * space/uniformity trade, not a recall one.
+    *
+    * Plan shape for 100 TB:
+    *  - ONE corpus scan explodes the gram stream (~n_words rows); the
+    *    window-min selection is a PER-DOC window (doc-sized
+    *    partitions by construction — never a global sort) and the
+    *    distinct keeps ~2/(w+1) of positions, so only the SELECTED
+    *    stream reaches any corpus-wide shuffle.
+    *  - df re-aggregates from the selected (fp, doc) table (rows
+    *    per-pair distinct, count(*) = distinct-doc frequency); the
+    *    join back is fingerprint-keyed (AQE-splittable boilerplate
+    *    keys), then doc- and source-grain folds. All-integer output.
+    */
+  val q192_winnow_scrub: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (8, 8) // K = k + w - 1 = 15-word guarantee
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      .where(size($"ws") >= k + w - 1) // at least one full window
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1})," +
+          s" i -> named_struct('i', i, 'g', concat_ws(' ', slice(ws, i, $k))))"))
+        .as("p"))
+      .select($"doc_id", $"source", $"p.i".as("i"), $"p.g".as("g"))
+    // per-doc window (partitions are doc-sized by construction)
+    val win = Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
+    val sel = grams
+      .withColumn("fp", min($"g").over(win))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .where($"cnt" === w)
+      .select($"doc_id", $"source", $"fp").distinct()
+      .localCheckpoint() // feeds df AND the join-back fold
+    val dfq = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val docs = sel.join(dfq, "fp")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("fps"),
+        sum(when($"df" >= 3, 1L).otherwise(0L)).as("dup_fps"),
+        max(when($"df" >= 3, 1L).otherwise(0L)).as("flag"))
+    val out = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"fps").as("n_fps"),
+        sum($"dup_fps").as("dup_fps"),
+        sum($"flag").as("dup_docs"),
+        expr("CAST(sum(dup_fps) * 1000 DIV sum(fps) AS BIGINT)").as("dup_x1000"))
+      .orderBy($"source")
+    Relational.dropAfter(out, sel)
   }
 
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken
@@ -970,6 +1065,37 @@ object Dedup {
         |  CAST(SUM(CASE WHEN f1 = 1 AND f0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS straddle_docs
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q192_winnow_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, i, array_to_string(ws[i : i + 7], ' ') AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 6)) AS u(i)
+        |  WHERE len(ws) >= 15),
+        |win AS (
+        |  SELECT doc_id, source,
+        |    min(g) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+        |  FROM pos),
+        |sel AS (SELECT DISTINCT doc_id, source, fp FROM win WHERE cnt = 8),
+        |dfq AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, source, COUNT(*) AS fps,
+        |    SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS dup_fps,
+        |    MAX(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS flag
+        |  FROM sel JOIN dfq USING (fp) GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(fps) AS BIGINT) AS n_fps,
+        |  CAST(SUM(dup_fps) AS BIGINT) AS dup_fps,
+        |  CAST(SUM(flag) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(dup_fps) * 1000 // SUM(fps) AS BIGINT) AS dup_x1000
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q30_dedup_simhash" -> HashOracleSql.q30Oracle,
     "q164_winnowing" -> winnowOracle,
     "q173_winnow_incremental" -> winnowIncrementalOracle,
@@ -1131,5 +1257,6 @@ object Dedup {
     "q173_winnow_incremental" -> q173_winnow_incremental,
     "q144_containment_join" -> q144_containment_join,
     "q185_segment_scrub" -> q185_segment_scrub,
-    "q191_cross_segment_scrub" -> q191_cross_segment_scrub)
+    "q191_cross_segment_scrub" -> q191_cross_segment_scrub,
+    "q192_winnow_scrub" -> q192_winnow_scrub)
 }

@@ -442,6 +442,66 @@ object ScaleAudit {
       // segment-shuffle cost at both 1x and 8x, same max-df skew bound
       bench("q191_cross_segment_scrub", dir,
         graft.SparkEntry.queries("q191_cross_segment_scrub"))
+      // q192: the gram stream is ~10x q185's segment stream (every
+      // word position, not every 10th) but the corpus-wide shuffle
+      // sees only the SELECTED ~2/(w+1) fraction; the per-doc
+      // window-min is doc-partitioned. The derived fixture's suffixed
+      // vocab keeps selected-fp df intra-copy — max df printed to
+      // show the join-back skew bound, like q185's
+      bench("q192_winnow_scrub", dir, graft.SparkEntry.queries("q192_winnow_scrub"))
+      // Streaming near-dup gate (round-12 task 1 evidence): steady-
+      // state ingest cost at 1x vs mult-x CORPUS with a FIXED-size
+      // delta batch. Two numbers per scale: the delta batch's wall
+      // (probe = delta x index join — reads the corpus index, the
+      // unavoidable term) and the delta batch's STORE WRITE bytes,
+      // which under the SegStore segment log must stay flat across
+      // scales (round 11 rewrote the whole store: corpus-sized bytes).
+      if (only.isEmpty || only.exists("winnow_gate".contains)) locally {
+        import graft.streaming.{SegStore, WinnowStream}
+        val gw = s"$work/winnow_gate_${math.abs(dir.hashCode)}"
+        // hermetic: a leftover store/ckpt from a prior audit run would
+        // absorb the delta as a replay and measure an empty segment
+        locally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(gw))
+        }
+        val gdocs = graft.Tables.load(spark, dir, "documents")
+          .select($"doc_id", $"text")
+        gdocs.write.mode("overwrite").parquet(s"$gw/in")
+        // the delta is ALWAYS 200 base-corpus docs under fresh ids —
+        // identical content at 1x and mult-x, so any wall/bytes delta
+        // between scales is the corpus term, not the batch's
+        val delta = graft.Tables.load(spark, base, "documents")
+          .select($"doc_id", $"text").orderBy($"doc_id").limit(200)
+          .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"text")
+        def runGate(): Double = time {
+          val q = WinnowStream.nearDupGateStream(
+            spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$gw/in"),
+            s"$gw/store", s"$gw/out", s"$gw/ckpt")
+          q.awaitTermination()
+        }._1
+        val tCorpus = runGate()
+        delta.write.mode("append").parquet(s"$gw/in")
+        val tDelta = runGate()
+        def segBytes(p: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+            else f.length()
+          walk(new java.io.File(new java.net.URI(
+            if (p.startsWith("file:")) p else s"file://$p").getPath))
+        }
+        val segs = SegStore.active(spark, s"$gw/store")
+        println(f"[audit] winnow_gate @ $dir: corpus_batch=$tCorpus%.2f s " +
+          f"delta_batch=$tDelta%.2f s " +
+          s"corpus_seg_bytes=${segBytes(segs.head.path)} " +
+          s"delta_seg_bytes=${segBytes(segs.last.path)}")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       bench("q186_lm_quality", dir, graft.SparkEntry.queries("q186_lm_quality"))
       bench("q187_dsir_weights", dir, graft.SparkEntry.queries("q187_dsir_weights"))
       bench("q188_t_closeness", dir, graft.SparkEntry.queries("q188_t_closeness"))
@@ -481,6 +541,26 @@ object ScaleAudit {
           .distinct().count()
         println(s"[audit] q185 segments @ $dir: n_distinct=${segDf.getLong(0)} " +
           s"max_df=${segDf.getLong(1)}; q186 bigram types=$biTypes (q187 buckets=256)")
+        // q192's join-back key skew: df of the winnow-SELECTED word
+        // 8-grams (distinct docs per selected fingerprint)
+        locally {
+          import org.apache.spark.sql.expressions.Window
+          val g = ws.where(size($"ws") >= 15)
+            .select($"doc_id", explode(expr(
+              "transform(sequence(1, size(ws) - 7)," +
+                " i -> named_struct('i', i, 'g', concat_ws(' ', slice(ws, i, 8))))"))
+              .as("p"))
+            .select($"doc_id", $"p.i".as("i"), $"p.g".as("g"))
+          val win = Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 7)
+          val selStats = g.withColumn("fp", min($"g").over(win))
+            .withColumn("cnt", count(lit(1)).over(win))
+            .where($"cnt" === 8)
+            .select($"doc_id", $"fp").distinct()
+            .groupBy($"fp").agg(count(lit(1)).as("df"))
+            .agg(count(lit(1)).as("n_fps"), max($"df").as("max_df")).collect()(0)
+          println(s"[audit] q192 selected fps @ $dir: " +
+            s"n_distinct=${selStats.getLong(0)} max_df=${selStats.getLong(1)}")
+        }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

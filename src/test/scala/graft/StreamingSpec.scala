@@ -556,6 +556,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming segment scrub equals batch q191 after the final batch") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SegScrubStream
+    val work = Files.createTempDirectory("graft_segscrub_stream_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // batch 2 RE-DELIVERS a slice of batch 1's docs — the
+    // at-least-once condition the doc_id anti-join must absorb
+    shipFile(docs.where(col("doc_id") % 2 === 0), "0_a")
+    shipFile(docs.where(col("doc_id") % 2 === 1)
+      .union(docs.where(col("doc_id") % 4 === 0)), "1_b")
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = SegScrubStream.scrubStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt")
+    q.awaitTermination()
+    // the final snapshot is row-equal to batch q191 over the full
+    // corpus: same occurrence rows, same df >= 3 rule
+    val snap = spark.read.parquet(s"$work/out")
+    val batch = SparkEntry.queries("q191_cross_segment_scrub")(spark, sf)
+    assert(snap.count() == batch.count() &&
+      snap.except(batch).isEmpty && batch.except(snap).isEmpty,
+      s"streamed scrub readout != batch q191")
+    // delta-sized store: two delta segments whose row counts partition
+    // the full occurrence table (the re-delivered docs added nothing)
+    import graft.streaming.SegStore
+    val segs = SegStore.active(spark, s"$work/store")
+    assert(segs.map(_.base) == Seq(false, false), s"unexpected layout: $segs")
+    val occAll = SegScrubStream.readOcc(spark, s"$work/store")
+    val fullOcc = graft.operators.Dedup.crossSegOcc(docs)
+    assert(occAll.count() == fullOcc.count() &&
+      occAll.except(fullOcc).isEmpty && fullOcc.except(occAll).isEmpty,
+      "accumulated occurrence store != batch derivation")
+  }
+
   test("streaming forward-push PPR equals batch q163 after the final delta batch") {
     import org.apache.spark.sql.functions._
     import graft.streaming.GraphStream
