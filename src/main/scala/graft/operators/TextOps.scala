@@ -374,14 +374,24 @@ object TextOps {
     * doc_id; docs under 5 words have no grams and are absent, same as
     * the oracle.
     */
-  val q115_contamination_fraction: Q = (spark, dir) => {
-    import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
-    val grams = docs.where(size($"w") >= 5)
+  /** The decontamination family's word-5-gram stream — (doc_id, gram)
+    * rows; docs under 5 words have no grams and are absent. ONE
+    * derivation site shared by q66/q115 and the streaming ingest gate
+    * ([[graft.streaming.DecontamStream]]), so the stream probes the
+    * exact grams its batch twins count.
+    */
+  private[graft] def fiveGrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .where(size($"w") >= 5)
       .select($"doc_id",
         explode(transform(sequence(lit(1), size($"w") - 4),
           i => concat_ws(" ", slice($"w", i, lit(5))))).as("gram"))
+  }
+
+  val q115_contamination_fraction: Q = (spark, dir) => {
+    import spark.implicits._
+    val grams = fiveGrams(Tables.load(spark, dir, "documents"))
     val testGrams = grams.where($"doc_id" % 17 === 0).select($"gram").distinct()
     grams.where($"doc_id" % 17 =!= 0)
       .join(broadcast(testGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
@@ -395,11 +405,7 @@ object TextOps {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
-    val grams = docs
-      .where(size($"w") >= 5)
-      .select($"doc_id",
-        explode(transform(sequence(lit(1), size($"w") - 4),
-          i => concat_ws(" ", slice($"w", i, lit(5))))).as("gram"))
+    val grams = fiveGrams(Tables.load(spark, dir, "documents"))
     val testGrams = grams.where($"doc_id" % 17 === 0).select($"gram").distinct()
     val contaminated = grams.where($"doc_id" % 17 =!= 0)
       .join(broadcast(testGrams), Seq("gram"), "left_semi")

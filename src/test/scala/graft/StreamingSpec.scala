@@ -556,6 +556,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination gate matches batch q115 per-doc counts") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DecontamStream
+    val work = Files.createTempDirectory("graft_decontam_stream_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // the q115 split: eval = doc_id % 17 == 0 (static), train streams
+    // in as two micro-batches
+    val evalGrams = graft.operators.TextOps
+      .fiveGrams(docs.where(col("doc_id") % 17 === 0))
+      .select(col("gram")).distinct()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val train = docs.where(col("doc_id") % 17 =!= 0)
+    shipFile(train.where(col("doc_id") % 2 === 0), "0_a")
+    shipFile(train.where(col("doc_id") % 2 === 1), "1_b")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = DecontamStream.gateStream(stream, evalGrams,
+      s"$work/out", s"$work/ckpt")
+    q.awaitTermination()
+    // union of the per-batch reports == batch q115's per-doc counts
+    val streamed = spark.read.parquet(s"$work/out/batch_0", s"$work/out/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q115_contamination_fraction")(spark, sf)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed decontam reports != batch q115: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("streaming segment scrub equals batch q191 after the final batch") {
     import org.apache.spark.sql.functions._
     import graft.streaming.SegScrubStream
