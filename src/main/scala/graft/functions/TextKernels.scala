@@ -366,11 +366,17 @@ object TextKernels {
     if (na < need || nb < need) return -1
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
-      if (inter + math.min(na - i, nb - j) < need) return -1
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      else {
+        // the bound inter + min(remaining) is INVARIANT on a match
+        // (+1 inter, -1 both remainders) and decreases only here —
+        // so the early-exit test lives in the mismatch branch, off
+        // the match-heavy path (a first cut tested every step and
+        // measurably slowed the all-match verify walks)
+        if (x < y) i += 1 else j += 1
+        if (inter + math.min(na - i, nb - j) < need) return -1
+      }
     }
     if (inter >= need) inter else -1
   }
@@ -386,11 +392,13 @@ object TextKernels {
     if (na < need || nb < need) return -1
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
-      if (inter + math.min(na - i, nb - j) < need) return -1
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { inter += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      else {
+        // mismatch-branch-only early exit — see sortedInterAtLeastLong
+        if (cmp < 0) i += 1 else j += 1
+        if (inter + math.min(na - i, nb - j) < need) return -1
+      }
     }
     if (inter >= need) inter else -1
   }

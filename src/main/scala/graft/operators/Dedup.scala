@@ -164,15 +164,28 @@ object Dedup {
     val b = docs.select($"doc_id".as("id_b"), $"grams".as("grams_b"),
       $"source", $"n_chars".as("len_b"), $"bkt".as("bkt_b"))
       .withColumn("bkt_a", explode(array($"bkt_b", $"bkt_b" + 1)))
+    // verify with the thresholded merge walk: jac >= 0.3 <=>
+    // 13*inter >= 3*(na+nb), so the kernel bails the moment the
+    // remaining elements can't reach ceil(3(na+nb)/13) — most
+    // in-block pairs fail, and they fail early. GREATEST(..., 1)
+    // keeps the two-empty-gram-sets pair excluded (need 0 would admit
+    // it with a NaN jaccard; jaccard_sorted defined it as 0.0).
+    // The surviving pairs' division is the same two exact ints the
+    // old kernel divided — bit-identical jac.
     val out = a.join(b, Seq("source", "bkt_a"))
       .where(($"bkt_a" === $"bkt_b" && $"id_a" < $"id_b") ||
         $"bkt_a" === $"bkt_b" + 1)
       .where(greatest($"len_a", $"len_b") <= least($"len_a", $"len_b") * 2)
       .select(least($"id_a", $"id_b").as("doc_a"),
         greatest($"id_a", $"id_b").as("doc_b"),
-        jaccard_sorted($"grams_a", $"grams_b").as("jac"))
-      .where($"jac" >= 0.3)
-      .select($"doc_a", $"doc_b", $"jac")
+        graft.functions.GraftFunctions.sorted_inter_atleast(
+          $"grams_a", $"grams_b",
+          expr("CAST(GREATEST((3 * (size(grams_a) + size(grams_b)) + 12) DIV 13, 1) AS INT)"))
+          .as("inter"),
+        size($"grams_a").as("na"), size($"grams_b").as("nb"))
+      .where($"inter" >= 0)
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jac"))
       .orderBy($"doc_a", $"doc_b")
     Relational.dropAfter(out, docs)
   }
