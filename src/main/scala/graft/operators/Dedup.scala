@@ -941,6 +941,55 @@ object Dedup {
       .orderBy($"new_doc", $"old_doc")
   }
 
+  /** q193: cross-source CONTAMINATION matrix — for every source pair,
+    * the count of shared winnowed content fingerprints (the q164
+    * selection, [[winnowFp]]) and the containment share vs the
+    * smaller side. The dataset-level mixing diagnostic q160's
+    * vocabulary-overlap matrix cannot give: two crawls can share 90%
+    * of their WORDS and none of their CONTENT — fingerprints are
+    * 27-char substring evidence, so a high `contain_x1000` means one
+    * source literally re-serves the other's text (a re-crawl, a
+    * mirror, a scraped aggregator), the pair a curator collapses
+    * before computing mixing weights (q92/q189 read this first).
+    *
+    * Scale shape (the q160 device on the fingerprint stream): the
+    * corpus collapses to the distinct (source, fp) stream ONCE
+    * (doc-grain dropped before any cross anything); per fingerprint
+    * the sorted source set is one collect_set and the ordered source
+    * PAIRS expand MAP-SIDE from that array — bounded by |sources|²
+    * per fp, never (docs)² — then one (sa, sb)-keyed count. Totals
+    * join back by broadcast; output is <= |sources|² rows. Pairs
+    * sharing ZERO fingerprints are absent (the matrix is sparse by
+    * construction); no df cap — a fingerprint in many sources IS the
+    * signal here, and the per-fp cost is already domain-bounded.
+    */
+  val q193_source_contamination: Q = (spark, dir) => {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    val sfp = winnowFp(d)
+      .join(d.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"h").distinct().persist()
+    val sizes = sfp.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = sfp.groupBy($"h").agg(sort_array(collect_set($"source")).as("ss"))
+      .where(size($"ss") >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS sa, b AS sb))))""".stripMargin)).as("p"))
+      .groupBy($"p.sa".as("sa"), $"p.sb".as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    val out = pairs
+      .join(broadcast(sizes.toDF("sa", "na")), "sa")
+      .join(broadcast(sizes.toDF("sb", "nb")), "sb")
+      .select($"sa", $"sb", $"shared", $"na", $"nb",
+        expr("CAST(shared * 1000 DIV LEAST(na, nb) AS BIGINT)")
+          .as("contain_x1000"))
+      .orderBy($"sa", $"sb")
+      .localCheckpoint() // |sources|² rows — release the fp stream
+    sfp.unpersist(blocking = false)
+    out
+  }
+
   /** Shared CTE prefix computing every doc's winnowed fingerprint set
     * (`sel`) the brute-force way — used by q164's pair tail and
     * q173's incremental tail.
@@ -1109,6 +1158,21 @@ object Dedup {
         |  CAST(SUM(flag) AS BIGINT) AS dup_docs,
         |  CAST(SUM(dup_fps) * 1000 // SUM(fps) AS BIGINT) AS dup_x1000
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q193_source_contamination" -> (winnowSelCtes +
+      """,
+        |sfp AS (
+        |  SELECT DISTINCT d.source, s.h
+        |  FROM sel s JOIN documents d USING (doc_id)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sfp GROUP BY 1),
+        |px AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+        |  FROM sfp a JOIN sfp b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(shared AS BIGINT) AS shared,
+        |  CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb,
+        |  CAST(shared * 1000 // LEAST(x.n, y.n) AS BIGINT) AS contain_x1000
+        |FROM px JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source
+        |ORDER BY sa, sb""".stripMargin),
     "q30_dedup_simhash" -> HashOracleSql.q30Oracle,
     "q164_winnowing" -> winnowOracle,
     "q173_winnow_incremental" -> winnowIncrementalOracle,
@@ -1271,5 +1335,6 @@ object Dedup {
     "q144_containment_join" -> q144_containment_join,
     "q185_segment_scrub" -> q185_segment_scrub,
     "q191_cross_segment_scrub" -> q191_cross_segment_scrub,
-    "q192_winnow_scrub" -> q192_winnow_scrub)
+    "q192_winnow_scrub" -> q192_winnow_scrub,
+    "q193_source_contamination" -> q193_source_contamination)
 }
