@@ -422,6 +422,42 @@ class StreamingSpec extends AnyFunSuite {
       "ops != events: loss or double-fold across the restart")
   }
 
+  test("CDC store under aggressive compaction (compactEvery=1): same result, base-only layout") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("cdc_compact_src").toString
+    val store = Files.createTempDirectory("cdc_compact").toString + "/store"
+    val agg = Files.createTempDirectory("cdc_compact").toString + "/agg"
+    val ckpt = Files.createTempDirectory("cdc_compact_ckpt").toString
+    val ev = Tables.load(spark, sf, "events").select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    // two runs = two micro-batches; every batch after the first folds
+    // the store into a base segment, exercising the latest-wins kv
+    // fold, the carried agg, and base-commit gc
+    ev.where(col("event_id") % 2 === 0).write.mode("append").json(src)
+    EventsStream.cdcMaterialize(EventsStream.readEvents(spark, src),
+      store, agg, ckpt, compactEvery = 1).awaitTermination()
+    ev.where(col("event_id") % 2 === 1).write.mode("append").json(src)
+    EventsStream.cdcMaterialize(EventsStream.readEvents(spark, src),
+      store, agg, ckpt, compactEvery = 1).awaitTermination()
+    // layout: compaction at batch 1 leaves a single base segment
+    // (batch 0's delta was subsumed and gc'd)
+    import graft.streaming.SegStore
+    val segs = SegStore.active(spark, store)
+    assert(segs.map(_.base) == Seq(true), s"unexpected layout: $segs")
+    // and the resolved store equals the single-shot batch q152 twin,
+    // exactly as the uncompacted E2E pins
+    val live = EventsStream.readCdcStore(spark, store)
+      .filter(u => !u.deleted).collect()
+      .map(u => (u.key, u.value, u.n_ops)).toSet
+    val batch = SparkEntry.queries("q152_cdc_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && live == batch,
+      s"compacted store live set ${live.size} != batch q152 ${batch.size}")
+    val a = spark.read.parquet(agg).collect()(0)
+    assert(a.getAs[Long]("total_ops") == ev.count(),
+      "ops != events under compaction")
+  }
+
   test("foreachBatch JDBC sink: stream lands in Derby exactly as staged") {
     import org.apache.spark.sql.functions._
     import graft.sources.JdbcSink
