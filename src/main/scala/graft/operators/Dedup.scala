@@ -788,7 +788,11 @@ object Dedup {
     *    join back is fingerprint-keyed (AQE-splittable boilerplate
     *    keys), then doc- and source-grain folds. All-integer output.
     */
-  val q192_winnow_scrub: Q = (spark, dir) => {
+  val q192_winnow_scrub: Q = (spark, dir) => winnowScrub(spark, dir, seal = true)
+
+  /** `seal = false`: lazy plan (no checkpoint) for the spec's shape pin. */
+  private[graft] def winnowScrub(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seal: Boolean): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val (k, w) = (8, 8) // K = k + w - 1 = 15-word guarantee
@@ -804,12 +808,13 @@ object Dedup {
       .select($"doc_id", $"source", $"p.i".as("i"), $"p.g".as("g"))
     // per-doc window (partitions are doc-sized by construction)
     val win = Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
-    val sel = grams
+    val selLazy = grams
       .withColumn("fp", min($"g").over(win))
       .withColumn("cnt", count(lit(1)).over(win))
       .where($"cnt" === w)
       .select($"doc_id", $"source", $"fp").distinct()
-      .localCheckpoint() // feeds df AND the join-back fold
+    // checkpointed when executing: feeds df AND the join-back fold
+    val sel = if (seal) selLazy.localCheckpoint() else selLazy
     val dfq = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
     val docs = sel.join(dfq, "fp")
       .groupBy($"doc_id", $"source")
@@ -823,7 +828,7 @@ object Dedup {
         sum($"flag").as("dup_docs"),
         expr("CAST(sum(dup_fps) * 1000 DIV sum(fps) AS BIGINT)").as("dup_x1000"))
       .orderBy($"source")
-    Relational.dropAfter(out, sel)
+    if (seal) Relational.dropAfter(out, sel) else out
   }
 
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken
@@ -963,12 +968,20 @@ object Dedup {
     * construction); no df cap — a fingerprint in many sources IS the
     * signal here, and the per-fp cost is already domain-bounded.
     */
-  val q193_source_contamination: Q = (spark, dir) => {
+  val q193_source_contamination: Q = (spark, dir) =>
+    sourceContamination(spark, dir, seal = true)
+
+  /** `seal = false`: lazy plan (no persist/checkpoint) for the spec's
+    * shape pin.
+    */
+  private[graft] def sourceContamination(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seal: Boolean): DataFrame = {
     import spark.implicits._
     val d = Tables.load(spark, dir, "documents")
-    val sfp = winnowFp(d)
+    val sfpLazy = winnowFp(d)
       .join(d.select($"doc_id", $"source"), "doc_id")
-      .select($"source", $"h").distinct().persist()
+      .select($"source", $"h").distinct()
+    val sfp = if (seal) sfpLazy.persist() else sfpLazy
     val sizes = sfp.groupBy($"source").agg(count(lit(1)).as("n"))
     val pairs = sfp.groupBy($"h").agg(sort_array(collect_set($"source")).as("ss"))
       .where(size($"ss") >= 2)
@@ -985,9 +998,13 @@ object Dedup {
         expr("CAST(shared * 1000 DIV LEAST(na, nb) AS BIGINT)")
           .as("contain_x1000"))
       .orderBy($"sa", $"sb")
-      .localCheckpoint() // |sources|² rows — release the fp stream
-    sfp.unpersist(blocking = false)
-    out
+    if (!seal) out
+    else {
+      // |sources|² rows — seal, then release the fp stream
+      val sealed0 = out.localCheckpoint()
+      sfp.unpersist(blocking = false)
+      sealed0
+    }
   }
 
   /** Shared CTE prefix computing every doc's winnowed fingerprint set

@@ -162,6 +162,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
   }
 
+  test("q192: winnow selection is a per-doc window; no cross product anywhere") {
+    val p = graft.operators.Dedup.winnowScrub(spark, sf, seal = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    // the window-min selection must partition by doc_id — a global
+    // (empty-partition) window would be a single-task whale
+    assert(p.contains("Window"), s"no window-min selection in plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition stage (global window?) in plan:\n$p")
+  }
+
+  test("q193: source pairs expand map-side from the per-fp source array, never a fp self-join") {
+    val p = graft.operators.Dedup.sourceContamination(spark, sf, seal = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    // the pair expansion is a Generate over the collected source set —
+    // the q160 device; a join keyed on the fingerprint would re-admit
+    // the (docs-sharing-a-fp)² blow-up the aggregation exists to avoid
+    assert(p.contains("Generate explode"), s"no map-side pair expansion:\n$p")
+  }
+
   test("q166: OLS is one partial-agg shuffle; the solve is projection-only") {
     val p = plan("q166_ols")
     assert(p.contains("partial_sum"), s"no map-side moment partials:\n$p")
