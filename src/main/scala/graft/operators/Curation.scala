@@ -425,6 +425,51 @@ object Curation {
     * bucket: deterministic, engine-exact, no state. Map-only over the
     * corpus — the factor is a function of the row's own source.
     */
+  /** q194: split-LEAKAGE audit — the near-dup pair census by split
+    * pair, crossing q122's group split with q29's near-dup relation
+    * (char-3-gram Jaccard >= 0.8). q122's source-grouped assignment
+    * guarantees near-identical docs from ONE source never straddle
+    * the train/eval boundary; this measures the failure mode it can't
+    * prevent — near-dup pairs ACROSS sources that landed in different
+    * splits (a mirror site hashed into test while the original
+    * trains). Cross-split rows are evaluation leakage that survives
+    * q66's exact 5-gram decontamination only if the duplication is
+    * paraphrastic; at 0.8 Jaccard it mostly doesn't, which is exactly
+    * why this audit gates a release (Lee et al. ACL'22 §6's
+    * train-test overlap finding, as a census). Same-split rows ride
+    * along as the intra-split dedup context.
+    *
+    * Scale shape: the expensive half IS q29 (LSH-banded, verified —
+    * never all-pairs); this adds two doc-keyed joins of the
+    * pair list (tiny, the near-dup relation) against the map-only
+    * split assignment, one (split_lo, split_hi)-keyed fold over a
+    * 3x3-bounded domain. countDistinct is safe here: the grain is
+    * the 9-row split-pair domain, each holding pair-list-sized sets.
+    */
+  val q194_split_leakage: Q = (spark, dir) => {
+    import spark.implicits._
+    val b = ((ascii(substring(md5($"source"), 1, 1)) * 31
+      + ascii(substring(md5($"source"), 2, 1))) % 10).cast("int")
+    val splits = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"))
+    val pairs = Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")
+    pairs
+      .join(splits.toDF("doc_a", "split_a"), "doc_a")
+      .join(splits.toDF("doc_b", "split_b"), "doc_b")
+      .select(least($"split_a", $"split_b").as("split_lo"),
+        greatest($"split_a", $"split_b").as("split_hi"),
+        // doc_a < doc_b from q29, so the equal-split case keeps the
+        // natural order and (lo, hi) is deterministic on both engines
+        when($"split_a" <= $"split_b", $"doc_a").otherwise($"doc_b").as("doc_lo"),
+        when($"split_a" <= $"split_b", $"doc_b").otherwise($"doc_a").as("doc_hi"))
+      .groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_lo").as("n_docs_lo"),
+        countDistinct($"doc_hi").as("n_docs_hi"))
+      .orderBy($"split_lo", $"split_hi")
+  }
+
   val q122_group_split: Q = (spark, dir) => {
     import spark.implicits._
     val b = ((ascii(substring(md5($"source"), 1, 1)) * 31
@@ -993,6 +1038,35 @@ object Curation {
        |ORDER BY b.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q194_split_leakage" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, x, 3) for x in range(1, length(text)-1)]) AS grams
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (ascii(substring(md5(source),1,1))*31
+        |               + ascii(substring(md5(source),2,1))) % 10 < 8 THEN 'train'
+        |         WHEN (ascii(substring(md5(source),1,1))*31
+        |               + ascii(substring(md5(source),2,1))) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |px AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8),
+        |lk AS (
+        |  SELECT LEAST(x.split, y.split) AS split_lo,
+        |    GREATEST(x.split, y.split) AS split_hi,
+        |    CASE WHEN x.split <= y.split THEN doc_a ELSE doc_b END AS doc_lo,
+        |    CASE WHEN x.split <= y.split THEN doc_b ELSE doc_a END AS doc_hi
+        |  FROM px JOIN sp x ON doc_a = x.doc_id JOIN sp y ON doc_b = y.doc_id)
+        |SELECT split_lo, split_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+        |  CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
+        |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q178_curate_card_diff" -> curateOracle,
     "q152_cdc_apply" ->
       """WITH o AS (
@@ -1365,5 +1439,6 @@ object Curation {
     "q146_dataset_card" -> q146_dataset_card,
     "q178_curate_card_diff" -> q178_curate_card_diff,
     "q149_skyline" -> q149_skyline,
-    "q152_cdc_apply" -> q152_cdc_apply)
+    "q152_cdc_apply" -> q152_cdc_apply,
+    "q194_split_leakage" -> q194_split_leakage)
 }
