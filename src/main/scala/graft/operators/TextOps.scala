@@ -403,9 +403,9 @@ object TextOps {
 
   val q66_decontaminate: Q = (spark, dir) => {
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
-    val grams = fiveGrams(Tables.load(spark, dir, "documents"))
+    val raw = Tables.load(spark, dir, "documents")
+    val docs = raw.select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
+    val grams = fiveGrams(raw)
     val testGrams = grams.where($"doc_id" % 17 === 0).select($"gram").distinct()
     val contaminated = grams.where($"doc_id" % 17 =!= 0)
       .join(broadcast(testGrams), Seq("gram"), "left_semi")
