@@ -740,4 +740,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap == batch,
       s"streamed PPR snapshot != batch q163: ${(snap diff batch).take(3)} / ${(batch diff snap).take(3)}")
   }
+
+  test("graph store under aggressive compaction (compactEvery=1): snapshot unchanged, base-only layout") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{GraphStream, SegStore}
+    val work = Files.createTempDirectory("graft_ppr_compact_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    shipFile(graft.operators.BipartiteGraph.pairs(spark, sf,
+      Some(expr("o_orderkey % 10 != 0"))), "0_base")
+    shipFile(graft.operators.BipartiteGraph.pairs(spark, sf,
+      Some(expr("o_orderkey % 10 = 0"))), "1_delta")
+    val stream = spark.readStream
+      .schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // every batch after the first folds pairs (union) and degree
+    // (groupBy-sum) into a base segment — the GraphStream fold paths
+    GraphStream.pprPushStream(stream, s"$work/store", s"$work/out",
+      s"$work/ckpt", compactEvery = 1).awaitTermination()
+    val segs = SegStore.active(spark, s"$work/store")
+    assert(segs.map(_.base) == Seq(true), s"unexpected layout: $segs")
+    val (store, degStore) = GraphStream.readGraph(spark, s"$work/store")
+    val full = graft.operators.BipartiteGraph.pairs(spark, sf)
+    assert(store.except(full).isEmpty && full.except(store).isEmpty,
+      "compacted pair store != full distinct pair index")
+    val degDerived = graft.operators.BipartiteGraph.degreesOf(store)
+    assert(degStore.except(degDerived).isEmpty &&
+      degDerived.except(degStore).isEmpty,
+      "compacted degree inconsistent with pairs")
+    val snap = spark.read.parquet(s"$work/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q163_ppr_forward_push")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap == batch, "compacted-store PPR snapshot != batch q163")
+  }
 }
