@@ -63,6 +63,34 @@ class SegStoreSpec extends AnyFunSuite {
     assert(left == Set("base_2", "delta_3"), s"gc left: $left")
   }
 
+  test("two bases (gc crash residue): only the newest base + later deltas are read") {
+    val root = Files.createTempDirectory("segstore_twobase").toString
+    // base_1 committed, then delta_2, then a second compaction at
+    // batch 3 whose gc was interrupted by a crash AFTER the marker —
+    // base_1 and delta_2 survive on disk but must be invisible
+    writeSeg(root, 1, base = true, Seq((1L, 10L)), commit = true)
+    writeSeg(root, 2, base = false, Seq((2L, 20L)), commit = true)
+    // write base_3 and create its marker WITHOUT gc (simulate the
+    // crash window by creating the marker by hand, not via commit)
+    import org.apache.spark.sql.SparkSession
+    writeSeg(root, 3, base = true,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)), commit = false)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      SegStore.segPath(root, 3, base = true), "_GRAFT_COMMITTED"), true).close()
+    writeSeg(root, 4, base = false, Seq((4L, 40L)), commit = true)
+    assert(SegStore.active(spark, root).map(s => (s.id, s.base)) ==
+      Seq((3L, true), (4L, false)),
+      s"stale base/delta leaked into the view: ${SegStore.active(spark, root)}")
+    assert(SegStore.read(spark, root, "kv").get.count() == 4)
+    // the NEXT base commit garbage-collects the stale residue too
+    writeSeg(root, 5, base = true,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)), commit = true)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("base_5"), s"gc left: $left")
+  }
+
   test("readTagged carries the segment id for latest-wins resolution") {
     val root = Files.createTempDirectory("segstore_tag").toString
     writeSeg(root, 0, base = false, Seq((1L, 10L), (2L, 20L)), commit = true)
