@@ -80,6 +80,39 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** q195: quality-threshold TRADEOFF table — for every cutoff of
+    * q25's integer quality score (0..4), the docs and words that
+    * survive `score >= threshold` plus their shares x1000. The curve a
+    * curator reads BEFORE fixing a filter bar: quality filters trade
+    * data volume for data quality, and the volume side of that trade
+    * is this table (the C4 -> Gopher -> FineWeb ablation literature
+    * always reports it as "tokens surviving each filter").
+    *
+    * Scale shape: ONE corpus scan through q25's per-doc scoring
+    * (map-only), one 5-row groupBy(score) with map-side combine; the
+    * threshold expansion is a DOMAIN-bounded theta-join (5 thresholds
+    * x 5 score rows — broadcast, never corpus-sized) and the totals
+    * ride a broadcast crossJoin of one aggregate row. All-integer
+    * output.
+    */
+  val q195_quality_tradeoff: Q = (spark, dir) => {
+    import spark.implicits._
+    val d = q25_quality_score(spark, dir)
+      .select($"quality_score".as("q"), $"n_words")
+    val byScore = d.groupBy($"q")
+      .agg(count(lit(1)).as("docs"), sum($"n_words").as("words"))
+    val th = spark.range(0, 5).select($"id".cast("int").as("threshold"))
+    th.join(byScore, $"q" >= $"threshold")
+      .groupBy($"threshold")
+      .agg(sum($"docs").as("n_docs"), sum($"words").as("n_words"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("tot_docs"),
+        sum($"n_words").as("tot_words"))))
+      .select($"threshold", $"n_docs", $"n_words",
+        expr("CAST(n_docs * 1000 DIV tot_docs AS BIGINT)").as("docs_x1000"),
+        expr("CAST(n_words * 1000 DIV tot_words AS BIGINT)").as("words_x1000"))
+      .orderBy($"threshold")
+  }
+
   /** Language ID by stopword-marker counting with a deterministic
     * priority argmax (n-gram-heuristic family). The marker lists are
     * standard high-frequency function words per language.
@@ -1138,6 +1171,30 @@ object TextOps {
         |   + CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END
         |   + CASE WHEN n_punct * 10 <= n_words THEN 1 ELSE 0 END) AS quality_score
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q195_quality_tradeoff" ->
+      """WITH t AS (
+        |  SELECT LENGTH(text) AS n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) AS n_stopwords,
+        |    len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct
+        |  FROM documents),
+        |s AS (
+        |  SELECT n_words,
+        |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_punct * 10 <= n_words THEN 1 ELSE 0 END) AS q
+        |  FROM t),
+        |tot AS (SELECT COUNT(*) AS tot_docs, SUM(n_words) AS tot_words FROM s),
+        |th AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS threshold)
+        |SELECT threshold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(s.n_words) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) * 1000 // tot_docs AS BIGINT) AS docs_x1000,
+        |  CAST(SUM(s.n_words) * 1000 // tot_words AS BIGINT) AS words_x1000
+        |FROM th JOIN s ON s.q >= th.threshold, tot
+        |GROUP BY threshold, tot_docs, tot_words
+        |ORDER BY threshold""".stripMargin,
     "q26_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS labeled_lang,
@@ -1350,6 +1407,7 @@ object TextOps {
     "q190_vocab_coverage" -> q190_vocab_coverage,
     "q177_source_terms" -> q177_source_terms,
     "q24_token_count" -> q24_token_count,
+    "q195_quality_tradeoff" -> q195_quality_tradeoff,
     "q25_quality_score" -> q25_quality_score,
     "q26_lang_id" -> q26_lang_id,
     "q27_fingerprint" -> q27_fingerprint,
