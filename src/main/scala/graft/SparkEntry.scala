@@ -30,7 +30,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted ONLY for genuinely approximate
-    * ops — 6 of 191: q33/q47/q95 (LSH/IVF/PQ ANN, recall-pinned in
+    * ops — exactly six: q33/q47/q95 (LSH/IVF/PQ ANN, recall-pinned in
     * SimilaritySpec), q59 (IVF-blocked embedding dedup, recall-pinned),
     * q61/q70 (sketches, error-bound-pinned). Everything else —
     * including q23 (InDel via DuckDB list_reduce DP), q27
