@@ -96,23 +96,35 @@ object Bench {
   /** Spark local dir for the bench session: `SPARK_GRAFT_LOCAL_DIR`
     * when set (the operator override — e.g. redirect to disk when
     * tmpfs is too small for a bigger SF), else tmpfs when available
-    * (see the builder comment), else the JVM temp dir. The bench-owned
-    * tmpfs directory is wiped at startup: a killed prior run leaves
-    * its shuffle files behind, and on tmpfs leftovers silently consume
-    * RAM for the life of the box (round-11 ADVICE #4).
+    * (see the builder comment), else the JVM temp dir. Each JVM gets
+    * its own PER-PID subdirectory — two bench JVMs on one host must
+    * never delete each other's live shuffle files (round-12 ADVICE
+    * #3). Stale SIBLING dirs are swept only when their owning process
+    * is gone (/proc/<pid> absent): a killed prior run leaves shuffle
+    * files behind, and on tmpfs leftovers silently consume RAM for
+    * the life of the box (round-11 ADVICE #4).
     */
   private[graft] def localDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
-      val mine = new java.io.File(shm, "graft-bench-local")
-      if (mine.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(mine)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
       }
-      mine.getPath
+      val pool = new java.io.File(shm, "graft-bench-local")
+      val pid = ProcessHandle.current().pid()
+      Option(pool.listFiles()).foreach(_.foreach { sib =>
+        val owner = sib.getName
+        if (owner.forall(_.isDigit) && owner.nonEmpty && owner.toLong != pid
+            && !new java.io.File(s"/proc/$owner").exists())
+          rm(sib)
+      })
+      // pre-pid legacy layout: shuffle dirs directly under the pool
+      // root belong to no live tracking scheme — sweep them too
+      Option(pool.listFiles()).foreach(_.foreach { f =>
+        if (!f.getName.forall(_.isDigit)) rm(f)
+      })
+      new java.io.File(pool, pid.toString).getPath
     } else System.getProperty("java.io.tmpdir")
   })
 

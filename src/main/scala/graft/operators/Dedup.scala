@@ -792,27 +792,16 @@ object Dedup {
 
   /** `seal = false`: lazy plan (no checkpoint) for the spec's shape pin. */
   private[graft] def winnowScrub(spark: org.apache.spark.sql.SparkSession,
-      dir: String, seal: Boolean): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val (k, w) = (8, 8) // K = k + w - 1 = 15-word guarantee
-    val grams = Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"source",
-        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
-          .as("ws"))
-      .where(size($"ws") >= k + w - 1) // at least one full window
-      .select($"doc_id", $"source", explode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1})," +
-          s" i -> named_struct('i', i, 'g', concat_ws(' ', slice(ws, i, $k))))"))
-        .as("p"))
-      .select($"doc_id", $"source", $"p.i".as("i"), $"p.g".as("g"))
-    // per-doc window (partitions are doc-sized by construction)
-    val win = Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
-    val selLazy = grams
-      .withColumn("fp", min($"g").over(win))
-      .withColumn("cnt", count(lit(1)).over(win))
-      .where($"cnt" === w)
-      .select($"doc_id", $"source", $"fp").distinct()
+      dir: String, seal: Boolean): DataFrame =
+    winnowReadout(winnowSel(Tables.load(spark, dir, "documents")), seal)
+
+  /** q192's readout over a selected-rows table: df re-aggregated from
+    * it (rows per-(fp, doc) distinct), fingerprint-keyed equi-join
+    * back, doc- and source-grain folds. All-integer output. Shared by
+    * the batch query and the streaming twin's spec pins.
+    */
+  private[graft] def winnowReadout(selLazy: DataFrame, seal: Boolean): DataFrame = {
+    import selLazy.sparkSession.implicits._
     // checkpointed when executing: feeds df AND the join-back fold
     val sel = if (seal) selLazy.localCheckpoint() else selLazy
     val dfq = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
@@ -829,6 +818,39 @@ object Dedup {
         expr("CAST(sum(dup_fps) * 1000 DIV sum(fps) AS BIGINT)").as("dup_x1000"))
       .orderBy($"source")
     if (seal) Relational.dropAfter(out, sel) else out
+  }
+
+  /** q192's word-level winnowing selection — the distinct selected
+    * (doc_id, source, fp) rows (k = w = 8: any duplicated run of
+    * >= 15 words shares a selected gram text at arbitrary alignment;
+    * see [[q192_winnow_scrub]]). Factored so the streaming twin
+    * ([[graft.streaming.WinnowScrubStream]]) derives its delta rows
+    * from the SAME lambda the batch query uses (the winnowFp/
+    * crossSegOcc discipline — one derivation site, no drifting copy).
+    * Selected rows are append-only facts: a doc's selection never
+    * changes, so the streaming store accumulates exactly these rows.
+    */
+  private[graft] def winnowSel(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (8, 8) // K = k + w - 1 = 15-word guarantee
+    val grams = docs
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      .where(size($"ws") >= k + w - 1) // at least one full window
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1})," +
+          s" i -> named_struct('i', i, 'g', concat_ws(' ', slice(ws, i, $k))))"))
+        .as("p"))
+      .select($"doc_id", $"source", $"p.i".as("i"), $"p.g".as("g"))
+    // per-doc window (partitions are doc-sized by construction)
+    val win = Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min($"g").over(win))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .where($"cnt" === w)
+      .select($"doc_id", $"source", $"fp").distinct()
   }
 
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken

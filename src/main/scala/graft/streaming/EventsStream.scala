@@ -300,18 +300,21 @@ object EventsStream {
     * that exists makes the replay a no-op).
     */
   def cdcMaterialize(events: DataFrame, storeDir: String, aggDir: String,
-      ckptDir: String, compactEvery: Int = 8): StreamingQuery = {
+      ckptDir: String, compactEvery: Int = 8, buckets: Int = 8): StreamingQuery = {
     val ss = events.sparkSession
     import ss.implicits._
     cdcCompactStream(events).writeStream
       .outputMode("update")
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (updates: Dataset[CdcUpdate], batchId: Long) =>
-        if (!SegStore.isApplied(ss, storeDir, batchId)) {
+        val runId = SegStore.ckptQueryId(ss, ckptDir)
+        if (!SegStore.isApplied(ss, storeDir, batchId, runId)) {
+          SegStore.ensureBucketed(ss, storeDir, "kv",
+            "key BIGINT, deleted BOOLEAN, value DOUBLE, n_ops BIGINT",
+            Seq("key"), buckets)
           // one row per touched key; checkpointed so the segment write
           // below cannot re-trigger the stateful computation
           val up = updates.localCheckpoint()
-          val store0 = readCdcStore(ss, storeDir)
           val agg0 = readCdcAgg(ss, storeDir)
           // contribution of a store snapshot restricted to some keys —
           // distributed aggregates, four numbers to the driver
@@ -322,8 +325,21 @@ object EventsStream {
               coalesce(sum(when($"deleted", 1L).otherwise(0L)), lit(0L)),
               coalesce(sum($"n_ops"), lit(0L)))
               .as[(Long, Double, Long, Long)].first()
-          val old = contrib(store0.join(up.select($"key"), Seq("key"), "left_semi")
-            .as[CdcUpdate])
+          // retraction: old values of exactly the touched keys — a
+          // PRUNED scan of the kv log (the store is never shuffled to
+          // be probed; latest-per-key resolves among the pruned rows
+          // only, which is exact because restricting to a key subset
+          // commutes with the per-key argmax)
+          val bKeys = up.select($"key")
+          val keys = bKeys.as[Long].collect().toIndexedSeq
+          val prunedKv = SegStore.readBucketedTagged(ss, storeDir, "kv") match {
+            case None => ss.emptyDataset[CdcUpdate].toDF()
+              .withColumn("_seg", lit(0L))
+            case Some(t) if keys.size <= SegStore.maxPushKeys =>
+              t.where($"key".isin(keys: _*))
+            case Some(t) => t.join(broadcast(bKeys), Seq("key"), "left_semi")
+          }
+          val old = contrib(resolveLatest(prunedKv))
           val neu = contrib(up)
           val agg1 = CdcAgg(
             agg0.live_keys - old._1 + neu._1,
@@ -332,16 +348,21 @@ object EventsStream {
             agg0.total_ops - old._4 + neu._4)
           val base = SegStore.active(ss, storeDir).size >= compactEvery
           val seg = SegStore.segPath(storeDir, batchId, base)
-          if (base)
+          if (base) {
             // fold: untouched resolved rows + this batch's latest per
-            // key (tombstones stay — they are the retraction record)
-            store0.join(up.select($"key"), Seq("key"), "left_anti")
-              .as[CdcUpdate].union(up)
-              .write.mode("overwrite").parquet(s"$seg/kv")
-          else up.write.mode("overwrite").parquet(s"$seg/kv")
+            // key (tombstones stay — they are the retraction record);
+            // the resolve is exchange-free over the key-bucketed scan,
+            // checkpointed because the INSERT overwrites a table the
+            // fold reads
+            val folded = readCdcStore(ss, storeDir).toDF()
+              .join(broadcast(bKeys), Seq("key"), "left_anti")
+              .unionByName(up.toDF()).localCheckpoint()
+            SegStore.writeBucketed(ss, storeDir, "kv", folded, batchId)
+            graft.operators.Relational.releaseCkpt(folded)
+          } else SegStore.writeBucketed(ss, storeDir, "kv", up.toDF(), batchId)
           Seq(agg1).toDS().write.mode("overwrite").parquet(s"$seg/agg")
-          Seq(agg1).toDS().write.mode("overwrite").parquet(aggDir)
-          SegStore.commit(ss, storeDir, batchId, base)
+          SegStore.writeSnapshot(ss, aggDir, Seq(agg1).toDS().toDF(), batchId)
+          SegStore.commit(ss, storeDir, batchId, base, runId)
           // drop-on-write: the checkpoint is on disk — release its
           // blocks so a long-lived stream doesn't accumulate one block
           // set per micro-batch (Dataset.unpersist never sees a local
@@ -361,14 +382,25 @@ object EventsStream {
     */
   def readCdcStore(ss: SparkSession, storeDir: String): Dataset[CdcUpdate] = {
     import ss.implicits._
-    SegStore.readTagged(ss, storeDir, "kv") match {
+    SegStore.readBucketedTagged(ss, storeDir, "kv") match {
       case None => ss.emptyDataset[CdcUpdate]
-      case Some(t) => t.groupBy($"key")
-        .agg(expr("max_by(struct(deleted, value, n_ops), _seg)").as("v"))
-        .select($"key", $"v.deleted".as("deleted"),
-          $"v.value".as("value"), $"v.n_ops".as("n_ops"))
-        .as[CdcUpdate]
+      case Some(t) => resolveLatest(t)
     }
+  }
+
+  /** Latest row per key over a `_seg`-tagged kv view (segment id =
+    * version; within a segment keys are unique by the
+    * mapGroupsWithState contract). Plans exchange-free when the view
+    * is the key-bucketed store scan.
+    */
+  private def resolveLatest(t: DataFrame): Dataset[CdcUpdate] = {
+    val ss = t.sparkSession
+    import ss.implicits._
+    t.groupBy($"key")
+      .agg(expr("max_by(struct(deleted, value, n_ops), _seg)").as("v"))
+      .select($"key", $"v.deleted".as("deleted"),
+        $"v.value".as("value"), $"v.n_ops".as("n_ops"))
+      .as[CdcUpdate]
   }
 
   /** The running aggregate as of the newest committed segment (each

@@ -10,24 +10,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * of arriving documents is cut into the two 10-word grids ONCE
   * ([[graft.operators.Dedup.crossSegOcc]], the exact lambda batch
   * q191 runs — one derivation site, no drifting copy) and the
-  * per-(segment, doc) occurrence rows join the accumulated store;
-  * the per-source retention readout
-  * ([[graft.operators.Dedup.crossSegReadout]]) is refreshed over the
-  * post-batch store and overwrites `outDir` — after the final batch it
-  * is row-equal to batch q191 over everything shipped (StreamingSpec
-  * pins this), because both fold the SAME occurrence rows under the
-  * SAME df >= 3 rule.
-  *
-  * Store economics: occurrence rows are append-only facts (a doc's
-  * segments never change), so the [[SegStore]] log appends ONLY the
-  * batch's new-doc rows per trigger — never a rewrite of the
-  * accumulated store — and folds into a base segment every
-  * `compactEvery` batches. Re-delivered docs (at-least-once sources)
-  * are absorbed by the doc_id anti-join, so a replayed doc changes
-  * nothing; the readout + delta land before the segment's commit
-  * marker, so a crash anywhere replays the batch against the
-  * unchanged committed view and an existing marker makes the replay a
-  * no-op.
+  * per-(segment, doc) occurrence rows join the accumulated store; the
+  * per-source retention readout published to `outDir` is row-equal to
+  * batch q191 over everything shipped, at EVERY batch prefix
+  * (StreamingSpec pins this).
   *
   * Unlike WinnowStream's corpus-only df cap (q173's rule: a delta
   * must not retroactively reclassify corpus fingerprints), the
@@ -36,52 +22,228 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * of a segment makes all three docs' segments boilerplate, exactly
   * as batch q191 would; that is what keeps the snapshot equal to the
   * batch query at every prefix of the stream.
+  *
+  * == Incremental readout (round-12 VERDICT "what's missing" #2) ==
+  *
+  * Round 12 REFOLDED the whole occurrence store per batch to refresh
+  * the snapshot — O(store) rows through two shuffles per trigger.
+  * The df >= 3 rule makes the readout incrementalizable because a
+  * segment's boilerplate flag only ever flips ONCE (df grows
+  * monotonically; the <3 → >=3 crossing is one-way), so per-doc
+  * contributions are expressible as fold-once partials:
+  *
+  *  - `sdf` (seg, df): per-batch document-frequency partials — the
+  *    batch's segs' PRIOR df comes from a pruned scan + fold, never a
+  *    corpus-wide df fold;
+  *  - `docstat` (doc_id, source, segs, dup_segs, f0, f1): additive /
+  *    max-foldable per-doc partials. A batch appends (a) one INSERT
+  *    row per new doc, its dup counts evaluated against the POST-batch
+  *    df of its own segments, and (b) one FLIP row per (pre-batch doc,
+  *    newly-crossed segment) — the docs holding a flipped segment come
+  *    from a pruned scan of `occ` keyed on the (few) crossed segments.
+  *    Insert-time counting + flip-time deltas never double-count: a
+  *    segment either was already >= 3 when the doc arrived (counted at
+  *    insert, never flips again) or crosses later (counted at its one
+  *    flip).
+  *
+  * The snapshot then folds `docstat` — doc-grain rows, bucketed on
+  * doc_id, so the fold plans with NO store-side Exchange — merges the
+  * batch's delta by a doc-keyed outer join (delta-sized shuffle only),
+  * and aggregates to the source grain (map-side partials; the final
+  * shuffle moves #sources rows per partition). Per-batch probe work is
+  * driven by the batch and its flips; the only O(store) pass left is
+  * the docstat scan itself — doc-grain, not occurrence-grain, and
+  * exchange-free.
+  *
+  * Store economics: occurrence rows are append-only facts (a doc's
+  * segments never change), so the [[SegStore]] log appends ONLY the
+  * batch's new-doc rows per trigger (bucketed sub-tables: `occ`/`sdf`
+  * keyed on seg, `docs`/`docstat` keyed on doc_id), and folds into a
+  * base segment every `compactEvery` batches. Re-delivered docs
+  * (at-least-once sources) are absorbed by the doc-id probe, so a
+  * replayed doc changes nothing; the readout + deltas land before the
+  * segment's commit marker, so a crash anywhere replays the batch
+  * against the unchanged committed view, an existing marker makes the
+  * replay a no-op, and a marker written under a DIFFERENT checkpoint
+  * identity fails loudly ([[SegStore.isApplied]]). The published
+  * snapshot itself is pointer-switched atomically
+  * ([[SegStore.writeSnapshot]]) — never an in-place overwrite.
   */
 object SegScrubStream {
 
   /** `docs`: a streaming DataFrame of (doc_id: Long, source: String,
-    * text: String). Store: a [[SegStore]] log at `storeDir` with the
-    * per-segment sub-table `occ` (seg, doc_id, source, occ0, occ1);
-    * the q191-shaped readout overwrites `outDir` per batch.
+    * text: String). Store: a [[SegStore]] log at `storeDir`; the
+    * q191-shaped readout is published atomically under `outDir`
+    * (read it back with [[SegStore.readSnapshot]]).
     */
   def scrubStream(docs: DataFrame, storeDir: String, outDir: String,
-      ckptDir: String, compactEvery: Int = 8): StreamingQuery =
+      ckptDir: String, compactEvery: Int = 8, buckets: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         import ss.implicits._
-        if (!SegStore.isApplied(ss, storeDir, batchId)) {
-          val occ0 = readOcc(ss, storeDir)
-          val newOcc = graft.operators.Dedup
+        val runId = SegStore.ckptQueryId(ss, ckptDir)
+        if (!SegStore.isApplied(ss, storeDir, batchId, runId)) {
+          SegStore.ensureBucketed(ss, storeDir, "occ",
+            "seg STRING, doc_id BIGINT, source STRING, occ0 BIGINT, occ1 BIGINT",
+            Seq("seg"), buckets)
+          SegStore.ensureBucketed(ss, storeDir, "sdf",
+            "seg STRING, df BIGINT", Seq("seg"), buckets)
+          SegStore.ensureBucketed(ss, storeDir, "docs",
+            "doc_id BIGINT", Seq("doc_id"), buckets)
+          SegStore.ensureBucketed(ss, storeDir, "docstat",
+            "doc_id BIGINT, source STRING, segs BIGINT, dup_segs BIGINT, " +
+              "f0 BIGINT, f1 BIGINT", Seq("doc_id"), buckets)
+          // replay absorption: seen doc ids from a pruned scan,
+          // survivors anti-join the <= batch-sized hit set broadcast
+          val bOcc = graft.operators.Dedup
             .crossSegOcc(batch.dropDuplicates("doc_id"))
-            .join(occ0.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val bDocs = bOcc.select($"doc_id").distinct()
+          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id",
+            bDocs, bDocs.as[Long].collect().toIndexedSeq)
+          val newOcc = bOcc.join(broadcast(seen), Seq("doc_id"), "left_anti")
             .select($"seg", $"doc_id", $"source", $"occ0", $"occ1")
             .localCheckpoint()
+          val newDocs = newOcc.select($"doc_id").distinct()
+          // per-seg df: delta partials + PRIOR df of exactly the
+          // batch's segments (pruned scan, folded after the prune)
+          val newDf = newOcc.groupBy($"seg").agg(count(lit(1)).as("df"))
+          val batchSegs = newDf.select($"seg")
+          val prior = SegStore.prunedScan(ss, storeDir, "sdf", "seg",
+            batchSegs, batchSegs.as[String].collect().toIndexedSeq)
+            .groupBy($"seg").agg(sum($"df").as("df_prior"))
+          val post = newDf.join(prior, Seq("seg"), "left_outer")
+            .select($"seg", $"df".as("df_delta"),
+              coalesce($"df_prior", lit(0L)).as("df_prior"))
+            .withColumn("df_post", $"df_prior" + $"df_delta")
+            .localCheckpoint() // batch-seg-sized; feeds inserts AND flips
+          // (a) INSERT rows: batch docs against the POST-batch df of
+          // their own segments
+          val inserts = newOcc
+            .join(broadcast(post.select($"seg", $"df_post")), "seg")
+            .groupBy($"doc_id", $"source")
+            .agg(sum($"occ0" + $"occ1").as("segs"),
+              sum(when($"df_post" >= 3, $"occ0" + $"occ1").otherwise(0L))
+                .as("dup_segs"),
+              max(when($"df_post" >= 3 && $"occ0" > 0, 1L).otherwise(0L)).as("f0"),
+              max(when($"df_post" >= 3 && $"occ1" > 0, 1L).otherwise(0L)).as("f1"))
+          // (b) FLIP rows: pre-batch docs holding a segment that
+          // crossed <3 → >=3 this batch (the pruned occ scan reads the
+          // committed store only, so batch docs are not re-counted)
+          val flipped = post.where($"df_prior" < 3 && $"df_post" >= 3)
+            .select($"seg")
+          val flipRows = SegStore.prunedScan(ss, storeDir, "occ", "seg",
+            flipped, flipped.as[String].collect().toIndexedSeq)
+            .select($"doc_id", $"source", lit(0L).as("segs"),
+              ($"occ0" + $"occ1").as("dup_segs"),
+              when($"occ0" > 0, 1L).otherwise(0L).as("f0"),
+              when($"occ1" > 0, 1L).otherwise(0L).as("f1"))
+          val statDelta = inserts.unionByName(flipRows).localCheckpoint()
+          // post-batch doc-grain view: store fold (exchange-free over
+          // the doc_id-bucketed scan) outer-merged with the delta fold
+          val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
           val base = SegStore.active(ss, storeDir).size >= compactEvery
-          val seg = SegStore.segPath(storeDir, batchId, base)
-          (if (base) occ0.union(newOcc) else newOcc)
-            .write.mode("overwrite").parquet(s"$seg/occ")
+          if (base) {
+            val occ0 = readOcc(ss, storeDir)
+            val occAll = occ0.union(newOcc).localCheckpoint()
+            val sdfAll = SegStore.readBucketed(ss, storeDir, "sdf")
+              .getOrElse(Seq.empty[(String, Long)].toDF("seg", "df"))
+              .union(newDf)
+              .groupBy($"seg").agg(sum($"df").as("df")).localCheckpoint()
+            val docsAll = SegStore.readBucketed(ss, storeDir, "docs")
+              .getOrElse(Seq.empty[Long].toDF("doc_id"))
+              .union(newDocs)
+              .localCheckpoint()
+            SegStore.writeBucketed(ss, storeDir, "occ", occAll, batchId)
+            SegStore.writeBucketed(ss, storeDir, "sdf", sdfAll, batchId)
+            SegStore.writeBucketed(ss, storeDir, "docs", docsAll, batchId)
+            // `merged` IS the folded docstat — the compaction reuses it
+            SegStore.writeBucketed(ss, storeDir, "docstat", merged, batchId)
+            graft.operators.Relational.releaseCkpt(occAll, sdfAll, docsAll)
+          } else {
+            SegStore.writeBucketed(ss, storeDir, "occ", newOcc, batchId)
+            SegStore.writeBucketed(ss, storeDir, "sdf", newDf, batchId)
+            SegStore.writeBucketed(ss, storeDir, "docs", newDocs, batchId)
+            SegStore.writeBucketed(ss, storeDir, "docstat", statDelta, batchId)
+          }
           // post-batch snapshot: the readout batch q191 would produce
-          // over everything shipped so far
-          val occAll = occ0.union(newOcc).localCheckpoint()
-          graft.operators.Dedup.crossSegReadout(occAll)
-            .write.mode("overwrite").parquet(outDir)
-          SegStore.commit(ss, storeDir, batchId, base)
-          graft.operators.Relational.releaseCkpt(newOcc, occAll)
+          // over everything shipped so far — source-grain fold of the
+          // merged doc-grain view, published atomically
+          SegStore.writeSnapshot(ss, outDir, sourceGrain(merged), batchId)
+          SegStore.commit(ss, storeDir, batchId, base, runId)
+          graft.operators.Relational.releaseCkpt(bOcc, newOcc, post,
+            statDelta, merged)
         }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The accumulated occurrence table (union of active segments; rows
-    * are per-(seg, doc) distinct by the anti-join discipline). Empty
-    * when no segment has committed yet.
+  /** Doc-grain fold of a docstat partial table: sums for the additive
+    * columns, max for the one-way flags. `source` is functionally
+    * dependent on doc_id, so grouping on doc_id alone keeps the fold
+    * exchange-free over the doc_id-bucketed store scan.
+    */
+  private def docGrain(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.groupBy($"doc_id")
+      .agg(max($"source").as("source"), sum($"segs").as("segs"),
+        sum($"dup_segs").as("dup_segs"), max($"f0").as("f0"), max($"f1").as("f1"))
+  }
+
+  /** The post-batch doc-grain view: committed docstat folded
+    * (exchange-free) outer-joined with the batch's delta fold on
+    * doc_id (the store side is bucketed on doc_id — only the
+    * delta-sized side shuffles). Columns match the docstat layout so
+    * compaction can write it back verbatim.
+    */
+  private def mergedDocstat(ss: SparkSession, storeDir: String,
+      statDelta: DataFrame): DataFrame = {
+    import ss.implicits._
+    val store = docGrain(SegStore.readBucketed(ss, storeDir, "docstat")
+      .getOrElse(Seq.empty[(Long, String, Long, Long, Long, Long)]
+        .toDF("doc_id", "source", "segs", "dup_segs", "f0", "f1")))
+      .select($"doc_id", $"source".as("s_source"), $"segs".as("s_segs"),
+        $"dup_segs".as("s_dup"), $"f0".as("s_f0"), $"f1".as("s_f1"))
+    val delta = docGrain(statDelta)
+      .select($"doc_id", $"source".as("d_source"), $"segs".as("d_segs"),
+        $"dup_segs".as("d_dup"), $"f0".as("d_f0"), $"f1".as("d_f1"))
+    store.join(delta, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"s_source", $"d_source").as("source"),
+        (coalesce($"s_segs", lit(0L)) + coalesce($"d_segs", lit(0L))).as("segs"),
+        (coalesce($"s_dup", lit(0L)) + coalesce($"d_dup", lit(0L))).as("dup_segs"),
+        greatest(coalesce($"s_f0", lit(0L)), coalesce($"d_f0", lit(0L))).as("f0"),
+        greatest(coalesce($"s_f1", lit(0L)), coalesce($"d_f1", lit(0L))).as("f1"))
+  }
+
+  /** The q191-shaped source-grain readout of a doc-grain view — the
+    * same formulas [[graft.operators.Dedup.crossSegReadout]]'s final
+    * fold applies (map-side partials; the shuffle moves #sources rows
+    * per partition).
+    */
+  private def sourceGrain(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"segs").as("n_segs"),
+        sum($"dup_segs").as("dup_segs"),
+        sum($"f0").as("dup_docs_g0"),
+        sum(greatest($"f0", $"f1")).as("dup_docs_any"),
+        sum(when($"f1" === 1 && $"f0" === 0, 1L).otherwise(0L))
+          .as("straddle_docs"))
+      .orderBy($"source")
+  }
+
+  /** The accumulated occurrence table (partition-pruned scan of the
+    * active segments; rows are per-(seg, doc) distinct by the probe
+    * discipline). Empty when no segment has committed yet.
     */
   def readOcc(ss: SparkSession, storeDir: String): DataFrame = {
     import ss.implicits._
-    SegStore.read(ss, storeDir, "occ").getOrElse(
+    SegStore.readBucketed(ss, storeDir, "occ").getOrElse(
       Seq.empty[(String, Long, String, Long, Long)]
         .toDF("seg", "doc_id", "source", "occ0", "occ1"))
   }

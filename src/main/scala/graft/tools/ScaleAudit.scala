@@ -477,27 +477,42 @@ object ScaleAudit {
         val delta = graft.Tables.load(spark, base, "documents")
           .select($"doc_id", $"text").orderBy($"doc_id").limit(200)
           .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"text")
-        def runGate(): Double = time {
+        def runGate(compactEvery: Int = 8): Double = time {
           val q = WinnowStream.nearDupGateStream(
             spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$gw/in"),
-            s"$gw/store", s"$gw/out", s"$gw/ckpt")
+            s"$gw/store", s"$gw/out", s"$gw/ckpt", compactEvery = compactEvery)
           q.awaitTermination()
         }._1
         val tCorpus = runGate()
         delta.write.mode("append").parquet(s"$gw/in")
         val tDelta = runGate()
-        def segBytes(p: String): Long = {
+        def dirBytes(p: String): Long = {
           def walk(f: java.io.File): Long =
             if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
             else f.length()
           walk(new java.io.File(new java.net.URI(
             if (p.startsWith("file:")) p else s"file://$p").getPath))
         }
+        def segBytes(id: Long): Long = Seq("fp", "df", "docs")
+          .map(sub => dirBytes(SegStore.bucketedPartPath(s"$gw/store", sub, id)))
+          .sum
         val segs = SegStore.active(spark, s"$gw/store")
         println(f"[audit] winnow_gate @ $dir: corpus_batch=$tCorpus%.2f s " +
           f"delta_batch=$tDelta%.2f s " +
-          s"corpus_seg_bytes=${segBytes(segs.head.path)} " +
-          s"delta_seg_bytes=${segBytes(segs.last.path)}")
+          s"corpus_seg_bytes=${segBytes(segs.head.id)} " +
+          s"delta_seg_bytes=${segBytes(segs.last.id)}")
+        // compaction cost (the LSM trade as a number): one more
+        // identical tiny delta, but compactEvery=2 forces this batch
+        // to fold the whole store into a base segment — the wall gap
+        // vs the plain delta batch above IS the amortized O(store)
+        // fold, and the base partition's bytes are the store size
+        val delta2 = delta.select(($"doc_id" + lit(1000000L)).as("doc_id"), $"text")
+        delta2.write.mode("append").parquet(s"$gw/in")
+        val tCompact = runGate(compactEvery = 2)
+        val segs2 = SegStore.active(spark, s"$gw/store")
+        println(f"[audit] winnow_gate_compact @ $dir: compact_batch=$tCompact%.2f s " +
+          s"base_seg_bytes=${segBytes(segs2.last.id)} " +
+          s"layout=${segs2.map(x => (x.id, x.base))}")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
