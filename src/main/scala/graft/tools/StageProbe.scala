@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-level wall attribution for q139 (round-13 verdict task #5):
+  * q139 is the slowest honest query (5.7 s judge-isolated at sf0.1)
+  * with candidate filters and verify both already optimal on paper —
+  * before touching anything, MEASURE where the 5.7 s goes. Each stage
+  * is timed cumulatively from a cold cache (stage N's action runs the
+  * full lineage up to N), so stage cost = t(N) - t(N-1) modulo the
+  * persisted toks reuse the query itself gets.
+  *
+  * Usage: runMain graft.tools.StageProbe [sfDir]
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .config("spark.local.dir", graft.Bench.localDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc(); System.gc()
+    }
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    // warm: file listing, codegen of the shared kernels
+    graft.SparkEntry.queries("q139_setsim_join")(spark, dir).count()
+    reset()
+
+    // stage walls, each from a clean session (cumulative lineage)
+    def probe(name: String)(f: => Long): Unit = {
+      val (t, n) = time(f)
+      println(f"[stage] $name%-12s t=$t%6.2f s rows=$n")
+      reset()
+    }
+    probe("toks") {
+      val (toks, ranked, _, _) = graft.operators.Dedup.setsimStreams(spark, dir)
+      val n = toks.count()
+      graft.operators.Relational.releaseCkpt(ranked); n
+    }
+    probe("ranked") {
+      val (_, ranked, _, _) = graft.operators.Dedup.setsimStreams(spark, dir)
+      val n = ranked.count()
+      graft.operators.Relational.releaseCkpt(ranked); n
+    }
+    probe("prefix") {
+      val (_, ranked, _, prefix) = graft.operators.Dedup.setsimStreams(spark, dir)
+      val n = prefix.count()
+      graft.operators.Relational.releaseCkpt(ranked); n
+    }
+    probe("arrs") {
+      val (_, ranked, dt, _) = graft.operators.Dedup.setsimStreams(spark, dir)
+      val n = dt.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"trank")).as("toks"), count(lit(1)).as("n"))
+        .count()
+      graft.operators.Relational.releaseCkpt(ranked); n
+    }
+    probe("cands") {
+      val (_, ranked, _, prefix) = graft.operators.Dedup.setsimStreams(spark, dir)
+      val n = prefix.as("a").join(prefix.as("b"),
+          $"a.trank" === $"b.trank" && $"a.doc_id" < $"b.doc_id" &&
+            least($"a.t", $"b.t") * 10 >= greatest($"a.t", $"b.t") * 9 &&
+            (lit(1) + least($"a.t" - $"a.rn", $"b.t" - $"b.rn")) * 19 >=
+              ($"a.t" + $"b.t") * 9)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct().count()
+      graft.operators.Relational.releaseCkpt(ranked); n
+    }
+    probe("full") {
+      graft.SparkEntry.queries("q139_setsim_join")(spark, dir).count()
+    }
+    spark.stop()
+  }
+}
