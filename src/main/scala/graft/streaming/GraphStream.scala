@@ -91,14 +91,31 @@ object GraphStream {
             SegStore.writeBucketed(ss, storeDir, "degree", newDeg, batchId)
           }
           // the push reads the post-batch graph: committed view + this
-          // batch's (not yet committed) delta
-          val store1 = store0.union(newPairs).localCheckpoint()
-          val deg1 = deg0.union(newDeg)
-            .groupBy($"src").agg(sum($"degree").as("degree"))
-            .localCheckpoint()
-          val snap = graft.operators.GraphOps
-            .forwardPush(ss, store1, deg1, earlyExit = true)
-          SegStore.writeSnapshot(ss, outDir, snap, batchId)
+          // batch's (not yet committed) delta. A batch whose pairs were
+          // ALL replays leaves the graph — and therefore the exact PPR
+          // snapshot — unchanged: skip the push entirely (the common
+          // at-least-once case; exactness trivially preserved). A
+          // partial refresh of a CHANGED graph is NOT attempted: the
+          // push's 6-round thresholded schedule makes est/res
+          // order-dependent and Total/nS couples every component
+          // through the global seed count, so any residual-carryover
+          // shortcut breaks the exact batch-q163 equality this gate
+          // pins (see PLANS.md round-13 for the full analysis).
+          if (newPairs.isEmpty) {
+            if (SegStore.readSnapshot(ss, outDir).isEmpty)
+              SegStore.writeSnapshot(ss, outDir,
+                graft.operators.GraphOps.forwardPush(ss, store0, deg0,
+                  earlyExit = true), batchId)
+          } else {
+            val store1 = store0.union(newPairs).localCheckpoint()
+            val deg1 = deg0.union(newDeg)
+              .groupBy($"src").agg(sum($"degree").as("degree"))
+              .localCheckpoint()
+            val snap = graft.operators.GraphOps
+              .forwardPush(ss, store1, deg1, earlyExit = true)
+            SegStore.writeSnapshot(ss, outDir, snap, batchId)
+            graft.operators.Relational.releaseCkpt(store1, deg1, snap)
+          }
           // marker LAST: store delta + snapshot are on disk, so replay
           // after any crash point redoes the whole batch idempotently
           SegStore.commit(ss, storeDir, batchId, base, runId)
@@ -106,7 +123,7 @@ object GraphStream {
           // checkpoints' blocks accumulate across micro-batches for the
           // life of the stream (Dataset.unpersist never sees a local
           // checkpoint)
-          graft.operators.Relational.releaseCkpt(up, newPairs, store1, deg1, snap)
+          graft.operators.Relational.releaseCkpt(up, newPairs)
         }
         ()
       }

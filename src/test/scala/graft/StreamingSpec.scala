@@ -839,6 +839,47 @@ class StreamingSpec extends AnyFunSuite {
       "planted offset copies changed nothing - flip path not exercised")
   }
 
+  test("graph gate skips the push on a no-op batch: snapshot pointer and rows unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{GraphStream, SegStore}
+    val work = Files.createTempDirectory("graft_ppr_noop_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val pairs = graft.operators.BipartiteGraph.pairs(spark, sf)
+    shipFile(pairs, "0_full")
+    val stream = spark.readStream.schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    def runOnce(): Unit = GraphStream.pprPushStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt").awaitTermination()
+    runOnce()
+    def ptrIds = new java.io.File(s"$work/out").listFiles()
+      .map(_.getName).filter(_.startsWith("_PTR_")).toSet
+    val ptr0 = ptrIds
+    assert(ptr0 == Set("_PTR_0"))
+    val snap0 = SegStore.readSnapshot(spark, s"$work/out").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 1 re-delivers ONLY already-stored pairs: the graph is
+    // unchanged, so the gate must skip the push entirely — the
+    // snapshot pointer stays at batch 0 and the rows stay exact
+    shipFile(pairs.limit(500), "1_replay")
+    runOnce()
+    assert(ptrIds == ptr0, s"no-op batch republished the snapshot: $ptrIds")
+    val snap1 = SegStore.readSnapshot(spark, s"$work/out").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q163_ppr_forward_push")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap1 == snap0 && snap1 == batch,
+      "no-op batch perturbed the PPR snapshot")
+  }
+
   test("gate store access is scan-only: exchange-free folds, pruned pushed-down probes") {
     import org.apache.spark.sql.functions._
     import graft.streaming.{SegStore, WinnowStream}
