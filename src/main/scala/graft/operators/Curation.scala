@@ -467,6 +467,66 @@ object Curation {
       .orderBy($"split_lo", $"split_hi")
   }
 
+  /** q196: ALIGNMENT-INDEPENDENT split-leakage audit — q194's census
+    * re-run on the evidence q192 produces instead of q29's. q194
+    * catches near-dup DOCUMENTS straddling the split boundary (char-
+    * 3-gram Jaccard >= 0.8 — whole-document similarity); a >= 15-word
+    * SPAN copied between two otherwise-different documents (a quoted
+    * paragraph, a license block, a shared benchmark prompt) sails
+    * under that Jaccard and under q194, yet it is exactly the
+    * train/eval contamination Lee et al. ACL'22 §6 measures. q192's
+    * word-level winnowing selection guarantees any such span yields a
+    * shared selected fingerprint AT ARBITRARY ALIGNMENT, so the audit
+    * here is: for every selected fingerprint whose holders span two
+    * splits, census the (split_lo, split_hi) pair — n_fps (distinct
+    * leaking fingerprints) and the distinct documents touched on each
+    * side. The split assignment is [[splitOf]] — the SAME derivation
+    * q122 enforces and q194 audits (one site, never a drifting copy).
+    *
+    * Scale shape (the q193/q160 device, never a doc-pair join): the
+    * winnowing selection is q192's map-only + per-doc-window stage;
+    * the split label is a map-side function of the row's own source;
+    * per-fp split SETS are collected in one fp-keyed fold (set size
+    * <= 3 BY DOMAIN, so the pair expansion is a map-side explode
+    * bounded by 3 choose 2 — PlanInvariantsSpec pins Generate explode
+    * and no cartesian); the doc census joins the <= 3-rows-per-fp
+    * pair list back fp-keyed (AQE-splittable); the final fold's grain
+    * is the 3-row split-pair domain, where countDistinct is safe (the
+    * q194 precedent).
+    */
+  val q196_winnow_split_leakage: Q = (spark, dir) =>
+    winnowSplitLeakage(spark, dir, seal = true)
+
+  /** `seal = false`: lazy plan (no checkpoints) for the spec's shape pin. */
+  private[graft] def winnowSplitLeakage(spark: SparkSession, dir: String,
+      seal: Boolean): DataFrame = {
+    import spark.implicits._
+    val selLazy = Dedup.winnowSel(Tables.load(spark, dir, "documents"))
+      .withColumn("split", splitOf($"source"))
+    // checkpointed when executing: feeds the fp fold AND the doc join-back
+    val sel = if (seal) selLazy.localCheckpoint() else selLazy
+    val pairsLazy = sel.select($"fp", $"split").distinct()
+      .groupBy($"fp").agg(collect_set($"split").as("splits"))
+      .where(size($"splits") >= 2)
+      .select($"fp", explode(expr(
+        "flatten(transform(splits, (x, i) -> " +
+          "transform(slice(splits, i + 2, size(splits)), " +
+          "y -> named_struct('lo', least(x, y), 'hi', greatest(x, y)))))"))
+        .as("p"))
+      .select($"fp", $"p.lo".as("split_lo"), $"p.hi".as("split_hi"))
+    val pairs = if (seal) pairsLazy.localCheckpoint() else pairsLazy
+    val census = pairs.groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_fps")) // one row per fp per pair
+    val docs = pairs.join(sel.select($"fp", $"doc_id", $"split"), "fp")
+      .where($"split" === $"split_lo" || $"split" === $"split_hi")
+      .groupBy($"split_lo", $"split_hi")
+      .agg(countDistinct(when($"split" === $"split_lo", $"doc_id")).as("n_docs_lo"),
+        countDistinct(when($"split" === $"split_hi", $"doc_id")).as("n_docs_hi"))
+    val out = census.join(docs, Seq("split_lo", "split_hi"))
+      .orderBy($"split_lo", $"split_hi")
+    if (seal) Relational.dropAfter(out, sel, pairs) else out
+  }
+
   val q122_group_split: Q = (spark, dir) => {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -1079,6 +1139,53 @@ object Curation {
         |  CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
         |  CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
         |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q196_winnow_split_leakage" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, i, array_to_string(ws[i : i + 7], ' ') AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 6)) AS u(i)
+        |  WHERE len(ws) >= 15),
+        |win AS (
+        |  SELECT doc_id, source,
+        |    min(g) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+        |  FROM pos),
+        |sel0 AS (SELECT DISTINCT doc_id, source, fp FROM win WHERE cnt = 8),
+        |sel AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN (ascii(substring(md5(source),1,1))*31
+        |               + ascii(substring(md5(source),2,1))) % 10 < 8 THEN 'train'
+        |         WHEN (ascii(substring(md5(source),1,1))*31
+        |               + ascii(substring(md5(source),2,1))) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM sel0),
+        |fsp AS (SELECT DISTINCT fp, split FROM sel),
+        |pairs AS (
+        |  SELECT a.fp, a.split AS split_lo, b.split AS split_hi
+        |  FROM fsp a JOIN fsp b ON a.fp = b.fp AND a.split < b.split),
+        |census AS (
+        |  SELECT split_lo, split_hi, COUNT(*) AS n_fps
+        |  FROM pairs GROUP BY 1, 2),
+        |ds AS (
+        |  SELECT p.split_lo, p.split_hi,
+        |    COUNT(DISTINCT CASE WHEN s.split = p.split_lo THEN s.doc_id END)
+        |      AS n_docs_lo,
+        |    COUNT(DISTINCT CASE WHEN s.split = p.split_hi THEN s.doc_id END)
+        |      AS n_docs_hi
+        |  FROM pairs p JOIN sel s USING (fp)
+        |  WHERE s.split IN (p.split_lo, p.split_hi)
+        |  GROUP BY 1, 2)
+        |SELECT split_lo, split_hi, CAST(n_fps AS BIGINT) AS n_fps,
+        |  CAST(n_docs_lo AS BIGINT) AS n_docs_lo,
+        |  CAST(n_docs_hi AS BIGINT) AS n_docs_hi
+        |FROM census JOIN ds USING (split_lo, split_hi)
+        |ORDER BY split_lo, split_hi""".stripMargin,
     "q178_curate_card_diff" -> curateOracle,
     "q152_cdc_apply" ->
       """WITH o AS (
@@ -1452,5 +1559,6 @@ object Curation {
     "q178_curate_card_diff" -> q178_curate_card_diff,
     "q149_skyline" -> q149_skyline,
     "q152_cdc_apply" -> q152_cdc_apply,
-    "q194_split_leakage" -> q194_split_leakage)
+    "q194_split_leakage" -> q194_split_leakage,
+    "q196_winnow_split_leakage" -> q196_winnow_split_leakage)
 }

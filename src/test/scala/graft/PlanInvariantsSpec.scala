@@ -185,6 +185,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"no map-side pair expansion:\n$p")
   }
 
+  test("q196: split pairs expand map-side from the per-fp split set; no doc-pair join") {
+    val p = graft.operators.Curation.winnowSplitLeakage(spark, sf, seal = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pairing:\n$p")
+    // the (split_lo, split_hi) expansion is a Generate over the
+    // collected per-fp split set (<= 3 choose 2) — the q193/q160
+    // device; a fp self-join would re-admit the quadratic blow-up
+    assert(p.contains("Generate explode"), s"no map-side pair expansion:\n$p")
+    // the winnow selection stays a per-doc window, never single-task
+    assert(!p.contains("Exchange SinglePartition"), s"single-task stage:\n$p")
+  }
+
   test("q166: OLS is one partial-agg shuffle; the solve is projection-only") {
     val p = plan("q166_ols")
     assert(p.contains("partial_sum"), s"no map-side moment partials:\n$p")
