@@ -853,6 +853,77 @@ object Dedup {
       .select($"doc_id", $"source", $"fp").distinct()
   }
 
+  /** q197: EXACT duplicated-run extents — the Lee et al. ACL'22 §3.1
+    * exact-substring ground truth (at word granularity, K = 15) that
+    * the whole sampled/gridded scrub family (q185/q191/q192)
+    * approximates. Every word-15-gram of every document is emitted
+    * (no grid, no selection), a gram is DUPLICATED when held by >= 2
+    * distinct docs, and each doc's duplicated gram POSITIONS are
+    * coalesced into maximal word intervals (two duplicated grams'
+    * 15-word covers overlap iff their starts differ by <= 14, so a
+    * gaps-and-islands pass with tolerance 14 yields the exact union
+    * of covered words — no double counting). Output: per source, docs
+    * carrying any >= 15-word cross-doc duplicated run, the exact word
+    * count those runs cover, and coverage x1000.
+    *
+    * This is the reference scale trade in reverse: the gram stream is
+    * the FULL ~n_words rows (q192 shuffles only the selected ~2/(w+1)
+    * fraction), so this query costs ~4-5x q192 and is the audit you
+    * run on a sample or a suspect slice, not the per-ingest gate —
+    * while its answer is exact, not a guarantee bound. At 100 TB the
+    * gram text would be hashed before the shuffle (collision-checked,
+    * q28's device); the text key is kept here so the DuckDB oracle
+    * stays hash-free (the q185/q191/q192 discipline). Plan: one scan
+    * explodes grams (map-only), one gram-keyed fold for df (map-side
+    * combinable), the duplicated gram set joins back gram-keyed
+    * (AQE-splittable), the island pass is a PER-DOC window
+    * (doc-sized partitions), then doc- and source-grain folds.
+    *
+    * DedupSpec cross-validates the family guarantee against this
+    * exact truth: every doc q197 finds sharing a >= 15-word run with
+    * >= 2 other docs must be flagged by q192's winnowing scrub.
+    */
+  val q197_exact_dup_runs: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 15
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      .select($"doc_id", $"source", size($"ws").as("nw"), explode(expr(
+        s"if(size(ws) >= $k, transform(sequence(1, size(ws) - ${k - 1})," +
+          s" i -> named_struct('i', i, 'g', concat_ws(' ', slice(ws, i, $k))))," +
+          " array())")).as("p"))
+      .select($"doc_id", $"source", $"nw", $"p.i".as("i"), $"p.g".as("g"))
+      .localCheckpoint() // feeds df AND the join-back
+    val dup = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("df")).where($"df" >= 2)
+    val pos = grams.join(dup, "g").select($"doc_id", $"source", $"nw", $"i")
+    // gaps-and-islands, tolerance k-1: starts <= 14 apart cover
+    // overlapping words, so they merge into one exact interval
+    val wD = Window.partitionBy($"doc_id").orderBy($"i")
+    val runs = pos
+      .withColumn("brk",
+        when(coalesce($"i" - lag($"i", 1).over(wD), lit(Long.MaxValue)) > k - 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"brk").over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"source", $"nw", $"island")
+      .agg((max($"i") - min($"i") + k).as("covered"))
+    val docs = runs.groupBy($"doc_id", $"source", $"nw")
+      .agg(sum($"covered").as("covered"), count(lit(1)).as("n_runs"))
+    val out = docs.groupBy($"source")
+      .agg(count(lit(1)).as("dup_docs"),
+        sum($"n_runs").as("n_runs"),
+        sum($"covered").as("covered_words"),
+        sum($"nw").as("their_words"),
+        expr("CAST(sum(covered) * 1000 DIV sum(nw) AS BIGINT)")
+          .as("covered_x1000"))
+      .orderBy($"source")
+    Relational.dropAfter(out, grams)
+  }
+
   /** q164: winnowing fingerprint overlap join (Schleimer-Wilkerson-Aiken
     * SIGMOD'03 — the MOSS algorithm). The fifth blocking family next to
     * LSH bands (q29), SimHash pigeonholes (q30), prefix filters (q139),
@@ -1197,6 +1268,45 @@ object Dedup {
         |  CAST(SUM(flag) AS BIGINT) AS dup_docs,
         |  CAST(SUM(dup_fps) * 1000 // SUM(fps) AS BIGINT) AS dup_x1000
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q197_exact_dup_runs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, source, len(ws) AS nw, i,
+        |    array_to_string(ws[i : i + 14], ' ') AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 13)) AS u(i)
+        |  WHERE len(ws) >= 15),
+        |dup AS (
+        |  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM gr GROUP BY 1)
+        |  WHERE df >= 2),
+        |pos AS (SELECT doc_id, source, nw, i FROM gr JOIN dup USING (g)),
+        |brk AS (
+        |  SELECT doc_id, source, nw, i,
+        |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 14
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM pos),
+        |isl AS (
+        |  SELECT doc_id, source, nw, i,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk),
+        |runs AS (
+        |  SELECT doc_id, source, nw, island, MAX(i) - MIN(i) + 15 AS covered
+        |  FROM isl GROUP BY 1, 2, 3, 4),
+        |d AS (
+        |  SELECT doc_id, source, nw, SUM(covered) AS covered,
+        |    COUNT(*) AS n_runs
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(n_runs) AS BIGINT) AS n_runs,
+        |  CAST(SUM(covered) AS BIGINT) AS covered_words,
+        |  CAST(SUM(nw) AS BIGINT) AS their_words,
+        |  CAST(SUM(covered) * 1000 // SUM(nw) AS BIGINT) AS covered_x1000
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q193_source_contamination" -> (winnowSelCtes +
       """,
         |sfp AS (
@@ -1375,5 +1485,6 @@ object Dedup {
     "q185_segment_scrub" -> q185_segment_scrub,
     "q191_cross_segment_scrub" -> q191_cross_segment_scrub,
     "q192_winnow_scrub" -> q192_winnow_scrub,
-    "q193_source_contamination" -> q193_source_contamination)
+    "q193_source_contamination" -> q193_source_contamination,
+    "q197_exact_dup_runs" -> q197_exact_dup_runs)
 }

@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 196)
-    assert(SparkEntry.oracleSql.size == 190) // 6 rows-only by design (all approximate/recall-pinned)
+    assert(SparkEntry.queries.size == 197)
+    assert(SparkEntry.oracleSql.size == 191) // 6 rows-only by design (all approximate/recall-pinned)
   }
 
   test("entry() flagship smoke: rows > 0") {
@@ -250,6 +250,39 @@ class QuerySuiteSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).head
     assert(out == ((0L, 3L, 3L)),
       s"expected all 3 docs caught only by the offset grid, got $out")
+  }
+
+  test("q197 exact truth validates the q192 winnowing guarantee: every exact >= 15-word x >= 3-doc run is winnow-flagged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exact ground truth, recomputed at the q192 threshold (df >= 3
+    // distinct docs per duplicated 15-gram — q197 itself censuses at
+    // df >= 2): docs carrying a word-15-gram shared with >= 2 others
+    val grams = Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        expr("filter(split(lower(trim(text)), '\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      .where(size($"ws") >= 15)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 14)," +
+          " i -> concat_ws(' ', slice(ws, i, 15)))")).as("g"))
+    val dup3 = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("df")).where($"df" >= 3)
+    val exactDocs = grams.join(dup3, "g").select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(exactDocs.nonEmpty, "fixture has no >= 3-doc duplicated runs")
+    // q192's doc-grain flags (the selection + df >= 3 rule the scrub
+    // aggregates per source)
+    val sel = graft.operators.Dedup.winnowSel(
+      Tables.load(spark, sf, "documents"))
+    val fdf = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val flagged = sel.join(fdf.where($"df" >= 3), "fp")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    // the SIGMOD'03 guarantee (K = k + w - 1 = 15, arbitrary
+    // alignment): every doc in the exact truth must be flagged
+    val missed = exactDocs.diff(flagged)
+    assert(missed.isEmpty,
+      s"winnowing guarantee violated for docs ${missed.take(5)}")
   }
 
   test("q186/q187: LM-quality and DSIR feature counts agree; buckets disjoint") {
