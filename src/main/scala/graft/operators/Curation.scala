@@ -555,6 +555,58 @@ object Curation {
     when(b < 8, "train").when(b === 8, "val").otherwise("test")
   }
 
+  /** q198: right-to-be-forgotten DEBT audit — the deletion-compliance
+    * census every CDC-materialized training store owes its users.
+    * Take the key-compacted state of the event log (q152 semantics:
+    * latest op per key, tombstone = 'error') and the state a STALE
+    * snapshot taken at the log's midpoint would hold (same fold over
+    * ts <= cutoff, cutoff = midpoint of the log's time range), and
+    * classify every key by the (stale, final) transition:
+    * `forgotten` (live at the snapshot, tombstoned since) is the
+    * compliance-relevant set — any artifact derived from the stale
+    * snapshot (a packed training shard, an embedding index, a
+    * materialized aggregate) still carries those users' data and owes
+    * a re-materialization; `resurrected`, `retained`, `created`,
+    * `created_deleted` and `still_deleted` complete the census, each
+    * with the op volume that arrived after the snapshot (the replay
+    * cost of paying the debt). The streaming twin of the underlying
+    * store is [[graft.streaming.EventsStream.cdcMaterialize]] —
+    * tombstones are KEPT there for exactly this audit.
+    *
+    * Scale shape: one O(1)-row min/max scan fixes the cutoff, then
+    * ONE key-grain aggregate computes final op, stale op and
+    * after-cutoff volume together (conditional max_by — map-side
+    * combinable, no second scan, no self-join), and the census fold's
+    * grain is the 6-label transition domain.
+    */
+  val q198_forgotten_debt: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id".as("key"), $"ts", $"event_id",
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"))
+    val mm = ev.agg(min($"ts"), max($"ts")).head()
+    val cutoff = (mm.getLong(0) + mm.getLong(1)) / 2
+    val keyed = ev.groupBy($"key").agg(
+      expr("max_by(op, struct(ts, event_id))").as("fin_op"),
+      expr(s"max_by(CASE WHEN ts <= ${cutoff}L THEN op END, " +
+        s"CASE WHEN ts <= ${cutoff}L THEN struct(ts, event_id) END)")
+        .as("stale_op"),
+      sum(when($"ts" > cutoff, 1L).otherwise(0L)).as("ops_after"))
+    keyed
+      .select(
+        when($"stale_op".isNull,
+            when($"fin_op" === "D", "created_deleted").otherwise("created"))
+          .when($"stale_op" === "D",
+            when($"fin_op" === "D", "still_deleted").otherwise("resurrected"))
+          .otherwise(
+            when($"fin_op" === "D", "forgotten").otherwise("retained"))
+          .as("status"),
+        $"ops_after")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_keys"), sum($"ops_after").as("ops_after"))
+      .orderBy($"status")
+  }
+
   /** k-anonymity audit (Sweeney 2002) over the customer dimension:
     * group by the quasi-identifier tuple (market segment, nation,
     * account-balance band) and flag every group smaller than k=5 —
@@ -1187,6 +1239,43 @@ object Curation {
         |FROM census JOIN ds USING (split_lo, split_hi)
         |ORDER BY split_lo, split_hi""".stripMargin,
     "q178_curate_card_diff" -> curateOracle,
+    "q198_forgotten_debt" ->
+      """WITH c AS (
+        |  SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS cutoff
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id AS key,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |fin AS (SELECT key, op FROM o WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id AS key,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events, c WHERE epoch_ns(ts) <= cutoff),
+        |stale AS (SELECT key, op FROM s WHERE rn = 1),
+        |aft AS (
+        |  SELECT user_id AS key, COUNT(*) AS ops_after
+        |  FROM events, c WHERE epoch_ns(ts) > cutoff GROUP BY 1),
+        |cls AS (
+        |  SELECT f.key,
+        |    CASE WHEN st.key IS NULL THEN
+        |           CASE WHEN f.op = 'D' THEN 'created_deleted' ELSE 'created' END
+        |         WHEN st.op = 'D' THEN
+        |           CASE WHEN f.op = 'D' THEN 'still_deleted' ELSE 'resurrected' END
+        |         ELSE
+        |           CASE WHEN f.op = 'D' THEN 'forgotten' ELSE 'retained' END
+        |    END AS status,
+        |    COALESCE(a.ops_after, 0) AS ops_after
+        |  FROM fin f
+        |  LEFT JOIN stale st ON f.key = st.key
+        |  LEFT JOIN aft a ON f.key = a.key)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(ops_after) AS BIGINT) AS ops_after
+        |FROM cls GROUP BY status ORDER BY status""".stripMargin,
     "q152_cdc_apply" ->
       """WITH o AS (
         |  SELECT user_id AS key, value,
@@ -1560,5 +1649,6 @@ object Curation {
     "q149_skyline" -> q149_skyline,
     "q152_cdc_apply" -> q152_cdc_apply,
     "q194_split_leakage" -> q194_split_leakage,
-    "q196_winnow_split_leakage" -> q196_winnow_split_leakage)
+    "q196_winnow_split_leakage" -> q196_winnow_split_leakage,
+    "q198_forgotten_debt" -> q198_forgotten_debt)
 }
