@@ -275,6 +275,42 @@ object Curation {
     * the per-rule rows are exploded from the one-row aggregate. All
     * integer — hash-exact.
     */
+  /** q199: Benford leading-digit audit (Benford 1938; Nigrini's
+    * fraud-screen formulation) over order totals — the
+    * data-quality screen for fabricated or truncated numeric columns:
+    * naturally-occurring multi-scale amounts follow
+    * P(d) = log10(1 + 1/d), and a synthesized or clipped column
+    * deviates loudly. Output per leading digit 1-9: count, observed
+    * share x1000, the Benford expectation x1000 (fixed integer
+    * constants — no cross-engine libm), and |deviation| x1000.
+    *
+    * Engine-exactness: the leading digit is taken from the INTEGER
+    * cents (ROUND(price*100)) rendered as a string — integer-to-string
+    * is locale-free on both engines, and x100 never changes a leading
+    * digit — avoiding the floor(v/10^floor(log10 v)) float path whose
+    * boundary cases (999.99... vs 1000) can split engines. Scale
+    * shape: one map-only projection, one 9-row fold with map-side
+    * partials, broadcast total.
+    */
+  val q199_benford: Q = (spark, dir) => {
+    import spark.implicits._
+    // log10(1 + 1/d) * 1000, d = 1..9, rounded — shared literals
+    val exp1000 = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val expCol = expr(s"element_at(array(${exp1000.mkString(",")}), " +
+      "CAST(digit AS INT))")
+    val digits = Tables.load(spark, dir, "orders")
+      .select(substring(expr("CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) " +
+        "AS STRING)"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum($"n")).head().getLong(0)
+    digits
+      .withColumn("obs_x1000", expr(s"n * 1000 DIV ${total}L"))
+      .withColumn("exp_x1000", expCol)
+      .withColumn("dev_x1000", abs($"obs_x1000" - $"exp_x1000"))
+      .select($"digit", $"n", $"obs_x1000", $"exp_x1000", $"dev_x1000")
+      .orderBy($"digit")
+  }
+
   val q97_dq_report: Q = (spark, dir) => {
     import spark.implicits._
     def rules(agged: DataFrame, pairs: (String, String)*): DataFrame =
@@ -1239,6 +1275,21 @@ object Curation {
         |FROM census JOIN ds USING (split_lo, split_hi)
         |ORDER BY split_lo, split_hi""".stripMargin,
     "q178_curate_card_diff" -> curateOracle,
+    "q199_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM c),
+        |e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+        |  (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) AS v(digit, exp_x1000))
+        |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n * 1000 // t.total AS BIGINT) AS obs_x1000,
+        |  CAST(e.exp_x1000 AS BIGINT) AS exp_x1000,
+        |  CAST(ABS(c.n * 1000 // t.total - e.exp_x1000) AS BIGINT) AS dev_x1000
+        |FROM c JOIN e ON c.digit = e.digit CROSS JOIN t
+        |ORDER BY c.digit""".stripMargin,
     "q198_forgotten_debt" ->
       """WITH c AS (
         |  SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS cutoff
@@ -1650,5 +1701,6 @@ object Curation {
     "q152_cdc_apply" -> q152_cdc_apply,
     "q194_split_leakage" -> q194_split_leakage,
     "q196_winnow_split_leakage" -> q196_winnow_split_leakage,
-    "q198_forgotten_debt" -> q198_forgotten_debt)
+    "q198_forgotten_debt" -> q198_forgotten_debt,
+    "q199_benford" -> q199_benford)
 }

@@ -53,8 +53,8 @@ class QuerySuiteSpec extends AnyFunSuite {
       Curation.queries.size + Analytics.queries.size + GraphOps.queries.size
     assert(SparkEntry.queries.size == expected,
       s"map-merge lost keys: ${SparkEntry.queries.size} != $expected")
-    assert(SparkEntry.queries.size == 198)
-    assert(SparkEntry.oracleSql.size == 192) // 6 rows-only by design (all approximate/recall-pinned)
+    assert(SparkEntry.queries.size == 199)
+    assert(SparkEntry.oracleSql.size == 193) // 6 rows-only by design (all approximate/recall-pinned)
   }
 
   test("entry() flagship smoke: rows > 0") {
