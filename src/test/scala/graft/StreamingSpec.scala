@@ -993,6 +993,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(SegStore.readSnapshot(spark, out).get.count() == 2)
   }
 
+  test("scrub gates under aggressive compaction (compactEvery=1): readouts unchanged, base-only layout") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{SegScrubStream, SegStore, WinnowScrubStream}
+    val work = Files.createTempDirectory("graft_scrub_compact_").toString
+    def shipFile(src: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      new java.io.File(src).mkdirs()
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // three batches: batch 1 compacts batch 0's delta; batch 2
+    // compacts again AND must fold the batch-1 base correctly —
+    // docstat/sdf/occ(sel)/docs all go through their base-fold branch
+    def ship3(src: String): Unit = {
+      shipFile(src, docs.where(col("doc_id") % 3 === 0), "0_a")
+      shipFile(src, docs.where(col("doc_id") % 3 === 1), "1_b")
+      shipFile(src, docs.where(col("doc_id") % 3 === 2)
+        .union(docs.where(col("doc_id") % 9 === 0)), "2_c") // + re-delivery
+    }
+    // --- SegScrubStream (q191 twin) ---
+    locally {
+      val src = s"$work/seg/in"
+      ship3(src)
+      val stream = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      SegScrubStream.scrubStream(stream, s"$work/seg/store", s"$work/seg/out",
+        s"$work/seg/ckpt", compactEvery = 1).awaitTermination()
+      val segs = SegStore.active(spark, s"$work/seg/store")
+      assert(segs.map(_.base) == Seq(true), s"seg layout: $segs")
+      val snap = SegStore.readSnapshot(spark, s"$work/seg/out").get
+      val want = graft.operators.Dedup.crossSegReadout(
+        graft.operators.Dedup.crossSegOcc(docs))
+      assert(snap.except(want).isEmpty && want.except(snap).isEmpty,
+        "compacted scrub readout != batch readout")
+    }
+    // --- WinnowScrubStream (q192 twin) ---
+    locally {
+      val src = s"$work/win/in"
+      ship3(src)
+      val stream = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      WinnowScrubStream.winnowScrubStream(stream, s"$work/win/store",
+        s"$work/win/out", s"$work/win/ckpt", compactEvery = 1).awaitTermination()
+      val segs = SegStore.active(spark, s"$work/win/store")
+      assert(segs.map(_.base) == Seq(true), s"win layout: $segs")
+      val snap = SegStore.readSnapshot(spark, s"$work/win/out").get
+      val want = graft.operators.Dedup.winnowReadout(
+        graft.operators.Dedup.winnowSel(docs), seal = false)
+      assert(snap.except(want).isEmpty && want.except(snap).isEmpty,
+        "compacted winnow-scrub readout != batch readout")
+    }
+  }
+
   test("graph store under aggressive compaction (compactEvery=1): snapshot unchanged, base-only layout") {
     import org.apache.spark.sql.functions._
     import graft.streaming.{GraphStream, SegStore}
