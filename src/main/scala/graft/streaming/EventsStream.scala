@@ -331,14 +331,9 @@ object EventsStream {
           // only, which is exact because restricting to a key subset
           // commutes with the per-key argmax)
           val bKeys = up.select($"key")
-          val keys = bKeys.as[Long].collect().toIndexedSeq
-          val prunedKv = SegStore.readBucketedTagged(ss, storeDir, "kv") match {
-            case None => ss.emptyDataset[CdcUpdate].toDF()
-              .withColumn("_seg", lit(0L))
-            case Some(t) if keys.size <= SegStore.maxPushKeys =>
-              t.where($"key".isin(keys: _*))
-            case Some(t) => t.join(broadcast(bKeys), Seq("key"), "left_semi")
-          }
+          val prunedKv = SegStore.prunedScanTagged(ss, storeDir, "kv", "key", bKeys)
+            .getOrElse(ss.emptyDataset[CdcUpdate].toDF()
+              .withColumn("_seg", lit(0L)))
           val old = contrib(resolveLatest(prunedKv))
           val neu = contrib(up)
           val agg1 = CdcAgg(

@@ -71,8 +71,7 @@ object GraphStream {
           // (broadcast) shrinks the hit set to <= batch size, and THAT
           // broadcasts into the anti — the store is never shuffled
           val bCs = up.select($"c").distinct()
-          val present = SegStore.prunedScan(ss, storeDir, "pairs", "c",
-            bCs, bCs.as[Long].collect().toIndexedSeq)
+          val present = SegStore.prunedScan(ss, storeDir, "pairs", "c", bCs)
             .join(broadcast(up), Seq("c", "s"), "left_semi")
           val newPairs = up.join(broadcast(present), Seq("c", "s"), "left_anti")
             .localCheckpoint()

@@ -101,8 +101,7 @@ object SegScrubStream {
             .crossSegOcc(batch.dropDuplicates("doc_id"))
             .localCheckpoint()
           val bDocs = bOcc.select($"doc_id").distinct()
-          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id",
-            bDocs, bDocs.as[Long].collect().toIndexedSeq)
+          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
           val newOcc = bOcc.join(broadcast(seen), Seq("doc_id"), "left_anti")
             .select($"seg", $"doc_id", $"source", $"occ0", $"occ1")
             .localCheckpoint()
@@ -111,8 +110,7 @@ object SegScrubStream {
           // batch's segments (pruned scan, folded after the prune)
           val newDf = newOcc.groupBy($"seg").agg(count(lit(1)).as("df"))
           val batchSegs = newDf.select($"seg")
-          val prior = SegStore.prunedScan(ss, storeDir, "sdf", "seg",
-            batchSegs, batchSegs.as[String].collect().toIndexedSeq)
+          val prior = SegStore.prunedScan(ss, storeDir, "sdf", "seg", batchSegs)
             .groupBy($"seg").agg(sum($"df").as("df_prior"))
           val post = newDf.join(prior, Seq("seg"), "left_outer")
             .select($"seg", $"df".as("df_delta"),
@@ -134,8 +132,7 @@ object SegScrubStream {
           // committed store only, so batch docs are not re-counted)
           val flipped = post.where($"df_prior" < 3 && $"df_post" >= 3)
             .select($"seg")
-          val flipRows = SegStore.prunedScan(ss, storeDir, "occ", "seg",
-            flipped, flipped.as[String].collect().toIndexedSeq)
+          val flipRows = SegStore.prunedScan(ss, storeDir, "occ", "seg", flipped)
             .select($"doc_id", $"source", lit(0L).as("segs"),
               ($"occ0" + $"occ1").as("dup_segs"),
               when($"occ0" > 0, 1L).otherwise(0L).as("f0"),

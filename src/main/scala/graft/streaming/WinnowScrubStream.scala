@@ -66,16 +66,14 @@ object WinnowScrubStream {
             .winnowSel(batch.dropDuplicates("doc_id"))
             .localCheckpoint()
           val bDocs = bSel.select($"doc_id").distinct()
-          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id",
-            bDocs, bDocs.as[Long].collect().toIndexedSeq)
+          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
           val newSel = bSel.join(broadcast(seen), Seq("doc_id"), "left_anti")
             .select($"fp", $"doc_id", $"source")
             .localCheckpoint()
           val newDocs = newSel.select($"doc_id").distinct()
           val newDf = newSel.groupBy($"fp").agg(count(lit(1)).as("df"))
           val batchFps = newDf.select($"fp")
-          val prior = SegStore.prunedScan(ss, storeDir, "fdf", "fp",
-            batchFps, batchFps.as[String].collect().toIndexedSeq)
+          val prior = SegStore.prunedScan(ss, storeDir, "fdf", "fp", batchFps)
             .groupBy($"fp").agg(sum($"df").as("df_prior"))
           val post = newDf.join(prior, Seq("fp"), "left_outer")
             .select($"fp", $"df".as("df_delta"),
@@ -90,8 +88,7 @@ object WinnowScrubStream {
               max(when($"df_post" >= 3, 1L).otherwise(0L)).as("flag"))
           val flipped = post.where($"df_prior" < 3 && $"df_post" >= 3)
             .select($"fp")
-          val flipRows = SegStore.prunedScan(ss, storeDir, "sel", "fp",
-            flipped, flipped.as[String].collect().toIndexedSeq)
+          val flipRows = SegStore.prunedScan(ss, storeDir, "sel", "fp", flipped)
             .select($"doc_id", $"source", lit(0L).as("fps"),
               lit(1L).as("dup_fps"), lit(1L).as("flag"))
           val statDelta = inserts.unionByName(flipRows).localCheckpoint()

@@ -104,8 +104,7 @@ object WinnowStream {
           // seen-before set comes from a PRUNED scan of the docs
           // sub-table (≤ batch-sized result), broadcast into the anti
           val bDocs = bfp.select($"doc_id").distinct()
-          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id",
-            bDocs, bDocs.as[Long].collect().toIndexedSeq)
+          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
           val newFp = bfp.join(broadcast(seen), Seq("doc_id"), "left_anti")
             .localCheckpoint()
           val flags = probeFlags(ss, storeDir, newFp)
@@ -149,13 +148,11 @@ object WinnowStream {
     import ss.implicits._
     val batchHs = newFp.select($"h").distinct()
     // df cap over PRE-batch partials, folded only after the prune
-    val dfRel = SegStore.prunedScan(ss, storeDir, "df", "h",
-      batchHs, batchHs.as[Long].collect().toIndexedSeq)
+    val dfRel = SegStore.prunedScan(ss, storeDir, "df", "h", batchHs)
       .groupBy($"h").agg(sum($"df").as("df"))
       .where($"df" <= 16)
     val capHs = dfRel.select($"h")
-    val olds = SegStore.prunedScan(ss, storeDir, "fp", "h",
-      capHs, capHs.as[Long].collect().toIndexedSeq)
+    val olds = SegStore.prunedScan(ss, storeDir, "fp", "h", capHs)
     broadcast(newFp.select($"doc_id".as("new_doc"), $"h"))
       .join(olds.select($"doc_id".as("old_doc"), $"h"), "h")
       .groupBy($"new_doc", $"old_doc")

@@ -103,6 +103,86 @@ class SegStoreSpec extends AnyFunSuite {
     assert(latest == Map(1L -> 10L, 2L -> 99L))
   }
 
+  test("ensureBucketed verifies the persisted physical spec: mismatched re-declare fails loudly") {
+    val root = Files.createTempDirectory("segstore_spec").toString + "/s"
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 4)
+    // same spec, formatting drift: no error (normalized comparison)
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k  bigint,   v BIGINT", Seq("K"), 4)
+    // a different bucket count over the same on-disk store would
+    // silently corrupt every bucket-aware plan — must throw
+    val e = intercept[IllegalStateException] {
+      SegStore.ensureBucketed(spark, root, "kv",
+        "k BIGINT, v BIGINT", Seq("k"), 8)
+    }
+    assert(e.getMessage.contains("physical spec"))
+    // different key cols: also a physical mismatch
+    intercept[IllegalStateException] {
+      SegStore.ensureBucketed(spark, root, "kv",
+        "k BIGINT, v BIGINT", Seq("v"), 4)
+    }
+    // legacy store (no spec file): stamped with the live spec on the
+    // next declare, so the check becomes effective going forward
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val specPath = new org.apache.hadoop.fs.Path(
+      SegStore.bucketedLoc(root, "kv"), "_GRAFT_SPEC")
+    fs.delete(specPath, false)
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 4)
+    assert(fs.exists(specPath), "legacy store not stamped with live spec")
+    intercept[IllegalStateException] {
+      SegStore.ensureBucketed(spark, root, "kv",
+        "k BIGINT, v BIGINT", Seq("k"), 16)
+    }
+  }
+
+  test("legacy identity-less markers are stamped on first checked replay") {
+    val root = Files.createTempDirectory("segstore_legacyid").toString
+    // committed before run identities existed (empty runId)
+    writeSeg(root, 0, base = false, Seq((1L, 10L)), commit = true)
+    // first identity-carrying replay: no-op, and the marker adopts the
+    // live identity (round-13 ADVICE #2 — protection effective forward)
+    assert(SegStore.isApplied(spark, root, 0, "run-X"))
+    // same identity still replays as a no-op…
+    assert(SegStore.isApplied(spark, root, 0, "run-X"))
+    // …but a DIFFERENT checkpoint now fails loudly instead of
+    // silently swallowing the batch as the legacy marker used to
+    intercept[IllegalStateException] {
+      SegStore.isApplied(spark, root, 0, "run-Y")
+    }
+  }
+
+  test("prunedScan: small key sets push IN filters; large sets broadcast without a driver collect") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("segstore_prune").toString + "/s"
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 4)
+    val rows = (0L until 1000L).map(i => (i, i * 10)).toDF("k", "v")
+    SegStore.writeBucketed(spark, root, "kv", rows, 0L)
+    SegStore.commit(spark, root, 0L, base = false)
+    // small set: pushed IN filter, correct rows
+    val small = Seq(3L, 7L, 4242L).toDF("k")
+    val got = SegStore.prunedScan(spark, root, "kv", "k", small)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(k,") ||
+      plan.contains("PushedFilters: [IsNotNull(k), In(k,"),
+      s"small key set not pushed:\n$plan")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L))
+    // large set (> maxPushKeys distinct keys): broadcast semi-join —
+    // the store scan keeps no giant IN literal and is never shuffled
+    val big = spark.range(SegStore.maxPushKeys + 100L).toDF("k")
+    val gotBig = SegStore.prunedScan(spark, root, "kv", "k", big)
+    val planBig = gotBig.queryExecution.executedPlan.toString
+    assert(planBig.contains("BroadcastHashJoin") && planBig.contains("LeftSemi"),
+      s"large key set did not take the broadcast path:\n$planBig")
+    assert(!planBig.contains("Exchange hashpartitioning"),
+      s"large-set probe shuffles the store:\n$planBig")
+    assert(gotBig.count() == 1000L)
+  }
+
   test("gate compaction: WinnowStream folds into a base segment and the index is unchanged") {
     import org.apache.spark.sql.functions._
     import graft.streaming.WinnowStream

@@ -980,17 +980,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(SegStore.readSnapshot(spark, out).get.count() == 1)
     SegStore.writeSnapshot(spark, out, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1L)
     assert(SegStore.readSnapshot(spark, out).get.count() == 2)
-    // older snapshot dirs + pointers were gc'd after the switch
-    val left = new java.io.File(out).listFiles().map(_.getName)
+    // the N-1 generation survives the switch (round-13 ADVICE #3: a
+    // reader that resolved _PTR_0 just before the publish must not
+    // have its files deleted mid-read); two generations back is gc'd
+    val left1 = new java.io.File(out).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).toSet // local-FS .crc sidecars
-    assert(left == Set("snap_1", "_PTR_1"), s"stale snapshots left: $left")
+    assert(left1 == Set("snap_0", "_PTR_0", "snap_1", "_PTR_1"),
+      s"unexpected snapshot layout after publish 1: $left1")
+    SegStore.writeSnapshot(spark, out,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 2L)
+    assert(SegStore.readSnapshot(spark, out).get.count() == 3)
+    val left = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(left == Set("snap_1", "_PTR_1", "snap_2", "_PTR_2"),
+      s"stale snapshots left: $left")
     // torn NEXT snapshot (crash before its pointer): readers still
     // resolve the last published one
-    Seq((9L, "x")).toDF("k", "v").write.mode("overwrite").parquet(s"$out/snap_2")
-    assert(SegStore.readSnapshot(spark, out).get.count() == 2)
+    Seq((9L, "x")).toDF("k", "v").write.mode("overwrite").parquet(s"$out/snap_3")
+    assert(SegStore.readSnapshot(spark, out).get.count() == 3)
     // a pointer whose directory vanished is skipped, not fatal
-    new java.io.File(s"$out/_PTR_3").createNewFile()
-    assert(SegStore.readSnapshot(spark, out).get.count() == 2)
+    new java.io.File(s"$out/_PTR_4").createNewFile()
+    assert(SegStore.readSnapshot(spark, out).get.count() == 3)
   }
 
   test("scrub gates under aggressive compaction (compactEvery=1): readouts unchanged, base-only layout") {
