@@ -54,6 +54,17 @@ object BipartiteGraph {
       .distinct()
   }
 
+  /** The PPR seed pattern (customers with custkey % 10 == 0) — ONE
+    * site shared by the batch push (q163), the exact streaming gate,
+    * and the approximate gate's new-seed detection (a node entering
+    * the graph that matches this pattern changes the global seed mass
+    * Total/nS, which no local residual correction can absorb).
+    */
+  def isPprSeed(node: Column): Column =
+    // node even AND (node DIV 2) % 10 == 0 ⟺ node % 20 == 0 for the
+    // non-negative node encoding (customers at 2k)
+    node % 20 === 0
+
   /** Endpoint-count degree table of a pair index. */
   def degreesOf(cs: DataFrame): DataFrame =
     cs.select(col("c").as("src")).union(cs.select(col("s").as("src")))
@@ -297,6 +308,13 @@ object GraphOps {
     * stays lazy on top of it (the q77/q91 flat-plan discipline at
     * half the job count); query-local caches dropped before return.
     */
+  /** The integer walk-mass scale and push threshold shared by the
+    * batch push, both streaming gates, and the approximate gate's
+    * published error contract (|est − π| <= [[PprEps]]·degree).
+    */
+  private[graft] val PprTotal = 1000000000000L
+  private[graft] val PprEps = 1000000L
+
   val q163_ppr_forward_push: Q = (spark, dir) =>
     pprForwardPush(spark, dir, earlyExit = true)
 
@@ -319,10 +337,11 @@ object GraphOps {
     */
   private[graft] def forwardPush(spark: org.apache.spark.sql.SparkSession,
       cs: org.apache.spark.sql.DataFrame, deg: org.apache.spark.sql.DataFrame,
-      earlyExit: Boolean, strictSeeds: Boolean = false): org.apache.spark.sql.DataFrame = {
+      earlyExit: Boolean, strictSeeds: Boolean = false,
+      maxRounds: Int = 6): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val Total = 1000000000000L
-    val Eps = 1000000L // push while res > degree x 1e6, i.e. 1e-6 of the walk mass
+    val Total = PprTotal
+    val Eps = PprEps // push while res > degree x 1e6, i.e. 1e-6 of the walk mass
     // the pushing node's degree rides ON the frontier row (node-sized),
     // so the big edge list needs no degree join at all — round 8
     // persisted edges⋈deg and paid that join's materialization
@@ -330,7 +349,7 @@ object GraphOps {
       .fanOut(spark, BipartiteGraph.edgesOf(cs)).persist()
     val degN = deg.select($"src".as("node"), $"degree")
     val seeds = deg.select($"src".as("node"))
-      .where($"node" % 2 === 0 && expr("(node DIV 2) % 10 = 0"))
+      .where(BipartiteGraph.isPprSeed($"node"))
       .persist()
     val nS = seeds.count()
     if (nS == 0) {
@@ -365,7 +384,7 @@ object GraphOps {
       .empty[org.apache.spark.sql.DataFrame]
     var round = 0
     var fixedPoint = false
-    while (round < 6 && !fixedPoint) {
+    while (round < maxRounds && !fixedPoint) {
       round += 1
       // node-sized; checkpointed ONCE so the push/hold split, the
       // estimate contribution, the spread join, and the isEmpty probe

@@ -517,6 +517,111 @@ object ScaleAudit {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      // Delta-DIMENSION row (round-13 VERDICT task #3): the corpus row
+      // above holds the delta fixed and scales the store; this holds
+      // the store fixed and scales the DELTA (200 / 2,000 / 20,000
+      // docs), so per-batch wall is bracketed from both sides — the
+      // flat ~8-11 s floor is the per-batch constant (driver-
+      // coordinated jobs, streaming machinery, catalog inserts), and
+      // the growth above it is the delta term. Runs against the 1x
+      // corpus only (the corpus row already pinned store-scale
+      // independence).
+      if (dir == base && (only.isEmpty || only.exists("winnow_delta".contains))) locally {
+        import graft.streaming.{SegStore, WinnowStream}
+        val gw = s"$work/winnow_delta"
+        locally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(gw))
+        }
+        graft.Tables.load(spark, dir, "documents")
+          .select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(s"$gw/in")
+        def runGate(): Double = time {
+          WinnowStream.nearDupGateStream(
+            spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$gw/in"),
+            s"$gw/store", s"$gw/out", s"$gw/ckpt", compactEvery = 100)
+            .awaitTermination()
+        }._1
+        val tCorpus = runGate()
+        var sliceStart = 0
+        val walls = Seq(200, 2000, 20000).map { n =>
+          // deltas are DISJOINT slices of the 8x fixture under fresh
+          // ids: genuinely new content, never replay-absorbed, no
+          // cross-batch content dups inflating the flag volume
+          val d = graft.Tables.load(spark, work, "documents")
+            .select($"doc_id", $"text").orderBy($"doc_id")
+            .offset(sliceStart).limit(n)
+            .select(($"doc_id" + lit(800000000L)).as("doc_id"), $"text")
+          sliceStart += n
+          d.write.mode("append").parquet(s"$gw/in")
+          val t = runGate()
+          val segs = SegStore.active(spark, s"$gw/store")
+          val bytes = Seq("fp", "df", "docs").map(sub => {
+            def walkB(f: java.io.File): Long =
+              if (f.isDirectory) Option(f.listFiles()).map(_.map(walkB).sum).getOrElse(0L)
+              else f.length()
+            walkB(new java.io.File(
+              SegStore.bucketedPartPath(s"$gw/store", sub, segs.last.id)))
+          }).sum
+          f"n=$n wall=$t%.2f s seg_bytes=$bytes"
+        }
+        println(s"[audit] winnow_gate_delta @ $dir: corpus_batch=" +
+          f"$tCorpus%.2f s; ${walls.mkString("; ")}")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      // Approx-PPR gate row (round-13 VERDICT task #2 evidence): the
+      // SAME 200-edge changed batch (new edges between EXISTING copy-0
+      // nodes — no new seeds, so the delta-local path runs) against a
+      // 1x vs mult-x accumulated graph. The exact gate re-pushes
+      // O(graph) here; this gate's wall must NOT track the graph.
+      if (only.isEmpty || only.exists("ppr_approx".contains)) locally {
+        import graft.streaming.{GraphStreamApprox, SegStore}
+        val gw = s"$work/ppr_approx_${math.abs(dir.hashCode)}"
+        locally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(gw))
+        }
+        val g = graft.operators.BipartiteGraph.pairs(spark, dir).localCheckpoint()
+        g.write.mode("overwrite").parquet(s"$gw/in")
+        // 200 genuinely-new edges among copy-0 endpoints: recombine
+        // existing customers with existing suppliers, drop anything
+        // already an edge — identical delta content at both scales
+        val base0 = graft.operators.BipartiteGraph.pairs(spark, base)
+        val cS = base0.select($"c").distinct().orderBy($"c").limit(100)
+        val sS = base0.select($"s").distinct().orderBy($"s".desc).limit(100)
+        val delta = cS.crossJoin(sS)
+          .join(base0, Seq("c", "s"), "left_anti")
+          .orderBy($"c", $"s").limit(200).localCheckpoint()
+        def runGate(): Double = time {
+          GraphStreamApprox.pprPushStreamApprox(
+            spark.readStream.schema("c LONG, s LONG").parquet(s"$gw/in"),
+            s"$gw/store", s"$gw/ckpt", compactEvery = 100)
+            .awaitTermination()
+        }._1
+        val tFull = runGate() // batch 0: empty store -> full push (O(graph))
+        delta.write.mode("append").parquet(s"$gw/in")
+        val tDelta = runGate() // changed batch: delta-local path
+        val segs = SegStore.active(spark, s"$gw/store")
+        val prRows = spark.read.parquet(
+          SegStore.bucketedPartPath(s"$gw/store", "pr", segs.last.id)).count()
+        val nNodes = graft.operators.BipartiteGraph.degreesOf(g).count()
+        println(f"[audit] ppr_approx @ $dir: full_push_batch=$tFull%.2f s " +
+          f"changed_batch=$tDelta%.2f s touched_state_rows=$prRows " +
+          s"graph_nodes=$nNodes edges_added=200 " +
+          s"layout=${segs.map(x => (x.id, x.base))}")
+        graft.operators.Relational.releaseCkpt(g, delta)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       bench("q186_lm_quality", dir, graft.SparkEntry.queries("q186_lm_quality"))
       bench("q187_dsir_weights", dir, graft.SparkEntry.queries("q187_dsir_weights"))
       bench("q188_t_closeness", dir, graft.SparkEntry.queries("q188_t_closeness"))

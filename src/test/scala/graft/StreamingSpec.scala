@@ -779,6 +779,135 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed PPR snapshot != batch q163: ${(snap diff batch).take(3)} / ${(batch diff snap).take(3)}")
   }
 
+  test("approximate PPR gate: delta-sized changed batches under the pinned error contract") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.{BipartiteGraph, GraphOps}
+    import graft.streaming.{GraphStream, GraphStreamApprox, SegStore}
+    import spark.implicits._
+    val Eps = 1000000L
+    // sf0.01: the sf0.001 graph has only 10 suppliers (degree ~144 of
+    // 160 nodes), so ANY push covers the whole graph and no fixture
+    // can demonstrate delta-sized state there
+    val sfG = "/root/testdata/sf0.01"
+    val work = Files.createTempDirectory("graft_ppr_approx_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // batch 0 covers EVERY node (each node's first pair is never held
+    // back), so later batches are edge-only — the delta-local path.
+    // Batch 1: a bulk edge delta (corrections at many endpoints);
+    // batch 2: ONE new edge (the strict delta-sized pin); batch 3:
+    // re-delivers batch 1 verbatim (pure replay).
+    val full = BipartiteGraph.pairs(spark, sfG).localCheckpoint()
+    val marked = full
+      .withColumn("rc", row_number().over(Window.partitionBy($"c").orderBy($"s")))
+      .withColumn("rs", row_number().over(Window.partitionBy($"s").orderBy($"c")))
+      .withColumn("held", $"rc" > 1 && $"rs" > 1 &&
+        pmod(hash($"c", $"s"), lit(10)) === 0)
+    val held = marked.where($"held").select($"c", $"s").localCheckpoint()
+    val single = held.orderBy($"c", $"s").limit(1).localCheckpoint()
+    val delta = held.join(single, Seq("c", "s"), "left_anti").localCheckpoint()
+    val base = marked.where(!$"held").select($"c", $"s")
+    assert(delta.count() > 100, "fixture degenerate: no held-back edges")
+    shipFile(base, "0_base")
+    // the delta ALSO re-delivers some base pairs: a changed batch must
+    // absorb replayed pairs pair-level, not just batch-level
+    shipFile(delta.unionByName(base.limit(50)), "1_delta")
+    shipFile(single, "2_single")
+    shipFile(delta, "3_replay")
+    val store = s"$work/store"
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("c LONG, s LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      GraphStreamApprox.pprPushStreamApprox(stream, store, s"$work/ckpt")
+        .awaitTermination()
+    }
+    runOnce()
+    // layout: batch 0 full-pushed as a BASE (empty store), batches 1-3
+    // are deltas (edge-only / single-edge / all-replay — never a full
+    // push)
+    val segs = SegStore.active(spark, store)
+    assert(segs.map(s => (s.id, s.base)) ==
+      Seq((0L, true), (1L, false), (2L, false), (3L, false)),
+      s"unexpected segment layout: $segs")
+    // the accumulated graph IS the full pair index
+    val (stored, degStore) = GraphStream.readGraph(spark, store)
+    assert(stored.except(full).isEmpty && full.except(stored).isEmpty,
+      "accumulated pair store != full pair index")
+    // DELTA-SIZED state maintenance: the single-edge batch wrote state
+    // rows only for the two endpoints' pushed neighborhoods (a small
+    // fraction of the graph); the all-replay batch wrote none
+    val nNodes = degStore.count()
+    // per-segment row counts via the catalog table (an all-replay
+    // batch's partition holds zero files — a raw path read can't
+    // infer a schema from it)
+    def prRows(segId: Long): Long = spark
+      .table(SegStore.bucketedName(store, "pr"))
+      .where(col("_seg") === segId).count()
+    val pr2 = prRows(2L)
+    val pr3 = prRows(3L)
+    assert(pr3 == 0, s"all-replay batch wrote $pr3 state rows")
+    assert(pr2 > 0 && pr2 < nNodes / 4,
+      s"single-edge batch wrote $pr2 state rows over $nNodes nodes - " +
+        "not delta-sized")
+    // CONTRACT (a): every node's residual is below the push threshold
+    val state = GraphStreamApprox.readPprApprox(spark, store)
+    val viol = state
+      .join(degStore.select($"src".as("node"), $"degree"), Seq("node"))
+      .where(abs($"res") > $"degree" * Eps)
+    assert(viol.isEmpty,
+      s"residuals above Eps*degree: ${viol.take(3).toSeq}")
+    // CONTRACT (b): est within 3*Eps*(degree+1) of a fresh CONVERGED
+    // push over the same final graph (2x the two runs' forward-push
+    // bounds + integer-rounding slack)
+    val conv = GraphOps.forwardPush(spark, full,
+      BipartiteGraph.degreesOf(full), earlyExit = true, maxRounds = 64)
+    val bad = state.select($"node", $"est".as("est_a"))
+      .join(conv.select($"node", $"est".as("est_c")), Seq("node"), "full_outer")
+      .na.fill(0L, Seq("est_a", "est_c"))
+      .join(degStore.select($"src".as("node"), $"degree"), Seq("node"), "left_outer")
+      .na.fill(0L, Seq("degree"))
+      .where(abs($"est_a" - $"est_c") > lit(3L) * Eps * ($"degree" + 1))
+    assert(bad.isEmpty,
+      s"est outside the error contract: ${bad.take(3).toSeq}")
+    // the documented fallback: a batch introducing a NEW seed-pattern
+    // node changes the global seed mass — full converged re-push,
+    // written as a base segment; the contract holds on the new graph
+    val maxC = full.agg(max($"c")).as[Long].head()
+    val newSeedNode = ((maxC / 20L) + 1L) * 20L
+    val someS = full.agg(max($"s")).as[Long].head()
+    shipFile(Seq((newSeedNode, someS)).toDF("c", "s"), "4_newseed")
+    runOnce()
+    val segs2 = SegStore.active(spark, store)
+    assert(segs2.map(s => (s.id, s.base)) == Seq((4L, true)),
+      s"new-seed batch did not full-push to a base: $segs2")
+    val full2 = full.unionByName(Seq((newSeedNode, someS)).toDF("c", "s"))
+      .localCheckpoint()
+    val deg2 = BipartiteGraph.degreesOf(full2)
+    val state2 = GraphStreamApprox.readPprApprox(spark, store)
+    val conv2 = GraphOps.forwardPush(spark, full2, deg2,
+      earlyExit = true, maxRounds = 64)
+    val bad2 = state2.select($"node", $"est".as("est_a"))
+      .join(conv2.select($"node", $"est".as("est_c")), Seq("node"), "full_outer")
+      .na.fill(0L, Seq("est_a", "est_c"))
+      .join(deg2.select($"src".as("node"), $"degree"), Seq("node"), "left_outer")
+      .na.fill(0L, Seq("degree"))
+      .where(abs($"est_a" - $"est_c") > lit(3L) * Eps * ($"degree" + 1))
+    assert(bad2.isEmpty,
+      s"post-fallback est outside the contract: ${bad2.take(3).toSeq}")
+    graft.operators.Relational.releaseCkpt(full, held, single, delta, full2)
+  }
+
   test("streaming winnow scrub (q192 twin) equals the batch readout at EVERY prefix") {
     import org.apache.spark.sql.functions._
     import graft.streaming.WinnowScrubStream
