@@ -188,11 +188,39 @@ object Bench {
     val results =
       withDeferredPass(inline, n => once(byName(n)), () => resetSession(spark))
     val total = results.map(_._2).filter(_ >= 0).sum
-    def line(qs: String, tot: String) =
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val full = line(
-      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"),
-      total.toString)
+    // Steal-resistant round-over-round signal (round-13 VERDICT #3 +
+    // stretch #8): the official totals are noise-dominated on this
+    // host (adjudicated three rounds running — same-code draws spread
+    // 119-158 s), so the full artifact also carries the per-query MIN
+    // of {this run, the previous BENCH_FULL's official values} — a
+    // burst of CPU steal can inflate one run's draw but never deflate
+    // the min, so a min_with_prior value that RISES round-over-round
+    // is a real regression, not weather. Only the prior top-level
+    // queries block is read (not its own min block), so the merge
+    // window is one run, not best-ever-forever.
+    val priorQ: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        txt.split("\"queries\":\\{", 2).lift(1).map(_.takeWhile(_ != '}'))
+          .map { block =>
+            """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(block)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
+      }
+    } catch { case _: Throwable => Map.empty }
+    val minMerged = results.map { case (k, v) =>
+      val prior = priorQ.get(k).filter(_ >= 0)
+      k -> (if (v < 0) prior.getOrElse(-1.0)
+            else prior.map(math.min(_, v)).getOrElse(v))
+    }
+    val minTotal = minMerged.map(_._2).filter(_ >= 0).sum
+    def jmap(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        jmap(results)},"min_with_prior":${jmap(minMerged)},"min_total":$minTotal,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
     println(full)
     // Compact form last: `q131_audio_energy` -> `q131`; shrink decimal

@@ -460,17 +460,17 @@ object Dedup {
     * per-task rescore work at chunkRows² by construction.
     */
   private[graft] def ivfChunkStreams(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String, nprobe: Int = 3): (DataFrame, DataFrame) = {
     import spark.implicits._
     val chunkRows = 512L // per-task rescore bound = chunkRows² comparisons
     val cents = Similarity.centroids(spark, dir)
     val cells = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
-        explode(top_cells($"embedding", cents.flatten, cents.length, 3)).as("cell"))
+        explode(top_cells($"embedding", cents.flatten, cents.length, nprobe)).as("cell"))
     // chunk counts come from the memoized per-cell loads (an index
     // artifact, like the centroids themselves) as a LITERAL map — the
     // per-query plan stays map-only, no counting join
-    val nc = Similarity.cellLoads(spark, dir, cents.length, 3)
+    val nc = Similarity.cellLoads(spark, dir, cents.length, nprobe)
       .map { case (c, n) => c -> ((n + chunkRows - 1) / chunkRows).toInt }
     val seg = cells
       .withColumn("nc", coalesce(
@@ -483,9 +483,18 @@ object Dedup {
     (a, b)
   }
 
-  val q59_dedup_embedding_ivf: Q = (spark, dir) => {
+  val q59_dedup_embedding_ivf: Q = (spark, dir) =>
+    dedupEmbeddingIvf(spark, dir, nprobe = 3)
+
+  /** q59's body with nprobe as a knob. `nprobe = 16` (all cells) puts
+    * every pair in a shared cell, so the blocked join degenerates to
+    * all-pairs and the result must EQUAL exact q58 row for row
+    * (SimilaritySpec's exhaustive-twin pin).
+    */
+  private[graft] def dedupEmbeddingIvf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val (a, b) = ivfChunkStreams(spark, dir)
+    val (a, b) = ivfChunkStreams(spark, dir, nprobe)
     a.join(b, Seq("cell", "ca", "cb"))
       .where(($"ca" < $"cb" || $"vec_a" < $"vec_b") && $"vec_a" =!= $"vec_b")
       .select(least($"vec_a", $"vec_b").as("va"),

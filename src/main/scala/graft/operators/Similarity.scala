@@ -68,7 +68,18 @@ object Similarity {
     * side toward a full scan). Candidate pairs are dedup'd BEFORE
     * rescoring (a pair can collide in several tables).
     */
-  val q33_knn_lsh: Q = (spark, dir) => {
+  val q33_knn_lsh: Q = (spark, dir) => knnLsh(spark, dir, probeAll = false)
+
+  /** q33's body with the probe set as a knob. `probeAll = true` probes
+    * every bucket of every table — the candidate set degenerates to
+    * the full corpus and the result must EQUAL brute-force q32 row
+    * for row (same tie-break), which is what SimilaritySpec's
+    * exhaustive-twin pin asserts: any regression in the bucketing /
+    * dedup / rescoring plumbing turns a silent recall loss into a
+    * loud row mismatch.
+    */
+  private[graft] def knnLsh(spark: SparkSession, dir: String,
+      probeAll: Boolean): DataFrame = {
     import spark.implicits._
     // per-table bucket ids from the lsh_buckets kernel expression: one
     // call per row instead of nTables x nBits x dim literal nodes
@@ -83,13 +94,14 @@ object Similarity {
     // side (the 100 TB side) still emits exactly one row per table.
     // This is how LSH recall is bought at scale: never widen the big
     // side's emission, widen the probe set.
+    val probeSet =
+      if (probeAll) explode(expr("sequence(0L, 63L)")) // all 2^6 buckets
+      else explode(array($"bucket0" +:
+        (0 until 6).map(i => $"bucket0".bitwiseXOR(lit(1L << i))): _*))
     val queries = emb.where($"vec_id" < 8)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
         posexplode(lsh_buckets($"embedding", 6, 12)).as(Seq("table", "bucket0")))
-      .select($"q_id", $"q_emb", $"table",
-        explode(array($"bucket0" +:
-          (0 until 6).map(i => $"bucket0".bitwiseXOR(lit(1L << i))): _*))
-          .as("bucket"))
+      .select($"q_id", $"q_emb", $"table", probeSet.as("bucket"))
     val cand = corpus.join(broadcast(queries), Seq("table", "bucket"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"q_emb", $"vec_id", $"embedding")
@@ -192,10 +204,16 @@ object Similarity {
     * reuses without a shuffle. Approximate -> rows-only check (recall
     * measured in SimilaritySpec).
     */
-  val q47_knn_ivf: Q = (spark, dir) => {
+  val q47_knn_ivf: Q = (spark, dir) => knnIvf(spark, dir, nprobe = 6)
+
+  /** q47's body with nprobe as a knob. `nprobe = 16` (all cells)
+    * degenerates to brute force — must EQUAL q32 exactly
+    * (SimilaritySpec's exhaustive-twin pin).
+    */
+  private[graft] def knnIvf(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
     val k = 16
-    val nprobe = 6
     val emb = Tables.load(spark, dir, "embeddings")
 
     val refined = centroids(spark, dir, k)
@@ -301,7 +319,15 @@ object Similarity {
     * corpus. Approximate -> rows-only check (recall vs exact q32
     * pinned in SimilaritySpec).
     */
-  val q95_knn_pq: Q = (spark, dir) => {
+  val q95_knn_pq: Q = (spark, dir) => knnPq(spark, dir, shortlistK = 24)
+
+  /** q95's body with the ADC shortlist size as a knob. A shortlist
+    * covering the whole corpus makes the exact-cosine rerank a brute
+    * force — must EQUAL q32 exactly (SimilaritySpec's exhaustive-twin
+    * pin), regardless of how lossy the PQ codes are.
+    */
+  private[graft] def knnPq(spark: SparkSession, dir: String,
+      shortlistK: Int): DataFrame = {
     import spark.implicits._
     val cb = pqCodebooks(spark, dir)
     val emb = Tables.load(spark, dir, "embeddings")
@@ -328,7 +354,7 @@ object Similarity {
       .where($"vec_id" =!= $"q_id")
       .withColumn("approx", cosine_sim($"q_emb", $"recon_f"))
       .withColumn("adc_rank", row_number().over(wShort))
-      .where($"adc_rank" <= 24)
+      .where($"adc_rank" <= shortlistK)
       .select($"q_id", $"q_emb", $"vec_id")
     val wFinal = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     shortlist.join(emb, "vec_id")

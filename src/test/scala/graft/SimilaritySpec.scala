@@ -65,6 +65,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF-blocked near-dup recall regressed: $recall")
   }
 
+  test("exhaustive twins: every approximate path cranked to exhaustive EQUALS its exact baseline row-for-row") {
+    // round-13 VERDICT task #5: recall floors tolerate silent
+    // degradation inside the floor; these pins do not. With the
+    // approximation knob at exhaustive, the candidate set provably
+    // covers everything, so blocking/dedup/rescoring plumbing bugs
+    // become loud row mismatches instead of eaten recall.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val exact = rows(SparkEntry.queries("q32_knn_exact")(spark, sf))
+    // LSH probing all 2^6 buckets of every table == brute force
+    val lshAll = rows(graft.operators.Similarity.knnLsh(spark, sf, probeAll = true))
+    assert(lshAll == exact, "exhaustive LSH != exact q32")
+    // IVF probing all 16 cells == brute force
+    val ivfAll = rows(graft.operators.Similarity.knnIvf(spark, sf, nprobe = 16))
+    assert(ivfAll == exact, "exhaustive IVF != exact q32")
+    // PQ with a corpus-sized rerank shortlist == brute force (the ADC
+    // stage only orders the shortlist; the exact rerank decides)
+    val pqAll = rows(graft.operators.Similarity.knnPq(spark, sf,
+      shortlistK = Int.MaxValue))
+    assert(pqAll == exact, "exhaustive-shortlist PQ != exact q32")
+    // IVF-blocked near-dup probing all cells == exact q58 (pairs AND
+    // cosines: compare the full row set)
+    val dedupExact = SparkEntry.queries("q58_dedup_embedding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dedupAll = graft.operators.Dedup.dedupEmbeddingIvf(spark, sf, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(dedupAll == dedupExact, "exhaustive IVF dedup != exact q58")
+  }
+
   test("q117: retained fraction in (0,1]; renormed component consistent") {
     val rows = SparkEntry.queries("q117_matryoshka")(spark, sf).collect()
     assert(rows.length == 500)
