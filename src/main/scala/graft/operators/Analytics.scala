@@ -1301,7 +1301,15 @@ object Analytics {
         greatest(col("sa"), col("sb")).as("s2"))
   }
 
-  val q133_knn_triangles: Q = (spark, dir) => {
+  /** q133's stage streams — the ONE derivation site, exposed
+    * `private[graft]` so StageProbe times each stage of the actual
+    * query lineage (the q139 attribution discipline) instead of a
+    * drifting copy. Returned frames are lazy; `e`/`o` carry the
+    * query-local persists the full query uses (the caller unpersists).
+    */
+  private[graft] def knnTriangleStages(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+        DataFrame, DataFrame) = {
     import spark.implicits._
     // The pair index is the fingerprint-staged graph artifact every
     // traversal query shares (ONE lineitem⋈orders + distinct per
@@ -1357,10 +1365,24 @@ object Analytics {
         $"x.lo" === $"y.lo" && $"x.rhi" < $"y.rhi")
       .select($"x.hi".as("v"), $"y.hi".as("w"))
     val tri = wedge.join(o, $"v" === $"lo" && $"w" === $"hi")
+    (pw, topk, e, o, deg, wedge, tri)
+  }
+
+  val q133_knn_triangles: Q = (spark, dir) => {
+    import spark.implicits._
+    val (_, _, e, o, deg, wedge, _) = knnTriangleStages(spark, dir)
+    // one pass over the wedge stream counts wedges AND closures: the
+    // triangle test is a LEFT join against the (unique-keyed) edge
+    // set, so count(*) = wedges and count(matched) = triangles —
+    // the previous two-aggregate readout ran the o⋈o wedge self-join
+    // twice (StageProbe round-14: full 5.05 s vs 3.94 s cumulative
+    // through the wedge stage; this folds the second pass away)
+    val wt = wedge.join(o, $"v" === $"lo" && $"w" === $"hi", "left_outer")
+      .agg(count(lit(1)).as("n_wedges"), count($"lo").as("n_triangles"))
     val out = deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
         e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(wt)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles")
       .localCheckpoint() // 1 row — drop the query-local caches below
     e.unpersist(blocking = false)
     o.unpersist(blocking = false)

@@ -84,6 +84,39 @@ object StageProbe {
     probe("full") {
       graft.SparkEntry.queries("q139_setsim_join")(spark, dir).count()
     }
+
+    // ---- q133 (round-13 verdict task #4: the slowest unattributed
+    // line, 5.2 s judge-isolated at sf0.1). Stages cumulative from a
+    // cold cache via the query's own stage streams.
+    println("[stage] ==== q133_knn_triangles ====")
+    graft.SparkEntry.queries("q133_knn_triangles")(spark, dir).count() // warm
+    reset()
+    def q133Stages() = graft.operators.Analytics.knnTriangleStages(spark, dir)
+    def dropPersists(dfs: org.apache.spark.sql.DataFrame*): Unit =
+      dfs.foreach(_.unpersist(blocking = false))
+    probe("pw") {
+      val (pw, _, e, o, _, _, _) = q133Stages()
+      val n = pw.count(); dropPersists(e, o); n
+    }
+    probe("topk") {
+      val (_, topk, e, o, _, _, _) = q133Stages()
+      val n = topk.count(); dropPersists(e, o); n
+    }
+    probe("edges") {
+      val (_, _, e, o, _, _, _) = q133Stages()
+      val n = e.count(); dropPersists(e, o); n
+    }
+    probe("wedges") {
+      val (_, _, e, o, _, wedge, _) = q133Stages()
+      val n = wedge.count(); dropPersists(e, o); n
+    }
+    probe("triangles") {
+      val (_, _, e, o, _, _, tri) = q133Stages()
+      val n = tri.count(); dropPersists(e, o); n
+    }
+    probe("full133") {
+      graft.SparkEntry.queries("q133_knn_triangles")(spark, dir).count()
+    }
     spark.stop()
   }
 }
