@@ -431,20 +431,51 @@ object SegStore {
     }
   }
 
+  /** The active sub-table as a RAW parquet read of the active `_seg=`
+    * partition directories (explicit dirs + basePath, table schema
+    * applied so `_seg` keeps its declared type) — semantically the
+    * same rows as [[readBucketedTagged]], but WITHOUT the catalog's
+    * bucket metadata. This is the PROBE-side read: for a bucketed
+    * catalog table, physical planning of any In/InSet filter on the
+    * bucket column runs `FileSourceStrategy.genBucketSet`, which calls
+    * `BucketingUtils.getBucketIdFromValue` — an `UnsafeProjection
+    * .create` (full codegen + Janino compile) PER VALUE. GateProbe
+    * measured a 12k-key probe at 2.3 s of planning + 2.3 s per
+    * RE-planning on the catalog path vs 0.2 s end-to-end on the raw
+    * path — all of it that per-value codegen, none of it useful here
+    * (the probe scan never bucket-reads: "Bucketed: false (disabled
+    * by query planner)", and with keys ≫ buckets no bucket file is
+    * ever skipped anyway; parquet row-group skipping via the pushed
+    * In filter is what matters, and the raw read keeps it).
+    */
+  private def readActiveRaw(ss: SparkSession, root: String, sub: String): Option[DataFrame] = {
+    val ids = active(ss, root).map(_.id)
+    if (ids.isEmpty) None
+    else {
+      val loc = bucketedLoc(root, sub)
+      val schema = ss.table(bucketedName(root, sub)).schema
+      Some(ss.read.schema(schema).option("basePath", loc)
+        .parquet(ids.map(id => s"$loc/_seg=$id"): _*))
+    }
+  }
+
   /** THE gate probe device: a bucketed sub-table restricted to a
     * batch's key set, as a pruned SCAN — an IN filter (pushed to
-    * parquet: bucket/row-group skipping against the per-file sort
-    * order, so probe IO tracks the DELTA, not the corpus) when the
-    * key set is at most [[maxPushKeys]], else a broadcast semi-join
-    * (still scan-only). Either way the store-side plan has no
-    * Exchange: the corpus is never shuffled or sorted to be probed.
+    * parquet: row-group skipping against the per-file sort order, so
+    * probe IO tracks the DELTA, not the corpus) when the key set is
+    * at most [[maxPushKeys]], else a broadcast semi-join (still
+    * scan-only). Either way the store-side plan has no Exchange: the
+    * corpus is never shuffled or sorted to be probed. The scan is the
+    * RAW partition-dir read ([[readActiveRaw]]) — identical rows to
+    * the catalog view, minus the catalog bucket metadata whose
+    * per-value bucket-pruning codegen dominated probe wall.
     *
     * `keysDf` holds the batch's DISTINCT key values (one column named
     * `key`, or selectable by that name). The IN-vs-broadcast decision
     * is made by collecting `limit(maxPushKeys + 1)` rows — so the
     * driver never materializes more than maxPushKeys + 1 keys no
     * matter how large the trigger's batch is; the ≤ maxPushKeys rows
-    * that DID come back are exactly the IN literal set, no second job
+    * that DID come back are exactly the IN set, no second job
     * (round-13 VERDICT "what's wrong" #1: the old signature collected
     * the full key set at every call site even when the broadcast path
     * never used it). Empty frame (table schema, minus `_seg`) when
@@ -452,9 +483,9 @@ object SegStore {
     */
   def prunedScan(ss: SparkSession, root: String, sub: String, key: String,
       keysDf: DataFrame): DataFrame =
-    readBucketed(ss, root, sub) match {
+    readActiveRaw(ss, root, sub) match {
       case None => ss.table(bucketedName(root, sub)).drop("_seg").where(lit(false))
-      case Some(t) => pruneByKeys(t, key, keysDf)
+      case Some(t) => pruneByKeys(t.drop("_seg"), key, keysDf)
     }
 
   /** [[prunedScan]] over the `_seg`-tagged view — for keyed
@@ -463,14 +494,29 @@ object SegStore {
     */
   def prunedScanTagged(ss: SparkSession, root: String, sub: String,
       key: String, keysDf: DataFrame): Option[DataFrame] =
-    readBucketedTagged(ss, root, sub).map(pruneByKeys(_, key, keysDf))
+    readActiveRaw(ss, root, sub).map(pruneByKeys(_, key, keysDf))
 
   private def pruneByKeys(t: DataFrame, key: String, keysDf: DataFrame): DataFrame = {
     val probe = keysDf.select(col(key))
     val sample = probe.limit(maxPushKeys + 1).collect()
-    if (sample.length <= maxPushKeys)
-      t.where(col(key).isin(sample.map(_.get(0)).toIndexedSeq: _*))
-    else t.join(broadcast(probe), Seq(key), "left_semi")
+    if (sample.length <= maxPushKeys) {
+      // ONE InSet node holding a Set — NOT `isin`, whose In expression
+      // carries |keys| Literal children: analyzer/optimizer walks over
+      // that literal list are superlinear in its size (GateProbe
+      // measured 11 s of pure DRIVER time for a 12k-literal In against
+      // a table this probe's broadcast variant scans in 0.25 s, 19 s at
+      // 16k — the round-13 delta-dimension row's "constant" was mostly
+      // this, paid twice per probeFlags). InSet still translates to a
+      // data-source In filter, so the parquet row-group skipping that
+      // justifies the IN path at 100 TB is unchanged.
+      val conv = sample.map(r =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(r.get(0)))
+      t.where(org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          org.apache.spark.sql.GraftBridge.expression(col(key)),
+          conv.toSet)))
+    } else t.join(broadcast(probe), Seq(key), "left_semi")
   }
 
   // ---- atomic snapshot publication -------------------------------------

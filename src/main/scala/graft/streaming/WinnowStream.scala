@@ -73,6 +73,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object WinnowStream {
 
+  /** Per-phase wall observer for the REAL batch body — [[graft.tools
+    * .GateProbe]] installs a collector here so the per-batch constant
+    * (round-13 delta-dimension row: ~5-10 s regardless of delta size)
+    * is attributed on the actual execution path instead of a mirrored
+    * copy that could drift. Production cost is a few nanoTime calls.
+    */
+  @volatile private[graft] var phaseHook: (String, Double) => Unit = (_, _) => ()
+
+  private def phased[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    phaseHook(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** `docs`: a streaming DataFrame of (doc_id: Long, text: String).
     * Flags land in `$outDir/batch_<id>` as (new_doc, old_doc, shared)
     * parquet; the fingerprint index is a [[SegStore]] log at
@@ -90,25 +105,33 @@ object WinnowStream {
         import ss.implicits._
         val runId = SegStore.ckptQueryId(ss, ckptDir)
         if (!SegStore.isApplied(ss, storeDir, batchId, runId)) {
-          SegStore.ensureBucketed(ss, storeDir, "fp",
-            "doc_id BIGINT, h BIGINT", Seq("h"), buckets)
-          SegStore.ensureBucketed(ss, storeDir, "df",
-            "h BIGINT, df BIGINT", Seq("h"), buckets)
-          SegStore.ensureBucketed(ss, storeDir, "docs",
-            "doc_id BIGINT", Seq("doc_id"), buckets)
-          val bfp = graft.operators.Dedup
-            .winnowFp(batch.dropDuplicates("doc_id"))
-            .localCheckpoint()
+          phased("declare") {
+            SegStore.ensureBucketed(ss, storeDir, "fp",
+              "doc_id BIGINT, h BIGINT", Seq("h"), buckets)
+            SegStore.ensureBucketed(ss, storeDir, "df",
+              "h BIGINT, df BIGINT", Seq("h"), buckets)
+            SegStore.ensureBucketed(ss, storeDir, "docs",
+              "doc_id BIGINT", Seq("doc_id"), buckets)
+          }
+          val bfp = phased("fingerprint") {
+            graft.operators.Dedup
+              .winnowFp(batch.dropDuplicates("doc_id"))
+              .localCheckpoint()
+          }
           // at-least-once absorption: a doc already in the index is a
           // replay — it must neither re-flag nor double-count df. The
           // seen-before set comes from a PRUNED scan of the docs
           // sub-table (≤ batch-sized result), broadcast into the anti
-          val bDocs = bfp.select($"doc_id").distinct()
-          val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
-          val newFp = bfp.join(broadcast(seen), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          val flags = probeFlags(ss, storeDir, newFp)
-          flags.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          val newFp = phased("absorb") {
+            val bDocs = bfp.select($"doc_id").distinct()
+            val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
+            bfp.join(broadcast(seen), Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+          }
+          phased("flags") {
+            val flags = probeFlags(ss, storeDir, newFp)
+            flags.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          }
           val newDf = newFp.groupBy($"h").agg(count(lit(1)).as("df"))
           val newDocs = newFp.select($"doc_id").distinct()
           val base = SegStore.active(ss, storeDir).size >= compactEvery
@@ -116,21 +139,37 @@ object WinnowStream {
             // fold the full store with the delta — amortized O(store);
             // checkpointed because the INSERT overwrites a table the
             // fold reads
-            val (fp0, df0, docs0) = readAll(ss, storeDir)
-            val fpAll = fp0.union(newFp).localCheckpoint()
-            val dfAll = df0.union(newDf)
-              .groupBy($"h").agg(sum($"df").as("df")).localCheckpoint()
-            val docsAll = docs0.union(newDocs).localCheckpoint()
-            SegStore.writeBucketed(ss, storeDir, "fp", fpAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "df", dfAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docs", docsAll, batchId)
+            val (fpAll, dfAll, docsAll) = phased("fold") {
+              val (fp0, df0, docs0) = readAll(ss, storeDir)
+              (fp0.union(newFp).localCheckpoint(),
+                df0.union(newDf)
+                  .groupBy($"h").agg(sum($"df").as("df")).localCheckpoint(),
+                docs0.union(newDocs).localCheckpoint())
+            }
+            phased("write_fp") {
+              SegStore.writeBucketed(ss, storeDir, "fp", fpAll, batchId)
+            }
+            phased("write_df") {
+              SegStore.writeBucketed(ss, storeDir, "df", dfAll, batchId)
+            }
+            phased("write_docs") {
+              SegStore.writeBucketed(ss, storeDir, "docs", docsAll, batchId)
+            }
             graft.operators.Relational.releaseCkpt(fpAll, dfAll, docsAll)
           } else {
-            SegStore.writeBucketed(ss, storeDir, "fp", newFp, batchId)
-            SegStore.writeBucketed(ss, storeDir, "df", newDf, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docs", newDocs, batchId)
+            phased("write_fp") {
+              SegStore.writeBucketed(ss, storeDir, "fp", newFp, batchId)
+            }
+            phased("write_df") {
+              SegStore.writeBucketed(ss, storeDir, "df", newDf, batchId)
+            }
+            phased("write_docs") {
+              SegStore.writeBucketed(ss, storeDir, "docs", newDocs, batchId)
+            }
           }
-          SegStore.commit(ss, storeDir, batchId, base, runId)
+          phased("commit") {
+            SegStore.commit(ss, storeDir, batchId, base, runId)
+          }
           graft.operators.Relational.releaseCkpt(bfp, newFp)
         }
         ()

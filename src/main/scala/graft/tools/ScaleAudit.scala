@@ -574,6 +574,74 @@ object ScaleAudit {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      // Compaction GROWTH row (round-13 VERDICT task #6): the
+      // compactEvery=2 row above measures the fold at a one-corpus
+      // store, where the per-batch constant dominates. This measures
+      // the base fold's LINEAR term: the same tiny-delta fold against
+      // an 8x store vs a 64x store (disjoint-vocabulary copies — the
+      // crawl-growth regime), wall + base partition bytes at both
+      // sizes, plus a plain delta batch at each size so the fold
+      // overhead is the difference at the SAME store. The decision
+      // this buys: whether a leveled (multi-tier) compaction is worth
+      // building, or the single-tier fold stays amortized-fine at
+      // real store sizes.
+      if (dir == base && (only.isEmpty || only.exists("compact_growth".contains))) locally {
+        import graft.streaming.{SegStore, WinnowStream}
+        for (m <- Seq(8, 64)) {
+          val gw = s"$work/compact_growth_$m"
+          locally {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(new java.io.File(gw))
+          }
+          // m disjoint suffixed copies of the base corpus — same
+          // derivation as the m=8 fixture, inlined so m=64 does not
+          // need a second fixture dir on disk
+          (0 until m).map { c =>
+            docs.select(
+              ($"doc_id" + lit(c.toLong * 10000000L)).as("doc_id"),
+              concat_ws(" ",
+                transform(split($"text", " "), w => concat(w, lit(s"_$c"))))
+                .as("text"))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$gw/in")
+          def runGate(compactEvery: Int): Double = time {
+            WinnowStream.nearDupGateStream(
+              spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$gw/in"),
+              s"$gw/store", s"$gw/out", s"$gw/ckpt", compactEvery = compactEvery)
+              .awaitTermination()
+          }._1
+          runGate(100) // batch 0: the m-x corpus as one delta segment
+          val delta = graft.Tables.load(spark, base, "documents")
+            .select($"doc_id", $"text").orderBy($"doc_id").limit(200)
+          delta.select(($"doc_id" + lit(900000000L)).as("doc_id"),
+            concat($"text", lit(" zq")).as("text"))
+            .write.mode("append").parquet(s"$gw/in")
+          val tDelta = runGate(100) // plain delta batch (no fold)
+          delta.select(($"doc_id" + lit(910000000L)).as("doc_id"),
+            concat($"text", lit(" zr")).as("text"))
+            .write.mode("append").parquet(s"$gw/in")
+          val tFold = runGate(2) // 2 active segments -> this batch folds
+          def dirBytes(p: String): Long = {
+            def walk(f: java.io.File): Long =
+              if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+              else f.length()
+            walk(new java.io.File(p))
+          }
+          val segs = SegStore.active(spark, s"$gw/store")
+          val baseBytes = Seq("fp", "df", "docs")
+            .map(sub => dirBytes(SegStore.bucketedPartPath(s"$gw/store", sub, segs.last.id)))
+            .sum
+          println(f"[audit] compact_growth m=$m @ $dir: delta_batch=$tDelta%.2f s " +
+            f"fold_batch=$tFold%.2f s fold_overhead=${tFold - tDelta}%.2f s " +
+            s"base_bytes=$baseBytes layout=${segs.map(x => (x.id, x.base))}")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      }
       // Approx-PPR gate row (round-13 VERDICT task #2 evidence): the
       // SAME 200-edge changed batch (new edges between EXISTING copy-0
       // nodes — no new seeds, so the delta-local path runs) against a
