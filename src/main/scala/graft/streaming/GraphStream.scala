@@ -82,12 +82,12 @@ object GraphStream {
             val pairsAll = store0.union(newPairs).localCheckpoint()
             val degAll = deg0.union(newDeg)
               .groupBy($"src").agg(sum($"degree").as("degree")).localCheckpoint()
-            SegStore.writeBucketed(ss, storeDir, "pairs", pairsAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "degree", degAll, batchId)
+            SegStore.writeBucketedAll(ss, storeDir,
+              Seq("pairs" -> pairsAll, "degree" -> degAll), batchId)
             graft.operators.Relational.releaseCkpt(pairsAll, degAll)
           } else {
-            SegStore.writeBucketed(ss, storeDir, "pairs", newPairs, batchId)
-            SegStore.writeBucketed(ss, storeDir, "degree", newDeg, batchId)
+            SegStore.writeBucketedAll(ss, storeDir,
+              Seq("pairs" -> newPairs, "degree" -> newDeg), batchId)
           }
           // the push reads the post-batch graph: committed view + this
           // batch's (not yet committed) delta. A batch whose pairs were

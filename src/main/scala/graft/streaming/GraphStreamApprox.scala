@@ -132,14 +132,12 @@ object GraphStreamApprox {
           val compactDue = SegStore.active(ss, storeDir).size >= compactEvery
           if (newPairs.isEmpty) {
             // all-replay: graph and state unchanged — record the batch
-            SegStore.writeBucketed(ss, storeDir, "pairs", newPairs, batchId)
-            SegStore.writeBucketed(ss, storeDir, "edges",
-              newPairs.select($"c".as("src"), $"s".as("dst")), batchId)
-            SegStore.writeBucketed(ss, storeDir, "degree",
-              newPairs.select($"c".as("src"), lit(0L).as("degree")), batchId)
-            SegStore.writeBucketed(ss, storeDir, "pr",
-              newPairs.select($"c".as("node"), lit(0L).as("est"),
-                lit(0L).as("res")), batchId)
+            SegStore.writeBucketedAll(ss, storeDir, Seq(
+              "pairs" -> newPairs,
+              "edges" -> newPairs.select($"c".as("src"), $"s".as("dst")),
+              "degree" -> newPairs.select($"c".as("src"), lit(0L).as("degree")),
+              "pr" -> newPairs.select($"c".as("node"), lit(0L).as("est"),
+                lit(0L).as("res"))), batchId)
             SegStore.commit(ss, storeDir, batchId, base = false, runId)
           } else {
             val newEdges = BipartiteGraph.edgesOf(newPairs).localCheckpoint()
@@ -163,11 +161,10 @@ object GraphStreamApprox {
               val state = GraphOps.forwardPush(ss, pairsAll, degAll,
                 earlyExit = true, maxRounds = maxPushRounds)
                 .localCheckpoint()
-              SegStore.writeBucketed(ss, storeDir, "pairs", pairsAll, batchId)
-              SegStore.writeBucketed(ss, storeDir, "edges",
-                BipartiteGraph.edgesOf(pairsAll), batchId)
-              SegStore.writeBucketed(ss, storeDir, "degree", degAll, batchId)
-              SegStore.writeBucketed(ss, storeDir, "pr", state, batchId)
+              SegStore.writeBucketedAll(ss, storeDir, Seq(
+                "pairs" -> pairsAll,
+                "edges" -> BipartiteGraph.edgesOf(pairsAll),
+                "degree" -> degAll, "pr" -> state), batchId)
               SegStore.commit(ss, storeDir, batchId, base = true, runId)
               Relational.releaseCkpt(pairsAll, degAll, state)
             }
@@ -192,18 +189,16 @@ object GraphStreamApprox {
                     .groupBy($"src").agg(sum($"degree").as("degree"))
                     .localCheckpoint()
                   val prAll = foldPr(ss, storeDir, prDelta).localCheckpoint()
-                  SegStore.writeBucketed(ss, storeDir, "pairs", pairsAll, batchId)
-                  SegStore.writeBucketed(ss, storeDir, "edges",
-                    BipartiteGraph.edgesOf(pairsAll), batchId)
-                  SegStore.writeBucketed(ss, storeDir, "degree", degAll, batchId)
-                  SegStore.writeBucketed(ss, storeDir, "pr", prAll, batchId)
+                  SegStore.writeBucketedAll(ss, storeDir, Seq(
+                    "pairs" -> pairsAll,
+                    "edges" -> BipartiteGraph.edgesOf(pairsAll),
+                    "degree" -> degAll, "pr" -> prAll), batchId)
                   SegStore.commit(ss, storeDir, batchId, base = true, runId)
                   Relational.releaseCkpt(pairsAll, degAll, prAll)
                 } else {
-                  SegStore.writeBucketed(ss, storeDir, "pairs", newPairs, batchId)
-                  SegStore.writeBucketed(ss, storeDir, "edges", newEdges, batchId)
-                  SegStore.writeBucketed(ss, storeDir, "degree", newDeg, batchId)
-                  SegStore.writeBucketed(ss, storeDir, "pr", prDelta, batchId)
+                  SegStore.writeBucketedAll(ss, storeDir, Seq(
+                    "pairs" -> newPairs, "edges" -> newEdges,
+                    "degree" -> newDeg, "pr" -> prDelta), batchId)
                   SegStore.commit(ss, storeDir, batchId, base = false, runId)
                 }
                 Relational.releaseCkpt(prDelta)

@@ -153,17 +153,15 @@ object SegScrubStream {
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
               .union(newDocs)
               .localCheckpoint()
-            SegStore.writeBucketed(ss, storeDir, "occ", occAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "sdf", sdfAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docs", docsAll, batchId)
             // `merged` IS the folded docstat — the compaction reuses it
-            SegStore.writeBucketed(ss, storeDir, "docstat", merged, batchId)
+            SegStore.writeBucketedAll(ss, storeDir,
+              Seq("occ" -> occAll, "sdf" -> sdfAll, "docs" -> docsAll,
+                "docstat" -> merged), batchId)
             graft.operators.Relational.releaseCkpt(occAll, sdfAll, docsAll)
           } else {
-            SegStore.writeBucketed(ss, storeDir, "occ", newOcc, batchId)
-            SegStore.writeBucketed(ss, storeDir, "sdf", newDf, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docs", newDocs, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docstat", statDelta, batchId)
+            SegStore.writeBucketedAll(ss, storeDir,
+              Seq("occ" -> newOcc, "sdf" -> newDf, "docs" -> newDocs,
+                "docstat" -> statDelta), batchId)
           }
           // post-batch snapshot: the readout batch q191 would produce
           // over everything shipped so far — source-grain fold of the

@@ -452,11 +452,36 @@ object SegStore {
     val ids = active(ss, root).map(_.id)
     if (ids.isEmpty) None
     else {
+      val name = bucketedName(root, sub)
+      if (!ss.catalog.tableExists(name))
+        throw new IllegalStateException(
+          s"graft.SegStore: bucketed sub-table $sub of $root has committed " +
+            "segments but no catalog entry - call ensureBucketed first")
       val loc = bucketedLoc(root, sub)
-      val schema = ss.table(bucketedName(root, sub)).schema
+      val schema = ss.table(name).schema
       Some(ss.read.schema(schema).option("basePath", loc)
         .parquet(ids.map(id => s"$loc/_seg=$id"): _*))
     }
+  }
+
+  /** [[writeBucketed]] for several sub-tables of the SAME segment, the
+    * INSERTs run CONCURRENTLY on the driver: the per-batch floor is
+    * dominated by serial driver-coordinated jobs (GateProbe), and a
+    * segment's sub-table writes are independent until the commit
+    * marker seals them together — three ~0.3 s inserts collapse to
+    * the slowest one. Inputs must already be materialized when they
+    * read tables this call overwrites (the gates localCheckpoint
+    * their folds — same rule as [[writeBucketed]]).
+    */
+  def writeBucketedAll(ss: SparkSession, root: String,
+      subs: Seq[(String, DataFrame)], batchId: Long): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = subs.map { case (sub, df) =>
+      Future(writeBucketed(ss, root, sub, df, batchId))
+    }
+    fs.foreach(Await.result(_, Duration.Inf))
   }
 
   /** THE gate probe device: a bucketed sub-table restricted to a

@@ -106,16 +106,14 @@ object WinnowScrubStream {
             val docsAll = SegStore.readBucketed(ss, storeDir, "docs")
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
               .union(newDocs).localCheckpoint()
-            SegStore.writeBucketed(ss, storeDir, "sel", selAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "fdf", fdfAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docs", docsAll, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docstat", merged, batchId)
+            SegStore.writeBucketedAll(ss, storeDir,
+              Seq("sel" -> selAll, "fdf" -> fdfAll, "docs" -> docsAll,
+                "docstat" -> merged), batchId)
             graft.operators.Relational.releaseCkpt(selAll, fdfAll, docsAll)
           } else {
-            SegStore.writeBucketed(ss, storeDir, "sel", newSel, batchId)
-            SegStore.writeBucketed(ss, storeDir, "fdf", newDf, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docs", newDocs, batchId)
-            SegStore.writeBucketed(ss, storeDir, "docstat", statDelta, batchId)
+            SegStore.writeBucketedAll(ss, storeDir,
+              Seq("sel" -> newSel, "fdf" -> newDf, "docs" -> newDocs,
+                "docstat" -> statDelta), batchId)
           }
           SegStore.writeSnapshot(ss, outDir, sourceGrain(merged), batchId)
           SegStore.commit(ss, storeDir, batchId, base, runId)

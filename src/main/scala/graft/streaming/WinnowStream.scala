@@ -146,25 +146,15 @@ object WinnowStream {
                   .groupBy($"h").agg(sum($"df").as("df")).localCheckpoint(),
                 docs0.union(newDocs).localCheckpoint())
             }
-            phased("write_fp") {
-              SegStore.writeBucketed(ss, storeDir, "fp", fpAll, batchId)
-            }
-            phased("write_df") {
-              SegStore.writeBucketed(ss, storeDir, "df", dfAll, batchId)
-            }
-            phased("write_docs") {
-              SegStore.writeBucketed(ss, storeDir, "docs", docsAll, batchId)
+            phased("write") {
+              SegStore.writeBucketedAll(ss, storeDir,
+                Seq("fp" -> fpAll, "df" -> dfAll, "docs" -> docsAll), batchId)
             }
             graft.operators.Relational.releaseCkpt(fpAll, dfAll, docsAll)
           } else {
-            phased("write_fp") {
-              SegStore.writeBucketed(ss, storeDir, "fp", newFp, batchId)
-            }
-            phased("write_df") {
-              SegStore.writeBucketed(ss, storeDir, "df", newDf, batchId)
-            }
-            phased("write_docs") {
-              SegStore.writeBucketed(ss, storeDir, "docs", newDocs, batchId)
+            phased("write") {
+              SegStore.writeBucketedAll(ss, storeDir,
+                Seq("fp" -> newFp, "df" -> newDf, "docs" -> newDocs), batchId)
             }
           }
           phased("commit") {
