@@ -1052,6 +1052,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(probePlan.contains("PushedFilters: [In(h,") ||
       probePlan.contains("PushedFilters: [IsNotNull(h), In(h,"),
       s"probe keys not pushed to the store scan:\n$probePlan")
+    // the probe must scan the partition dirs RAW, never the catalog
+    // table: planning an In/InSet on the bucket column of a bucketed
+    // catalog table codegens an UnsafeProjection PER KEY VALUE
+    // (FileSourceStrategy.genBucketSet) — measured at seconds of
+    // driver time per probe at 12k keys (GateProbe, PLANS.md round-14)
+    assert(!probePlan.contains("graft_seg_"),
+      s"probe reads the bucketed catalog table (per-key bucket-pruning " +
+        s"codegen):\n$probePlan")
     assert(!probePlan.contains("SortMergeJoin") &&
       !probePlan.contains("Exchange rangepartitioning"),
       s"probe shuffles/sorts the store:\n$probePlan")
