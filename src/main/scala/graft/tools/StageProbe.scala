@@ -117,6 +117,47 @@ object StageProbe {
     probe("full133") {
       graft.SparkEntry.queries("q133_knn_triangles")(spark, dir).count()
     }
+
+    // ---- q178 (round-14: the slowest unattributed min-merged bench
+    // line after the closed output-bound q139/q133 — 4.5 s min at
+    // sf0.1). Stage walls cumulative from a cold cache: the curation
+    // funnel, the gopher semi-join on its survivors, and each card
+    // (the exact per-source window percentiles) separately.
+    println("[stage] ==== q178_curate_card_diff ====")
+    graft.SparkEntry.queries("q178_curate_card_diff")(spark, dir).count() // warm
+    reset()
+    def dropStages(stages: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit =
+      stages.foreach(_._2.unpersist(blocking = false))
+    probe("funnel") {
+      val stages = graft.operators.Analytics.curationStages(spark, dir)
+      val n = stages.last._2.count(); dropStages(stages); n
+    }
+    probe("curated") {
+      val stages = graft.operators.Analytics.curationStages(spark, dir)
+      val clean = stages.last._2
+      val n = clean.join(
+        graft.operators.TextOps.gopherRules(clean)
+          .where($"keep" === 1).select($"doc_id"),
+        Seq("doc_id"), "left_semi").count()
+      dropStages(stages); n
+    }
+    probe("card_before") {
+      graft.operators.Curation.cardOf(
+        graft.Tables.load(spark, dir, "documents"), exact = true).count()
+    }
+    probe("card_after") {
+      val stages = graft.operators.Analytics.curationStages(spark, dir)
+      val clean = stages.last._2
+      val curated = clean.join(
+        graft.operators.TextOps.gopherRules(clean)
+          .where($"keep" === 1).select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val n = graft.operators.Curation.cardOf(curated, exact = true).count()
+      dropStages(stages); n
+    }
+    probe("full178") {
+      graft.SparkEntry.queries("q178_curate_card_diff")(spark, dir).count()
+    }
     spark.stop()
   }
 }
