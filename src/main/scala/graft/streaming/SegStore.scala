@@ -302,6 +302,17 @@ object SegStore {
   def bucketedPartPath(root: String, sub: String, batchId: Long): String =
     s"${bucketedLoc(root, sub)}/_seg=$batchId"
 
+  /** Does segment `batchId`'s partition of bucketed sub-table `sub`
+    * exist on disk? Gates use this to detect a LEGACY store that
+    * predates a sub-table (e.g. the scrub gates' incremental
+    * `srcstat`): committed segments exist but the newest one has no
+    * partition of the new sub-table — the gate then backfills from
+    * the grain it can still derive, once.
+    */
+  def partitionExists(ss: SparkSession, root: String, sub: String,
+      batchId: Long): Boolean =
+    fsOf(ss, root).exists(new Path(bucketedPartPath(root, sub, batchId)))
+
   private val SpecFile = "_GRAFT_SPEC"
 
   /** Canonical text of a bucketed sub-table's physical spec — what the

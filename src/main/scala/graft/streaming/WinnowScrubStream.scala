@@ -62,6 +62,9 @@ object WinnowScrubStream {
           SegStore.ensureBucketed(ss, storeDir, "docstat",
             "doc_id BIGINT, source STRING, fps BIGINT, dup_fps BIGINT, " +
               "flag BIGINT", Seq("doc_id"), buckets)
+          SegStore.ensureBucketed(ss, storeDir, "srcstat",
+            "source STRING, n_docs BIGINT, n_fps BIGINT, dup_fps BIGINT, " +
+              "dup_docs BIGINT", Seq("source"), buckets)
           val bSel = graft.operators.Dedup
             .winnowSel(batch.dropDuplicates("doc_id"))
             .localCheckpoint()
@@ -92,8 +95,42 @@ object WinnowScrubStream {
             .select($"doc_id", $"source", lit(0L).as("fps"),
               lit(1L).as("dup_fps"), lit(1L).as("flag"))
           val statDelta = inserts.unionByName(flipRows).localCheckpoint()
-          val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
-          val base = SegStore.active(ss, storeDir).size >= compactEvery
+          // incremental source-grain state (`srcstat`, additive
+          // partials) — the SegScrubStream device: the per-batch
+          // snapshot folds |sources|-bounded rows, never the
+          // corpus-sized docstat. Flag moves by greatest(prior,
+          // delta) - prior, with prior flags from a delta-sized
+          // pruned docstat scan; legacy stores backfill once.
+          val act = SegStore.active(ss, storeDir)
+          val base = act.size >= compactEvery
+          val legacy = act.nonEmpty &&
+            !SegStore.partitionExists(ss, storeDir, "srcstat", act.last.id)
+          val srcDelta = {
+            (if (legacy) {
+              val full = srcGrainPartial(mergedDocstat(ss, storeDir, statDelta))
+              full.unionByName(committedSrcstat(ss, storeDir)
+                .select($"source", (-$"n_docs").as("n_docs"),
+                  (-$"n_fps").as("n_fps"), (-$"dup_fps").as("dup_fps"),
+                  (-$"dup_docs").as("dup_docs")))
+                .groupBy($"source").agg(sum($"n_docs").as("n_docs"),
+                  sum($"n_fps").as("n_fps"), sum($"dup_fps").as("dup_fps"),
+                  sum($"dup_docs").as("dup_docs"))
+            } else {
+              val dd = docGrain(statDelta)
+              val pr = docGrain(SegStore.prunedScan(ss, storeDir, "docstat",
+                "doc_id", dd.select($"doc_id")))
+                .select($"doc_id", $"flag".as("p"), lit(1L).as("ex"))
+              dd.join(pr, Seq("doc_id"), "left_outer")
+                .select($"source", $"fps", $"dup_fps",
+                  coalesce($"ex", lit(0L)).as("ex"),
+                  coalesce($"p", lit(0L)).as("p"), $"flag")
+                .groupBy($"source")
+                .agg(sum(lit(1L) - $"ex").as("n_docs"),
+                  sum($"fps").as("n_fps"),
+                  sum($"dup_fps").as("dup_fps"),
+                  sum(greatest($"p", $"flag") - $"p").as("dup_docs"))
+            }).localCheckpoint()
+          }
           if (base) {
             val selAll = SegStore.readBucketed(ss, storeDir, "sel")
               .getOrElse(Seq.empty[(String, Long, String)]
@@ -106,19 +143,24 @@ object WinnowScrubStream {
             val docsAll = SegStore.readBucketed(ss, storeDir, "docs")
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
               .union(newDocs).localCheckpoint()
+            val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
+            val srcAll = snapshotFold(ss, storeDir, srcDelta).localCheckpoint()
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("sel" -> selAll, "fdf" -> fdfAll, "docs" -> docsAll,
-                "docstat" -> merged), batchId)
-            graft.operators.Relational.releaseCkpt(selAll, fdfAll, docsAll)
+                "docstat" -> merged, "srcstat" -> srcAll), batchId)
+            SegStore.writeSnapshot(ss, outDir, readoutOf(srcAll), batchId)
+            graft.operators.Relational.releaseCkpt(selAll, fdfAll, docsAll,
+              merged, srcAll)
           } else {
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("sel" -> newSel, "fdf" -> newDf, "docs" -> newDocs,
-                "docstat" -> statDelta), batchId)
+                "docstat" -> statDelta, "srcstat" -> srcDelta), batchId)
+            SegStore.writeSnapshot(ss, outDir,
+              readoutOf(snapshotFold(ss, storeDir, srcDelta)), batchId)
           }
-          SegStore.writeSnapshot(ss, outDir, sourceGrain(merged), batchId)
           SegStore.commit(ss, storeDir, batchId, base, runId)
           graft.operators.Relational.releaseCkpt(bSel, newSel, post,
-            statDelta, merged)
+            statDelta, srcDelta)
         }
         ()
       }
@@ -158,14 +200,47 @@ object WinnowScrubStream {
   /** The q192-shaped source-grain readout of a doc-grain view — the
     * same formulas batch q192's final fold applies.
     */
-  private def sourceGrain(docs: DataFrame): DataFrame = {
+  /** Source-grain partial of a doc-grain view — the additive rows
+    * `srcstat` stores. Used only for the legacy-store backfill.
+    */
+  private def srcGrainPartial(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"fps").as("n_fps"),
         sum($"dup_fps").as("dup_fps"),
-        sum($"flag").as("dup_docs"),
-        expr("CAST(sum(dup_fps) * 1000 DIV sum(fps) AS BIGINT)").as("dup_x1000"))
+        sum($"flag").as("dup_docs"))
+  }
+
+  private def committedSrcstat(ss: SparkSession, storeDir: String): DataFrame = {
+    import ss.implicits._
+    SegStore.readBucketed(ss, storeDir, "srcstat")
+      .getOrElse(Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_fps", "dup_fps", "dup_docs"))
+  }
+
+  /** Committed `srcstat` partials plus this batch's delta, folded —
+    * |sources|-bounded, never a docstat scan.
+    */
+  private[graft] def snapshotFold(ss: SparkSession, storeDir: String,
+      srcDelta: DataFrame): DataFrame = {
+    import ss.implicits._
+    committedSrcstat(ss, storeDir).unionByName(srcDelta)
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"),
+        sum($"n_fps").as("n_fps"),
+        sum($"dup_fps").as("dup_fps"),
+        sum($"dup_docs").as("dup_docs"))
+  }
+
+  /** The published q192-shaped readout of a folded source-grain view
+    * (the derived ratio column computed exactly as the batch readout
+    * does: sum-level integer DIV).
+    */
+  private def readoutOf(folded: DataFrame): DataFrame = {
+    import folded.sparkSession.implicits._
+    folded.select($"source", $"n_docs", $"n_fps", $"dup_fps", $"dup_docs",
+      expr("CAST(dup_fps * 1000 DIV n_fps AS BIGINT)").as("dup_x1000"))
       .orderBy($"source")
   }
 }

@@ -73,20 +73,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object WinnowStream {
 
-  /** Per-phase wall observer for the REAL batch body — [[graft.tools
-    * .GateProbe]] installs a collector here so the per-batch constant
-    * (round-13 delta-dimension row: ~5-10 s regardless of delta size)
-    * is attributed on the actual execution path instead of a mirrored
-    * copy that could drift. Production cost is a few nanoTime calls.
-    */
-  @volatile private[graft] var phaseHook: (String, Double) => Unit = (_, _) => ()
-
-  private def phased[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    phaseHook(name, (System.nanoTime() - t0) / 1e9)
-    r
-  }
+  import GatePhase.phased
 
   /** `docs`: a streaming DataFrame of (doc_id: Long, text: String).
     * Flags land in `$outDir/batch_<id>` as (new_doc, old_doc, shared)

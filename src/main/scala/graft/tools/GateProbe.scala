@@ -23,6 +23,11 @@ object GateProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val work = if (args.length > 1) args(1) else "/tmp/graft_gate_probe"
+    // optional args(2): comma-separated section names (winnow, xover,
+    // scrub) — default all
+    val sections =
+      if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
+      else Set("winnow", "xover", "scrub")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,7 +54,7 @@ object GateProbe {
       }
     })
     val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    graft.streaming.WinnowStream.phaseHook = (n, t) => phases.synchronized {
+    graft.streaming.GatePhase.hook = (n, t) => phases.synchronized {
       phases += ((n, t)); ()
     }
 
@@ -72,35 +77,68 @@ object GateProbe {
         f"machinery=${wall - body}%.2f s jobs=${jobs.getAndSet(0)} | $lines")
     }
 
-    // batch 0: the corpus (store build — not the measurement target,
-    // but printed: it is the fold-cost upper bound for this store)
-    graft.Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"text")
-      .write.mode("overwrite").parquet(s"$work/in")
-    jobs.set(0)
-    report("corpus_batch", runGate())
-
     // the 200-doc delta: fresh ids over base content — the
-    // delta-dimension row's smallest point, now phase-attributed
+    // delta-dimension row's smallest point, phase-attributed
     val delta = graft.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").orderBy($"doc_id").limit(200)
       .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"text")
       .localCheckpoint()
-    delta.write.mode("append").parquet(s"$work/in")
-    jobs.set(0)
-    report("delta_200", runGate())
 
-    // all-replay: the same 200 docs again — every doc absorbed by the
-    // docs-probe anti-join, zero new fingerprints; what remains is the
-    // floor a no-op trigger pays
-    delta.write.mode("append").parquet(s"$work/in")
-    jobs.set(0)
-    report("replay_200", runGate())
+    if (sections("winnow")) {
+      // batch 0: the corpus (store build — not the measurement target,
+      // but printed: it is the fold-cost upper bound for this store)
+      graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(s"$work/in")
+      jobs.set(0)
+      report("corpus_batch", runGate())
 
-    // empty trigger: the stream restarts, finds no new files — pure
-    // query start/stop + source listing, no batch body at all
-    jobs.set(0)
-    report("no_data", runGate())
+      delta.write.mode("append").parquet(s"$work/in")
+      jobs.set(0)
+      report("delta_200", runGate())
+
+      // all-replay: the same 200 docs again — every doc absorbed by the
+      // docs-probe anti-join, zero new fingerprints; what remains is the
+      // floor a no-op trigger pays
+      delta.write.mode("append").parquet(s"$work/in")
+      jobs.set(0)
+      report("replay_200", runGate())
+
+      // empty trigger: the stream restarts, finds no new files — pure
+      // query start/stop + source listing, no batch body at all
+      jobs.set(0)
+      report("no_data", runGate())
+    }
+
+    // ---- the scrub gate (4 sub-tables, per-batch snapshot): the same
+    // corpus/delta/replay protocol — run with the 8x fixture dir as
+    // args(0) to expose any corpus term (ScaleAudit scrub_gate found
+    // the delta batch NOT corpus-flat before the lazy-snapshot fix)
+    if (sections("scrub")) {
+      def runScrub(): Double = time {
+        graft.streaming.SegScrubStream.scrubStream(
+          spark.readStream
+            .schema("doc_id LONG, source STRING, text STRING")
+            .parquet(s"$work/sin"),
+          s"$work/sstore", s"$work/sout", s"$work/sckpt", compactEvery = 100)
+          .awaitTermination()
+      }._1
+      graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+        .write.mode("overwrite").parquet(s"$work/sin")
+      val sdelta = graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text").orderBy($"doc_id").limit(200)
+        .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"source", $"text")
+        .localCheckpoint()
+      jobs.set(0)
+      report("scrub_corpus", runScrub())
+      sdelta.write.mode("append").parquet(s"$work/sin")
+      jobs.set(0)
+      report("scrub_delta_200", runScrub())
+      sdelta.write.mode("append").parquet(s"$work/sin")
+      jobs.set(0)
+      report("scrub_replay_200", runScrub())
+    }
 
     // ---- the IN-vs-broadcast crossover, isolated -----------------------
     // The delta batch's flags phase dominates its wall. probeFlags makes
@@ -110,7 +148,7 @@ object GateProbe {
     // optimizer cost is pure driver time. Measure the df-sub-table scan
     // count() under forced IN at several literal counts vs the forced
     // broadcast semi-join over the same key frame.
-    locally {
+    if (sections("xover")) locally {
       import graft.streaming.SegStore
       val dfp = graft.operators.Dedup.winnowFp(
         delta.withColumn("doc_id", $"doc_id" + lit(50000000L)))
@@ -179,7 +217,7 @@ object GateProbe {
       }
     }
 
-    graft.streaming.WinnowStream.phaseHook = (_, _) => ()
+    graft.streaming.GatePhase.hook = (_, _) => ()
     spark.stop()
   }
 }

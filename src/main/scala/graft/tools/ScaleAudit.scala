@@ -161,6 +161,11 @@ object ScaleAudit {
     val only =
       if (args.length > 3) args(3).split(",").filter(_.nonEmpty).toSet
       else Set.empty[String]
+    // the diagnostic/skew `locally` blocks are gated like bench():
+    // they are corpus-sized scans, and an `only`-filtered big-mult run
+    // (e.g. mult=64 for one linear family) must not pay for them
+    def want(tag: String): Boolean =
+      only.isEmpty || only.exists(tag.contains)
     def bench(name: String, dir: String, q: (SparkSession, String) => DataFrame): Unit = {
       if (only.nonEmpty && !only.exists(name.contains)) return
       time(q(spark, dir).count())
@@ -174,15 +179,19 @@ object ScaleAudit {
       println(s"[audit] ==== $dir ====")
       val d = graft.Tables.load(spark, dir, "documents")
       println(s"[audit] documents=${d.count()} sources=${d.select($"source").distinct().count()}")
-      val buckets = graft.Tables.load(spark, dir, "events")
-        .select(expr("(ts DIV 1000) DIV 3600000000").as("b"))
-        .groupBy($"b").count()
-      val mx = buckets.agg(max($"count")).collect()(0).getLong(0)
-      println(s"[audit] event buckets=${buckets.count()} max_events_per_bucket=$mx " +
-        s"-> q67 max chunk count nc=${(mx + 1023) / 1024}")
-      val loads = graft.operators.Similarity.cellLoads(spark, dir)
-      println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
-        s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
+      if (want("q67_interval_join")) {
+        val buckets = graft.Tables.load(spark, dir, "events")
+          .select(expr("(ts DIV 1000) DIV 3600000000").as("b"))
+          .groupBy($"b").count()
+        val mx = buckets.agg(max($"count")).collect()(0).getLong(0)
+        println(s"[audit] event buckets=${buckets.count()} max_events_per_bucket=$mx " +
+          s"-> q67 max chunk count nc=${(mx + 1023) / 1024}")
+      }
+      if (want("q59_dedup_embedding_ivf")) {
+        val loads = graft.operators.Similarity.cellLoads(spark, dir)
+        println(s"[audit] ivf cells=${loads.size} max_load=${loads.values.max} " +
+          s"-> q59 max chunk count nc=${(loads.values.max + 511) / 512}")
+      }
       bench("q104_pagerank", dir, graft.SparkEntry.queries("q104_pagerank"))
       // bench() clears caches after every query, so q113 never
       // free-rides q104's persisted edges (and vice versa)
@@ -252,7 +261,7 @@ object ScaleAudit {
       // asymmetric (probe prefix × full postings), so the profiled
       // quantity is Σ probe·post over PROBED grams plus the largest
       // probed posting bucket.
-      locally {
+      if (want("skew")) locally {
         val (_, _, _, prefix139) = graft.operators.Dedup.setsimStreams(spark, dir)
         val p = prefix139.groupBy($"trank").agg(count(lit(1)).as("cnt"))
           .agg(count(lit(1)).as("n_keys"), max($"cnt").as("max_bucket"),
@@ -284,7 +293,7 @@ object ScaleAudit {
       // its occupancy (max cluster, Σ members²) prints off the query's
       // own per-cluster output; a whale cluster there is the signal to
       // switch it to the q59 chunk-pair segmentation.
-      locally {
+      if (want("skew")) locally {
         val (ca59, cb59) = graft.operators.Dedup.ivfChunkStreams(spark, dir)
         val ac = ca59.groupBy($"cell", $"ca", $"cb").agg(count(lit(1)).as("na"))
         val bc = cb59.groupBy($"cell", $"ca", $"cb").agg(count(lit(1)).as("nb"))
@@ -324,16 +333,18 @@ object ScaleAudit {
       bench("q157_skew_profile", dir, graft.SparkEntry.queries("q157_skew_profile"))
       // q67 chunked vs unchunked: identical pair sets, bounded tasks.
       // Warm each variant once (bench() cleaned all caches), then time.
-      def timedPairs(chunk: Long) = {
-        graft.operators.Extras.intervalJoinOn(spark, dir, 3600L * 1000000L, chunk).count()
-        time(graft.operators.Extras
-          .intervalJoinOn(spark, dir, 3600L * 1000000L, chunk).count())
+      if (want("q67_interval_join")) {
+        def timedPairs(chunk: Long) = {
+          graft.operators.Extras.intervalJoinOn(spark, dir, 3600L * 1000000L, chunk).count()
+          time(graft.operators.Extras
+            .intervalJoinOn(spark, dir, 3600L * 1000000L, chunk).count())
+        }
+        val (tc, nc) = timedPairs(1024L)
+        val (tu, nu) = timedPairs(Long.MaxValue / 4)
+        println(f"[audit] q67 chunked=$tc%.2f s ($nc pairs) unchunked=$tu%.2f s ($nu pairs)")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
-      val (tc, nc) = timedPairs(1024L)
-      val (tu, nu) = timedPairs(Long.MaxValue / 4)
-      println(f"[audit] q67 chunked=$tc%.2f s ($nc pairs) unchunked=$tu%.2f s ($nu pairs)")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // q164: per-copy suffixes make char-20-grams disjoint across
       // copies, so fingerprint BLOCKS grow in count while the df<=16
       // cap bounds every block — pairs should grow ~linearly and the
@@ -342,7 +353,7 @@ object ScaleAudit {
       // q168: 8 disjoint graph copies, per-half-round join tracks
       // edges.
       bench("q164_winnowing", dir, graft.SparkEntry.queries("q164_winnowing"))
-      locally {
+      if (want("skew")) locally {
         import graft.functions.GraftFunctions.winnow_set
         val fp = graft.Tables.load(spark, dir, "documents")
           .select($"doc_id",
@@ -386,7 +397,7 @@ object ScaleAudit {
       // per-source vocab partitions (max printed), never one global
       // sort.
       bench("q177_source_terms", dir, graft.SparkEntry.queries("q177_source_terms"))
-      locally {
+      if (want("skew")) locally {
         val cnt = graft.Tables.load(spark, dir, "documents")
           .select($"source",
             explode(split(lower(trim($"text")), "\\s+")).as("word"))
@@ -690,6 +701,65 @@ object ScaleAudit {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+      // Scrub-gate corpus-flatness row: same protocol as winnow_gate
+      // (fixed 200-doc delta against a 1x vs mult-x accumulated store)
+      // for the SEGMENT scrub gate — the gate family's other
+      // heavyweight (4 sub-tables, incremental docstat readout). Its
+      // exchange-free probe plan is spec-pinned; this MEASURES the
+      // wall and per-batch segment bytes at both store scales.
+      if (want("scrub_gate")) locally {
+        import graft.streaming.{SegStore, SegScrubStream}
+        val gw = s"$work/scrub_gate_${math.abs(dir.hashCode)}"
+        locally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(gw))
+        }
+        graft.Tables.load(spark, dir, "documents")
+          .select($"doc_id", $"source", $"text")
+          .write.mode("overwrite").parquet(s"$gw/in")
+        val delta = graft.Tables.load(spark, base, "documents")
+          .select($"doc_id", $"source", $"text").orderBy($"doc_id").limit(200)
+          .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"source", $"text")
+        val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        graft.streaming.GatePhase.hook =
+          (n, t) => phases.synchronized { phases += ((n, t)); () }
+        def runGate(label: String): Double = {
+          phases.synchronized(phases.clear())
+          val t = time {
+            SegScrubStream.scrubStream(
+              spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+                .parquet(s"$gw/in"),
+              s"$gw/store", s"$gw/out", s"$gw/ckpt", compactEvery = 100)
+              .awaitTermination()
+          }._1
+          val ph = phases.synchronized(phases.toVector)
+          println(f"[audit] scrub_gate/$label @ $dir: " +
+            ph.map { case (n, v) => f"$n=$v%.2f" }.mkString(" "))
+          t
+        }
+        val tCorpus = runGate("corpus")
+        delta.write.mode("append").parquet(s"$gw/in")
+        val tDelta = runGate("delta")
+        graft.streaming.GatePhase.hook = (_, _) => ()
+        def segBytes(id: Long): Long = Seq("occ", "sdf", "docs", "docstat")
+          .map { sub =>
+            def walk(f: java.io.File): Long =
+              if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+              else f.length()
+            walk(new java.io.File(SegStore.bucketedPartPath(s"$gw/store", sub, id)))
+          }.sum
+        val segs = SegStore.active(spark, s"$gw/store")
+        println(f"[audit] scrub_gate @ $dir: corpus_batch=$tCorpus%.2f s " +
+          f"delta_batch=$tDelta%.2f s " +
+          s"corpus_seg_bytes=${segBytes(segs.head.id)} " +
+          s"delta_seg_bytes=${segBytes(segs.last.id)}")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       bench("q186_lm_quality", dir, graft.SparkEntry.queries("q186_lm_quality"))
       bench("q187_dsir_weights", dir, graft.SparkEntry.queries("q187_dsir_weights"))
       bench("q188_t_closeness", dir, graft.SparkEntry.queries("q188_t_closeness"))
@@ -708,7 +778,7 @@ object ScaleAudit {
         graft.SparkEntry.queries("q178_curate_card_diff"))
       bench("q178_sketch_twin", dir,
         (s, d) => graft.operators.Curation.curateCardDiff(s, d, exact = false))
-      locally {
+      if (want("skew")) locally {
         val ws = graft.Tables.load(spark, dir, "documents")
           .select($"doc_id", expr(
             "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
@@ -753,7 +823,7 @@ object ScaleAudit {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-      locally {
+      if (want("skew")) locally {
         val v = graft.Tables.load(spark, dir, "documents")
           .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
           .where(length($"t") > 0)
@@ -773,9 +843,11 @@ object ScaleAudit {
     // the lang stage. Stage counts printed so non-collapse is visible.
     for (dir <- Seq(base, s"$work/funnel")) {
       println(s"[audit] ==== q109 funnel @ $dir ====")
-      val stages = graft.SparkEntry.queries("q109_curation_pipeline")(spark, dir)
-        .collect().map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" ")
-      println(s"[audit] q109 stages: $stages")
+      if (want("q109_curation_pipeline")) {
+        val stages = graft.SparkEntry.queries("q109_curation_pipeline")(spark, dir)
+          .collect().map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" ")
+        println(s"[audit] q109 stages: $stages")
+      }
       bench("q109_curation_pipeline", dir, graft.SparkEntry.queries("q109_curation_pipeline"))
       bench("q128_keyword_search", dir, graft.SparkEntry.queries("q128_keyword_search"))
     }
