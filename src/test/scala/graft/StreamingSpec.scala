@@ -716,6 +716,73 @@ class StreamingSpec extends AnyFunSuite {
       "accumulated occurrence store != batch derivation")
   }
 
+  test("scrub gate srcstat: legacy store backfills once, then stays incremental") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{SegScrubStream, SegStore}
+    val work = Files.createTempDirectory("graft_segscrub_legacy_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val copy = (id: Long) => docs.where(col("doc_id") === 0)
+      .select(lit(id).as("doc_id"), col("source"), col("text"))
+    // planted copies so batch 1 fires the FLIP path (df crossing 3)
+    // while the store is in its legacy state — the backfill must
+    // reconstruct flag history it never saw incrementally
+    val p0 = docs.where(col("doc_id") % 3 === 0).union(copy(900001L))
+    val p1 = docs.where(col("doc_id") % 3 === 1)
+      .union(copy(900002L)).union(copy(900003L))
+    val p2 = docs.where(col("doc_id") % 3 === 2)
+    shipFile(p0, "0_a")
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    def runOnce(): Unit = SegScrubStream.scrubStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt").awaitTermination()
+    runOnce()
+    // simulate a store written before srcstat existed: drop the
+    // sub-table's catalog entry and its whole on-disk directory
+    spark.sql(
+      s"DROP TABLE IF EXISTS `${SegStore.bucketedName(s"$work/store", "srcstat")}`")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(SegStore.bucketedLoc(s"$work/store", "srcstat")))
+    assert(!SegStore.partitionExists(spark, s"$work/store", "srcstat", 0L))
+    // batch 1 against the legacy store: backfill fires (one docstat
+    // fold) and the published snapshot still equals the batch readout
+    shipFile(p1, "1_b")
+    runOnce()
+    def readout(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.crossSegReadout(graft.operators.Dedup.crossSegOcc(d))
+    val docs01 = p0.union(p1)
+    val snap1 = SegStore.readSnapshot(spark, s"$work/out").get
+    val want1 = readout(docs01)
+    assert(snap1.except(want1).isEmpty && want1.except(snap1).isEmpty,
+      "post-backfill snapshot != batch readout over shipped docs")
+    // the backfill stamped srcstat for batch 1, so batch 2 takes the
+    // incremental path — and stays exact
+    assert(SegStore.partitionExists(spark, s"$work/store", "srcstat", 1L),
+      "backfill did not write the srcstat partition")
+    shipFile(p2, "2_c")
+    runOnce()
+    assert(SegStore.partitionExists(spark, s"$work/store", "srcstat", 2L))
+    val snap2 = SegStore.readSnapshot(spark, s"$work/out").get
+    val want2 = readout(docs01.union(p2))
+    assert(snap2.except(want2).isEmpty && want2.except(snap2).isEmpty,
+      "post-legacy incremental snapshot != batch readout")
+  }
+
   test("streaming forward-push PPR equals batch q163 after the final delta batch") {
     import org.apache.spark.sql.functions._
     import graft.streaming.GraphStream
