@@ -781,6 +781,21 @@ class StreamingSpec extends AnyFunSuite {
     val want2 = readout(docs01.union(p2))
     assert(snap2.except(want2).isEmpty && want2.except(snap2).isEmpty,
       "post-legacy incremental snapshot != batch readout")
+    // plan pin: the per-batch snapshot folds srcstat partials only —
+    // a regression back to folding the corpus-sized docstat (the
+    // round-14 corpus term) must fail loudly
+    locally {
+      import spark.implicits._
+      val emptyDelta = Seq.empty[(String, Long, Long, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_segs", "dup_segs", "dup_docs_g0",
+          "dup_docs_any", "straddle_docs")
+      val plan = SegScrubStream.snapshotFold(spark, s"$work/store", emptyDelta)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("srcstat"),
+        s"snapshot fold does not read srcstat:\n$plan")
+      assert(!plan.contains("docstat"),
+        s"snapshot fold scans the corpus-sized docstat:\n$plan")
+    }
   }
 
   test("streaming forward-push PPR equals batch q163 after the final delta batch") {
