@@ -27,7 +27,7 @@ object GateProbe {
     // scrub) — default all
     val sections =
       if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
-      else Set("winnow", "xover", "scrub")
+      else Set("winnow", "xover", "scrub", "wscrub")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -138,6 +138,31 @@ object GateProbe {
       sdelta.write.mode("append").parquet(s"$work/sin")
       jobs.set(0)
       report("scrub_replay_200", runScrub())
+    }
+
+    // ---- the winnowing scrub gate: same protocol (it shares the
+    // srcstat design with the segment scrub, one level simpler)
+    if (sections("wscrub")) {
+      def runWScrub(): Double = time {
+        graft.streaming.WinnowScrubStream.winnowScrubStream(
+          spark.readStream
+            .schema("doc_id LONG, source STRING, text STRING")
+            .parquet(s"$work/win"),
+          s"$work/wstore", s"$work/wout", s"$work/wckpt", compactEvery = 100)
+          .awaitTermination()
+      }._1
+      graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+        .write.mode("overwrite").parquet(s"$work/win")
+      val wdelta = graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text").orderBy($"doc_id").limit(200)
+        .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"source", $"text")
+        .localCheckpoint()
+      jobs.set(0)
+      report("wscrub_corpus", runWScrub())
+      wdelta.write.mode("append").parquet(s"$work/win")
+      jobs.set(0)
+      report("wscrub_delta_200", runWScrub())
     }
 
     // ---- the IN-vs-broadcast crossover, isolated -----------------------
