@@ -107,10 +107,7 @@ object Bench {
   private[graft] def localDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
+      def rm(f: java.io.File): Unit = graft.tools.FsUtil.rm(f.getPath)
       val pool = new java.io.File(shm, "graft-bench-local")
       val pid = ProcessHandle.current().pid()
       Option(pool.listFiles()).foreach(_.foreach { sib =>

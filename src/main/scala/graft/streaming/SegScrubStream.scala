@@ -174,7 +174,12 @@ object SegScrubStream {
           val base = act.size >= compactEvery
           val legacy = act.nonEmpty &&
             !SegStore.partitionExists(ss, storeDir, "srcstat", act.last.id)
-          val srcDelta = phased("srcdelta") {
+          // computed only on DELTA batches: a compaction batch already
+          // materializes the full merged docstat, and
+          // srcGrainPartial(merged) IS the total source-grain state —
+          // deriving srcDelta there would redundantly re-probe prior
+          // flags (review finding, round 14)
+          def srcDelta() = phased("srcdelta") {
             (if (legacy) {
               val full = srcGrainPartial(mergedDocstat(ss, storeDir, statDelta))
               val committed = committedSrcstat(ss, storeDir)
@@ -224,9 +229,10 @@ object SegScrubStream {
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
               .union(newDocs)
               .localCheckpoint()
-            // `merged` IS the folded docstat — the compaction reuses it
+            // `merged` IS the folded docstat — the compaction reuses
+            // it, and its source grain IS the total srcstat state
             val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
-            val srcAll = snapshotFold(ss, storeDir, srcDelta).localCheckpoint()
+            val srcAll = srcGrainPartial(merged).localCheckpoint()
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("occ" -> occAll, "sdf" -> sdfAll, "docs" -> docsAll,
                 "docstat" -> merged, "srcstat" -> srcAll), batchId)
@@ -235,23 +241,25 @@ object SegScrubStream {
             graft.operators.Relational.releaseCkpt(occAll, sdfAll, docsAll,
               merged, srcAll)
           } else {
+            val sd = srcDelta()
             phased("write") {
               SegStore.writeBucketedAll(ss, storeDir,
                 Seq("occ" -> newOcc, "sdf" -> newDf, "docs" -> newDocs,
-                  "docstat" -> statDelta, "srcstat" -> srcDelta), batchId)
+                  "docstat" -> statDelta, "srcstat" -> sd), batchId)
             }
             // snapshot = committed srcstat partials + this batch's
             // delta — a |sources|-bounded fold, NOT a docstat scan
             // (the uncommitted partitions are invisible to the read)
             phased("snapshot") {
               SegStore.writeSnapshot(ss, outDir,
-                snapshotFold(ss, storeDir, srcDelta).orderBy($"source"),
+                snapshotFold(ss, storeDir, sd).orderBy($"source"),
                 batchId)
             }
+            graft.operators.Relational.releaseCkpt(sd)
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
           graft.operators.Relational.releaseCkpt(bOcc, newOcc, post,
-            statDelta, srcDelta)
+            statDelta)
         }
         ()
       }

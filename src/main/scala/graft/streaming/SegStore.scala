@@ -492,7 +492,16 @@ object SegStore {
     val fs = subs.map { case (sub, df) =>
       Future(writeBucketed(ss, root, sub, df, batchId))
     }
-    fs.foreach(Await.result(_, Duration.Inf))
+    // await EVERY future before propagating any failure: throwing on
+    // the first failed insert would leave sibling INSERTs running as
+    // orphans, and a fast replay of the batch could then interleave
+    // its own INSERT OVERWRITE with an orphan still writing the same
+    // _seg partition — the commit marker would seal a torn mix. With
+    // all writes quiesced first, the replay's overwrite-then-commit
+    // keeps the store's crash-safety invariant.
+    val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
   }
 
   /** THE gate probe device: a bucketed sub-table restricted to a
@@ -527,6 +536,17 @@ object SegStore {
   /** [[prunedScan]] over the `_seg`-tagged view — for keyed
     * latest-wins stores where the caller resolves versions among the
     * pruned rows. None when the store has no committed segment.
+    *
+    * Deliberate trade (round-14 review): the raw read drops the
+    * bucket metadata, so the caller's latest-wins fold over the
+    * pruned rows plans WITH an exchange — but that exchange moves at
+    * most (batch keys) x (active segments) rows, i.e. it is
+    * delta-bounded, while the catalog-table alternative pays the
+    * per-key bucket-pruning codegen (pure driver time, superlinear in
+    * the key count) at every (re)planning. Corpus-grain folds, where
+    * the exchange would NOT be delta-bounded, keep the catalog table
+    * via [[readBucketed]]/[[readBucketedTagged]] — they carry no key
+    * filter, so they never trigger the codegen path.
     */
   def prunedScanTagged(ss: SparkSession, root: String, sub: String,
       key: String, keysDf: DataFrame): Option[DataFrame] =

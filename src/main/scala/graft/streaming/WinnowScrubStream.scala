@@ -105,7 +105,9 @@ object WinnowScrubStream {
           val base = act.size >= compactEvery
           val legacy = act.nonEmpty &&
             !SegStore.partitionExists(ss, storeDir, "srcstat", act.last.id)
-          val srcDelta = {
+          // delta batches only — a compaction batch derives the total
+          // source grain from its already-materialized merged docstat
+          def srcDelta() = {
             (if (legacy) {
               val full = srcGrainPartial(mergedDocstat(ss, storeDir, statDelta))
               full.unionByName(committedSrcstat(ss, storeDir)
@@ -144,7 +146,7 @@ object WinnowScrubStream {
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
               .union(newDocs).localCheckpoint()
             val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
-            val srcAll = snapshotFold(ss, storeDir, srcDelta).localCheckpoint()
+            val srcAll = srcGrainPartial(merged).localCheckpoint()
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("sel" -> selAll, "fdf" -> fdfAll, "docs" -> docsAll,
                 "docstat" -> merged, "srcstat" -> srcAll), batchId)
@@ -152,15 +154,17 @@ object WinnowScrubStream {
             graft.operators.Relational.releaseCkpt(selAll, fdfAll, docsAll,
               merged, srcAll)
           } else {
+            val sd = srcDelta()
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("sel" -> newSel, "fdf" -> newDf, "docs" -> newDocs,
-                "docstat" -> statDelta, "srcstat" -> srcDelta), batchId)
+                "docstat" -> statDelta, "srcstat" -> sd), batchId)
             SegStore.writeSnapshot(ss, outDir,
-              readoutOf(snapshotFold(ss, storeDir, srcDelta)), batchId)
+              readoutOf(snapshotFold(ss, storeDir, sd)), batchId)
+            graft.operators.Relational.releaseCkpt(sd)
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
           graft.operators.Relational.releaseCkpt(bSel, newSel, post,
-            statDelta, srcDelta)
+            statDelta)
         }
         ()
       }

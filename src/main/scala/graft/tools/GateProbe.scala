@@ -39,13 +39,7 @@ object GateProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    locally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(work))
-    }
+    FsUtil.rm(work)
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -173,7 +167,10 @@ object GateProbe {
     // optimizer cost is pure driver time. Measure the df-sub-table scan
     // count() under forced IN at several literal counts vs the forced
     // broadcast semi-join over the same key frame.
-    if (sections("xover")) locally {
+    if (sections("xover") && !sections("winnow"))
+      println("[gate-probe] xover needs the winnow section's store " +
+        "(the tool wipes workDir at startup) - skipping")
+    if (sections("xover") && sections("winnow")) locally {
       import graft.streaming.SegStore
       val dfp = graft.operators.Dedup.winnowFp(
         delta.withColumn("doc_id", $"doc_id" + lit(50000000L)))

@@ -472,13 +472,7 @@ object ScaleAudit {
         val gw = s"$work/winnow_gate_${math.abs(dir.hashCode)}"
         // hermetic: a leftover store/ckpt from a prior audit run would
         // absorb the delta as a replay and measure an empty segment
-        locally {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(new java.io.File(gw))
-        }
+        FsUtil.rm(gw)
         val gdocs = graft.Tables.load(spark, dir, "documents")
           .select($"doc_id", $"text")
         gdocs.write.mode("overwrite").parquet(s"$gw/in")
@@ -497,15 +491,8 @@ object ScaleAudit {
         val tCorpus = runGate()
         delta.write.mode("append").parquet(s"$gw/in")
         val tDelta = runGate()
-        def dirBytes(p: String): Long = {
-          def walk(f: java.io.File): Long =
-            if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-            else f.length()
-          walk(new java.io.File(new java.net.URI(
-            if (p.startsWith("file:")) p else s"file://$p").getPath))
-        }
         def segBytes(id: Long): Long = Seq("fp", "df", "docs")
-          .map(sub => dirBytes(SegStore.bucketedPartPath(s"$gw/store", sub, id)))
+          .map(sub => FsUtil.dirBytes(SegStore.bucketedPartPath(s"$gw/store", sub, id)))
           .sum
         val segs = SegStore.active(spark, s"$gw/store")
         println(f"[audit] winnow_gate @ $dir: corpus_batch=$tCorpus%.2f s " +
@@ -540,13 +527,7 @@ object ScaleAudit {
       if (dir == base && (only.isEmpty || only.exists("winnow_delta".contains))) locally {
         import graft.streaming.{SegStore, WinnowStream}
         val gw = s"$work/winnow_delta"
-        locally {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(new java.io.File(gw))
-        }
+        FsUtil.rm(gw)
         graft.Tables.load(spark, dir, "documents")
           .select($"doc_id", $"text")
           .write.mode("overwrite").parquet(s"$gw/in")
@@ -570,13 +551,8 @@ object ScaleAudit {
           d.write.mode("append").parquet(s"$gw/in")
           val t = runGate()
           val segs = SegStore.active(spark, s"$gw/store")
-          val bytes = Seq("fp", "df", "docs").map(sub => {
-            def walkB(f: java.io.File): Long =
-              if (f.isDirectory) Option(f.listFiles()).map(_.map(walkB).sum).getOrElse(0L)
-              else f.length()
-            walkB(new java.io.File(
-              SegStore.bucketedPartPath(s"$gw/store", sub, segs.last.id)))
-          }).sum
+          val bytes = Seq("fp", "df", "docs").map(sub => FsUtil.dirBytes(
+            SegStore.bucketedPartPath(s"$gw/store", sub, segs.last.id))).sum
           f"n=$n wall=$t%.2f s seg_bytes=$bytes"
         }
         println(s"[audit] winnow_gate_delta @ $dir: corpus_batch=" +
@@ -600,13 +576,7 @@ object ScaleAudit {
         import graft.streaming.{SegStore, WinnowStream}
         for (m <- Seq(8, 64)) {
           val gw = s"$work/compact_growth_$m"
-          locally {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(); ()
-            }
-            rm(new java.io.File(gw))
-          }
+          FsUtil.rm(gw)
           // m disjoint suffixed copies of the base corpus — same
           // derivation as the m=8 fixture, inlined so m=64 does not
           // need a second fixture dir on disk
@@ -635,15 +605,9 @@ object ScaleAudit {
             concat($"text", lit(" zr")).as("text"))
             .write.mode("append").parquet(s"$gw/in")
           val tFold = runGate(2) // 2 active segments -> this batch folds
-          def dirBytes(p: String): Long = {
-            def walk(f: java.io.File): Long =
-              if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-              else f.length()
-            walk(new java.io.File(p))
-          }
           val segs = SegStore.active(spark, s"$gw/store")
           val baseBytes = Seq("fp", "df", "docs")
-            .map(sub => dirBytes(SegStore.bucketedPartPath(s"$gw/store", sub, segs.last.id)))
+            .map(sub => FsUtil.dirBytes(SegStore.bucketedPartPath(s"$gw/store", sub, segs.last.id)))
             .sum
           println(f"[audit] compact_growth m=$m @ $dir: delta_batch=$tDelta%.2f s " +
             f"fold_batch=$tFold%.2f s fold_overhead=${tFold - tDelta}%.2f s " +
@@ -661,13 +625,7 @@ object ScaleAudit {
       if (only.isEmpty || only.exists("ppr_approx".contains)) locally {
         import graft.streaming.{GraphStreamApprox, SegStore}
         val gw = s"$work/ppr_approx_${math.abs(dir.hashCode)}"
-        locally {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(new java.io.File(gw))
-        }
+        FsUtil.rm(gw)
         val g = graft.operators.BipartiteGraph.pairs(spark, dir).localCheckpoint()
         g.write.mode("overwrite").parquet(s"$gw/in")
         // 200 genuinely-new edges among copy-0 endpoints: recombine
@@ -710,13 +668,7 @@ object ScaleAudit {
       if (want("scrub_gate")) locally {
         import graft.streaming.{SegStore, SegScrubStream}
         val gw = s"$work/scrub_gate_${math.abs(dir.hashCode)}"
-        locally {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(new java.io.File(gw))
-        }
+        FsUtil.rm(gw)
         graft.Tables.load(spark, dir, "documents")
           .select($"doc_id", $"source", $"text")
           .write.mode("overwrite").parquet(s"$gw/in")
@@ -745,12 +697,8 @@ object ScaleAudit {
         val tDelta = runGate("delta")
         graft.streaming.GatePhase.hook = (_, _) => ()
         def segBytes(id: Long): Long = Seq("occ", "sdf", "docs", "docstat")
-          .map { sub =>
-            def walk(f: java.io.File): Long =
-              if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-              else f.length()
-            walk(new java.io.File(SegStore.bucketedPartPath(s"$gw/store", sub, id)))
-          }.sum
+          .map(sub => FsUtil.dirBytes(
+            SegStore.bucketedPartPath(s"$gw/store", sub, id))).sum
         val segs = SegStore.active(spark, s"$gw/store")
         println(f"[audit] scrub_gate @ $dir: corpus_batch=$tCorpus%.2f s " +
           f"delta_batch=$tDelta%.2f s " +
