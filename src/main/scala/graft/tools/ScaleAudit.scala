@@ -634,9 +634,10 @@ object ScaleAudit {
         val base0 = graft.operators.BipartiteGraph.pairs(spark, base)
         val cS = base0.select($"c").distinct().orderBy($"c").limit(100)
         val sS = base0.select($"s").distinct().orderBy($"s".desc).limit(100)
-        val delta = cS.crossJoin(sS)
+        val pool = cS.crossJoin(sS)
           .join(base0, Seq("c", "s"), "left_anti")
-          .orderBy($"c", $"s").limit(200).localCheckpoint()
+          .orderBy($"c", $"s").localCheckpoint()
+        val delta = pool.limit(200).localCheckpoint()
         def runGate(): Double = time {
           GraphStreamApprox.pprPushStreamApprox(
             spark.readStream.schema("c LONG, s LONG").parquet(s"$gw/in"),
@@ -654,7 +655,22 @@ object ScaleAudit {
           f"changed_batch=$tDelta%.2f s touched_state_rows=$prRows " +
           s"graph_nodes=$nNodes edges_added=200 " +
           s"layout=${segs.map(x => (x.id, x.base))}")
-        graft.operators.Relational.releaseCkpt(g, delta)
+        // delta-DIMENSION sweep (the winnow delta-row protocol applied
+        // to the graph gate): 20- and 2,000-edge batches against the
+        // same accumulated graph, disjoint pool slices — per-batch
+        // wall and touched state rows should track the DELTA
+        if (dir == base) {
+          val walls = Seq((20, 200), (2000, 220)).map { case (n, off) =>
+            pool.offset(off).limit(n).write.mode("append").parquet(s"$gw/in")
+            val t = runGate()
+            val segs2 = SegStore.active(spark, s"$gw/store")
+            val rows = spark.read.parquet(
+              SegStore.bucketedPartPath(s"$gw/store", "pr", segs2.last.id)).count()
+            f"n=$n wall=$t%.2f s touched_rows=$rows"
+          }
+          println(s"[audit] ppr_approx_delta @ $dir: ${walls.mkString("; ")}")
+        }
+        graft.operators.Relational.releaseCkpt(g, delta, pool)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
