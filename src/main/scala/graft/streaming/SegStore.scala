@@ -388,6 +388,20 @@ object SegStore {
 
   private val insSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Daemon cached-thread pool for [[writeBucketedAll]]'s concurrent
+    * blocking INSERT actions (see the comment there).
+    */
+  private lazy val insertPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicLong(0L)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-seg-insert-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
+
   /** Write `df` as segment `batchId`'s slice of the bucketed sub-table
     * `sub` — `INSERT OVERWRITE` of the static partition, so a replay
     * of a torn attempt wipes it first (never read anyway: reads are
@@ -470,8 +484,18 @@ object SegStore {
             "segments but no catalog entry - call ensureBucketed first")
       val loc = bucketedLoc(root, sub)
       val schema = ss.table(name).schema
-      Some(ss.read.schema(schema).option("basePath", loc)
-        .parquet(ids.map(id => s"$loc/_seg=$id"): _*))
+      // A LEGACY store can have active segments that predate `sub`
+      // (e.g. the scrub gates' later-added srcstat): the catalog read
+      // yields zero rows for a missing partition, but an explicit
+      // dir-list read throws PATH_NOT_FOUND. Keep the same missing =
+      // empty semantics by listing only the partitions that exist —
+      // one driver-side FS probe per active segment, bounded by the
+      // compaction-held segment count.
+      val present = ids.filter(id => partitionExists(ss, root, sub, id))
+      if (present.isEmpty) Some(ss.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      else Some(ss.read.schema(schema).option("basePath", loc)
+        .parquet(present.map(id => s"$loc/_seg=$id"): _*))
     }
   }
 
@@ -488,7 +512,13 @@ object SegStore {
       subs: Seq[(String, DataFrame)], batchId: Long): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // A dedicated pool, NOT ExecutionContext.Implicits.global: each
+    // task blocks on a Spark INSERT action, and several gates writing
+    // concurrently in one JVM would pin every thread of the shared
+    // fork-join pool on blocked I/O, starving any other library code
+    // on that pool (round-14 ADVICE). Cached daemon threads: sized by
+    // demand, free when idle, never block JVM exit.
+    implicit val ec: scala.concurrent.ExecutionContext = insertPool
     val fs = subs.map { case (sub, df) =>
       Future(writeBucketed(ss, root, sub, df, batchId))
     }

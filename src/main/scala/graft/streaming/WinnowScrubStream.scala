@@ -201,9 +201,6 @@ object WinnowScrubStream {
           .as("flag"))
   }
 
-  /** The q192-shaped source-grain readout of a doc-grain view — the
-    * same formulas batch q192's final fold applies.
-    */
   /** Source-grain partial of a doc-grain view — the additive rows
     * `srcstat` stores. Used only for the legacy-store backfill.
     */

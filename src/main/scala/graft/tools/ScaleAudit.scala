@@ -708,11 +708,15 @@ object ScaleAudit {
             ph.map { case (n, v) => f"$n=$v%.2f" }.mkString(" "))
           t
         }
-        val tCorpus = runGate("corpus")
-        delta.write.mode("append").parquet(s"$gw/in")
-        val tDelta = runGate("delta")
-        graft.streaming.GatePhase.hook = (_, _) => ()
-        def segBytes(id: Long): Long = Seq("occ", "sdf", "docs", "docstat")
+        val (tCorpus, tDelta) =
+          try {
+            val c = runGate("corpus")
+            delta.write.mode("append").parquet(s"$gw/in")
+            (c, runGate("delta"))
+          } finally { // never leave the phase hook installed on failure
+            graft.streaming.GatePhase.hook = (_, _) => ()
+          }
+        def segBytes(id: Long): Long = Seq("occ", "sdf", "docs", "docstat", "srcstat")
           .map(sub => FsUtil.dirBytes(
             SegStore.bucketedPartPath(s"$gw/store", sub, id))).sum
         val segs = SegStore.active(spark, s"$gw/store")

@@ -798,6 +798,79 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow-scrub gate srcstat: legacy store backfills once, then stays incremental") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{SegStore, WinnowScrubStream}
+    val work = Files.createTempDirectory("graft_winscrub_legacy_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // planted OFFSET copies so batch 1 fires the flip path (winnow df
+    // crossing 3 at shifted alignment) while the store is legacy —
+    // the backfill must reconstruct flag history it never saw
+    val copy = (id: Long, pre: String) => docs.where(col("doc_id") === 0)
+      .select(lit(id).as("doc_id"), col("source"),
+        concat(lit(pre), col("text")).as("text"))
+    val p0 = docs.where(col("doc_id") % 3 === 0).union(copy(900001L, ""))
+    val p1 = docs.where(col("doc_id") % 3 === 1)
+      .union(copy(900002L, "pad1 pad2 pad3 "))
+      .union(copy(900003L, "padA padB padC padD "))
+    val p2 = docs.where(col("doc_id") % 3 === 2)
+    shipFile(p0, "0_a")
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    def runOnce(): Unit = WinnowScrubStream.winnowScrubStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt").awaitTermination()
+    runOnce()
+    // simulate a store written before srcstat existed
+    spark.sql(
+      s"DROP TABLE IF EXISTS `${SegStore.bucketedName(s"$work/store", "srcstat")}`")
+    graft.tools.FsUtil.rm(SegStore.bucketedLoc(s"$work/store", "srcstat"))
+    assert(!SegStore.partitionExists(spark, s"$work/store", "srcstat", 0L))
+    shipFile(p1, "1_b")
+    runOnce()
+    def readout(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.winnowReadout(
+        graft.operators.Dedup.winnowSel(d), seal = false)
+    val docs01 = p0.union(p1)
+    val snap1 = SegStore.readSnapshot(spark, s"$work/out").get
+    val want1 = readout(docs01)
+    assert(snap1.except(want1).isEmpty && want1.except(snap1).isEmpty,
+      "post-backfill snapshot != batch readout over shipped docs")
+    assert(SegStore.partitionExists(spark, s"$work/store", "srcstat", 1L),
+      "backfill did not write the srcstat partition")
+    shipFile(p2, "2_c")
+    runOnce()
+    assert(SegStore.partitionExists(spark, s"$work/store", "srcstat", 2L))
+    val snap2 = SegStore.readSnapshot(spark, s"$work/out").get
+    val want2 = readout(docs01.union(p2))
+    assert(snap2.except(want2).isEmpty && want2.except(snap2).isEmpty,
+      "post-legacy incremental snapshot != batch readout")
+    // plan pin: the per-batch snapshot folds srcstat partials only
+    locally {
+      import spark.implicits._
+      val emptyDelta = Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_fps", "dup_fps", "dup_docs")
+      val plan = WinnowScrubStream.snapshotFold(spark, s"$work/store", emptyDelta)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("srcstat"),
+        s"snapshot fold does not read srcstat:\n$plan")
+      assert(!plan.contains("docstat"),
+        s"snapshot fold scans the corpus-sized docstat:\n$plan")
+    }
+  }
+
   test("streaming forward-push PPR equals batch q163 after the final delta batch") {
     import org.apache.spark.sql.functions._
     import graft.streaming.GraphStream
