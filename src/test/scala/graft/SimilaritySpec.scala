@@ -28,10 +28,13 @@ class SimilaritySpec extends AnyFunSuite {
     val lshRecall = (exact intersect lsh).size.toDouble / exact.size
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
     info(s"recall@3: lsh=$lshRecall ivf=$ivfRecall")
-    // measured on this corpus: lsh = 1.0 (with Hamming-1 multiprobe;
-    // 0.458 without), ivf = 0.875 at nprobe=6 (deterministic)
-    assert(ivfRecall >= 0.85, s"IVF recall regressed: $ivfRecall")
-    assert(lshRecall >= 0.9, s"LSH recall regressed: $lshRecall")
+    // EQUALITY pins, not floors (round-14 VERDICT task #6): the data
+    // and every knob are deterministic, so recall is an exact number —
+    // lsh = 1.0 (Hamming-1 multiprobe; 0.458 without), ivf = 21/24 at
+    // nprobe=6. A floor would let a fixed-seed regression inside it
+    // pass silently; any drift in either direction now fails loudly.
+    assert(ivfRecall == 21.0 / 24, s"IVF recall drifted: $ivfRecall (pinned 0.875)")
+    assert(lshRecall == 1.0, s"LSH recall drifted: $lshRecall (pinned 1.0)")
     // every reported neighbor pair must still be a valid (rank<=3) set
     Seq(lsh, ivf).foreach(s => assert(s.size <= 24))
   }
@@ -42,10 +45,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.size == 24) // 8 queries x top-3, always full
     val recall = (exact intersect pq).size.toDouble / exact.size
     info(s"recall@3: pq=$recall")
-    // measured 0.75 on this corpus (weakly clustered — the hard case
-    // for quantization: top-3 cosine ~0.3 vs PQ reconstruction noise);
-    // deterministic, so the floor pins regressions not flakiness
-    assert(recall >= 0.7, s"PQ recall regressed: $recall")
+    // EQUALITY pin: 18/24 on this corpus (weakly clustered — the hard
+    // case for quantization: top-3 cosine ~0.3 vs PQ reconstruction
+    // noise); deterministic, so drift in either direction fails loudly
+    assert(recall == 18.0 / 24, s"PQ recall drifted: $recall (pinned 0.75)")
   }
 
   test("embedding near-dup: IVF-blocked pairs vs the exact baseline (q58/q59)") {
@@ -61,8 +64,8 @@ class SimilaritySpec extends AnyFunSuite {
     // clustered corpus (measured, deterministic)
     val recall = blocked.size.toDouble / exact.size
     info(s"embedding near-dup recall: $recall (${blocked.size}/${exact.size})")
-    // nprobe=3 multi-probe blocking, measured 0.857 deterministic
-    assert(recall >= 0.8, s"IVF-blocked near-dup recall regressed: $recall")
+    // EQUALITY pin: 6/7 at nprobe=3 multi-probe blocking, deterministic
+    assert(recall == 6.0 / 7, s"IVF-blocked near-dup recall drifted: $recall (pinned 6/7)")
   }
 
   test("exhaustive twins: every approximate path cranked to exhaustive EQUALS its exact baseline row-for-row") {

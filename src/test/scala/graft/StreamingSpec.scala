@@ -639,6 +639,103 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed decontam reports != batch q115: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("composed ingest pipeline: near-dup + decontam + scrub gates on ONE stream, crash-killed once, equal their solo runs") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DecontamStream, SegScrubStream, SegStore, WinnowStream}
+    val work = Files.createTempDirectory("graft_composed_gates_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val copy = (id: Long) => docs.where(col("doc_id") === 0)
+      .select(lit(id).as("doc_id"), col("source"), col("text"))
+    // three batch files: planted copies make the scrub df cross 3 (and
+    // the near-dup gate flag) in batch 1, file 2 re-delivers a slice —
+    // the at-least-once condition, now under gate COMPOSITION
+    val p0 = docs.where(col("doc_id") % 3 === 0).union(copy(900001L))
+    val p1 = docs.where(col("doc_id") % 3 === 1)
+      .union(copy(900002L)).union(copy(900003L))
+    val p2 = docs.where(col("doc_id") % 3 === 2)
+      .union(docs.where(col("doc_id") % 9 === 0))
+    val evalGrams = graft.operators.TextOps
+      .fiveGrams(docs.where(col("doc_id") % 17 === 0))
+      .select(col("gram")).distinct().localCheckpoint()
+    def stream3() = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // one pass of ALL THREE gates, started CONCURRENTLY over the same
+    // source — concurrent ensureBucketed/catalog/checkpoint-sibling
+    // traffic in one JVM is exactly what this test exists to flush out
+    def runAll(tag: String): Unit = {
+      val qs = Seq(
+        WinnowStream.nearDupGateStream(stream3().select(col("doc_id"), col("text")),
+          s"$work/$tag/ndup/store", s"$work/$tag/ndup/out", s"$work/$tag/ndup/ckpt"),
+        DecontamStream.gateStream(stream3().select(col("doc_id"), col("text")),
+          evalGrams, s"$work/$tag/dec/out", s"$work/$tag/dec/ckpt"),
+        SegScrubStream.scrubStream(stream3(),
+          s"$work/$tag/scrub/store", s"$work/$tag/scrub/out", s"$work/$tag/scrub/ckpt"))
+      qs.foreach(_.awaitTermination())
+    }
+    shipFile(p0, "0_a")
+    runAll("co")
+    // CRASH between the scrub gate's foreachBatch and its stream
+    // commit: delete the newest commits file, so the restart re-runs
+    // batch 0 through foreachBatch (isApplied absorbs it) before
+    // taking batch 1
+    val commits = new java.io.File(s"$work/co/scrub/ckpt/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), "could not simulate the crash")
+    // the local checksum FS writes a .crc sidecar the crashed process
+    // would also never have flushed without its file
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+    shipFile(p1, "1_b")
+    runAll("co")
+    shipFile(p2, "2_c")
+    runAll("co")
+    assert(new java.io.File(s"$work/co/scrub/ckpt/commits/${newest.getName}").exists(),
+      "crashed batch was never replayed")
+    // solo runs: each gate alone over the same files, fresh dirs
+    WinnowStream.nearDupGateStream(stream3().select(col("doc_id"), col("text")),
+      s"$work/solo/ndup/store", s"$work/solo/ndup/out", s"$work/solo/ndup/ckpt")
+      .awaitTermination()
+    DecontamStream.gateStream(stream3().select(col("doc_id"), col("text")),
+      evalGrams, s"$work/solo/dec/out", s"$work/solo/dec/ckpt")
+      .awaitTermination()
+    SegScrubStream.scrubStream(stream3(),
+      s"$work/solo/scrub/store", s"$work/solo/scrub/out", s"$work/solo/scrub/ckpt")
+      .awaitTermination()
+    // near-dup: union of per-batch flags identical
+    val flagSchema = "new_doc LONG, old_doc LONG, shared LONG"
+    def flagsOf(tag: String) = spark.read.schema(flagSchema)
+      .parquet((0 to 2).map(i => s"$work/$tag/ndup/out/batch_$i"): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val coFlags = flagsOf("co")
+    assert(coFlags == flagsOf("solo"),
+      "composed near-dup flags != solo-run flags")
+    assert(coFlags.nonEmpty, "fixture degenerate: no near-dup flags fired")
+    // decontam: union of per-batch reports identical
+    def decOf(tag: String) = spark.read
+      .parquet((0 to 2).map(i => s"$work/$tag/dec/out/batch_$i"): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(decOf("co") == decOf("solo"),
+      "composed decontam reports != solo-run reports")
+    // scrub: published snapshot row-equal despite the mid-run crash
+    val coSnap = SegStore.readSnapshot(spark, s"$work/co/scrub/out").get
+    val soloSnap = SegStore.readSnapshot(spark, s"$work/solo/scrub/out").get
+    assert(coSnap.except(soloSnap).isEmpty && soloSnap.except(coSnap).isEmpty,
+      "composed scrub snapshot != solo-run snapshot")
+  }
+
   test("streaming segment scrub equals batch q191 at EVERY prefix (incremental readout, flips included)") {
     import org.apache.spark.sql.functions._
     import graft.streaming.SegScrubStream
@@ -1061,6 +1158,196 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad2.isEmpty,
       s"post-fallback est outside the contract: ${bad2.take(3).toSeq}")
     graft.operators.Relational.releaseCkpt(full, held, single, delta, full2)
+  }
+
+  test("approximate PPR gate: drain bail-out falls back to a full push, then recovers the delta path") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.{BipartiteGraph, GraphOps}
+    import graft.streaming.{GraphStreamApprox, SegStore}
+    import spark.implicits._
+    val Eps = 1000000L
+    val sfG = "/root/testdata/sf0.01"
+    val work = Files.createTempDirectory("graft_ppr_bailout_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // the q-approx fixture's hold-back split: every held edge's
+    // endpoints already carry a rank-1 (unheld) edge, so a held batch
+    // never introduces a node — the new-seed full-push path cannot
+    // mask the bail-out under test
+    val full = BipartiteGraph.pairs(spark, sfG).localCheckpoint()
+    val marked = full
+      .withColumn("rc", row_number().over(Window.partitionBy($"c").orderBy($"s")))
+      .withColumn("rs", row_number().over(Window.partitionBy($"s").orderBy($"c")))
+      .withColumn("held", $"rc" > 1 && $"rs" > 1 &&
+        pmod(hash($"c", $"s"), lit(10)) === 0)
+    val held = marked.where($"held").select($"c", $"s").localCheckpoint()
+    val single = held.orderBy($"c", $"s").limit(1).localCheckpoint()
+    val bulk = held.join(single, Seq("c", "s"), "left_anti").localCheckpoint()
+    assert(bulk.count() > 100, "fixture degenerate: no held-back edges")
+    shipFile(marked.where(!$"held").select($"c", $"s"), "0_base")
+    shipFile(bulk, "1_bulk")
+    val store = s"$work/store"
+    def runOnce(maxNodes: Int): Unit = {
+      val stream = spark.readStream
+        .schema("c LONG, s LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      GraphStreamApprox.pprPushStreamApprox(stream, store, s"$work/ckpt",
+        maxLocalNodes = maxNodes)
+        .awaitTermination()
+    }
+    // caps cranked tiny: the bulk delta's distinct-endpoint seed set
+    // (>100 edges, so far more than 10 nodes) outgrows maxLocalNodes
+    // in incrementalRefresh's FIRST guard — localDrain returns None
+    // and the gate must fall back to a full converged push mid-stream
+    runOnce(maxNodes = 10)
+    // the fallback batch wrote a BASE segment (base truncates the
+    // active list — only the fallback's segment remains)
+    val segs1 = SegStore.active(spark, store)
+    assert(segs1.map(s => (s.id, s.base)) == Seq((1L, true)),
+      s"bail-out batch did not full-push to a base segment: $segs1")
+    // error contract after the fallback: (a) residuals under the push
+    // threshold, (b) est within 3*Eps*(degree+1) of a fresh converged
+    // push over the same graph
+    val graph1 = full.join(single, Seq("c", "s"), "left_anti")
+      .localCheckpoint()
+    val deg1 = BipartiteGraph.degreesOf(graph1)
+    val state1 = GraphStreamApprox.readPprApprox(spark, store)
+    val viol = state1
+      .join(deg1.select($"src".as("node"), $"degree"), Seq("node"))
+      .where(abs($"res") > $"degree" * Eps)
+    assert(viol.isEmpty,
+      s"post-fallback residuals above Eps*degree: ${viol.take(3).toSeq}")
+    val conv1 = GraphOps.forwardPush(spark, graph1, deg1,
+      earlyExit = true, maxRounds = 64)
+    val bad1 = state1.select($"node", $"est".as("est_a"))
+      .join(conv1.select($"node", $"est".as("est_c")), Seq("node"), "full_outer")
+      .na.fill(0L, Seq("est_a", "est_c"))
+      .join(deg1.select($"src".as("node"), $"degree"), Seq("node"), "left_outer")
+      .na.fill(0L, Seq("degree"))
+      .where(abs($"est_a" - $"est_c") > lit(3L) * Eps * ($"degree" + 1))
+    assert(bad1.isEmpty,
+      s"post-fallback est outside the error contract: ${bad1.take(3).toSeq}")
+    // subsequent small batch under the default caps: back on the
+    // delta path (non-base segment on top of the fallback's base),
+    // and the contract still holds over the final graph
+    shipFile(single, "2_single")
+    runOnce(maxNodes = 4000000)
+    val segs2 = SegStore.active(spark, store)
+    assert(segs2.map(s => (s.id, s.base)) == Seq((1L, true), (2L, false)),
+      s"post-bail-out single-edge batch did not take the delta path: $segs2")
+    val deg2 = BipartiteGraph.degreesOf(full)
+    val state2 = GraphStreamApprox.readPprApprox(spark, store)
+    val conv2 = GraphOps.forwardPush(spark, full, deg2,
+      earlyExit = true, maxRounds = 64)
+    val bad2 = state2.select($"node", $"est".as("est_a"))
+      .join(conv2.select($"node", $"est".as("est_c")), Seq("node"), "full_outer")
+      .na.fill(0L, Seq("est_a", "est_c"))
+      .join(deg2.select($"src".as("node"), $"degree"), Seq("node"), "left_outer")
+      .na.fill(0L, Seq("degree"))
+      .where(abs($"est_a" - $"est_c") > lit(3L) * Eps * ($"degree" + 1))
+    assert(bad2.isEmpty,
+      s"post-recovery est outside the error contract: ${bad2.take(3).toSeq}")
+    graft.operators.Relational.releaseCkpt(full, held, single, bulk, graph1)
+  }
+
+  /** Seeded randomized batch-split fuzz for a scrub gate: the fixed
+    * fixtures pin ONE trajectory through the srcstat difference-form
+    * algebra (flags moving by greatest(prior, delta) − prior, the
+    * straddle count's legitimate negative moves); random splits cover
+    * df-crossing orders the fixtures can't. Per seed: a random batch
+    * count, random-sized batches (random cumulative cut points over a
+    * doc hash), three planted copies of doc 0 landing in random
+    * batches (so the df >= 3 flip fires at a seed-dependent batch),
+    * one random earlier batch RE-DELIVERED mid-run, and the published
+    * snapshot checked row-equal to the batch readout at EVERY prefix.
+    */
+  private def scrubFuzz(gateName: String, seedVals: Seq[Int],
+      runGate: (org.apache.spark.sql.DataFrame, String, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      readout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+    for (seed <- seedVals) {
+      val rng = new scala.util.Random(seed)
+      val nBatches = 3 + rng.nextInt(3) // 3..5
+      // random-sized contiguous hash-space slices: cut points drawn
+      // uniformly, each doc lands by pmod(hash(doc_id, seed), 1000)
+      val cuts = (Seq.fill(nBatches - 1)(rng.nextInt(1000)).sorted :+ 1000)
+      val slot = pmod(hash(col("doc_id"), lit(seed)), lit(1000))
+      val copy = (id: Long) => docs.where(col("doc_id") === 0)
+        .select(lit(id).as("doc_id"), col("source"), col("text"))
+      val plantBatch = Seq.fill(3)(rng.nextInt(nBatches))
+      val replayAfter = 1 + rng.nextInt(nBatches - 1) // re-deliver before this batch
+      val replayOf = rng.nextInt(replayAfter)
+      def batchDf(i: Int): org.apache.spark.sql.DataFrame = {
+        val lo = if (i == 0) 0 else cuts(i - 1)
+        val base = docs.where(slot >= lo && slot < cuts(i))
+        plantBatch.zipWithIndex.collect { case (b, j) if b == i =>
+          copy(900001L + j)
+        }.foldLeft(base)(_ unionByName _)
+      }
+      val work = Files.createTempDirectory(s"graft_fuzz_${gateName}_$seed").toString
+      val src = s"$work/in"
+      new java.io.File(src).mkdirs()
+      def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$work/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      val stream = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      var shipped: org.apache.spark.sql.DataFrame = null
+      var step = 0
+      def shipAndCheck(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        shipFile(df, f"$step%02d_$label")
+        step += 1
+        runGate(stream, s"$work/store", s"$work/out", s"$work/ckpt")
+          .awaitTermination()
+        shipped = if (shipped == null) df.localCheckpoint()
+          else shipped.unionByName(df).dropDuplicates("doc_id").localCheckpoint()
+        val snap = graft.streaming.SegStore.readSnapshot(spark, s"$work/out").get
+        val want = readout(shipped)
+        assert(snap.except(want).isEmpty && want.except(snap).isEmpty,
+          s"$gateName fuzz seed=$seed nBatches=$nBatches cuts=$cuts " +
+            s"plants=$plantBatch replay=$replayOf@$replayAfter: " +
+            s"prefix-$step snapshot != batch readout")
+      }
+      for (i <- 0 until nBatches) {
+        if (i == replayAfter) shipAndCheck(batchDf(replayOf), "replay")
+        shipAndCheck(batchDf(i), "b")
+      }
+    }
+  }
+
+  test("scrub gate fuzz: random batch splits match the batch readout at every prefix") {
+    scrubFuzz("scrub", Seq(1, 2, 3),
+      (s, store, out, ckpt) =>
+        graft.streaming.SegScrubStream.scrubStream(s, store, out, ckpt),
+      d => graft.operators.Dedup.crossSegReadout(graft.operators.Dedup.crossSegOcc(d)))
+  }
+
+  test("winnow-scrub gate fuzz: random batch splits match the batch readout at every prefix") {
+    scrubFuzz("wscrub", Seq(1, 2, 3),
+      (s, store, out, ckpt) =>
+        graft.streaming.WinnowScrubStream.winnowScrubStream(s, store, out, ckpt),
+      d => graft.operators.Dedup.winnowReadout(
+        graft.operators.Dedup.winnowSel(d), seal = false))
   }
 
   test("streaming winnow scrub (q192 twin) equals the batch readout at EVERY prefix") {
