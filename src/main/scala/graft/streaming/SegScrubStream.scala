@@ -241,12 +241,18 @@ object SegScrubStream {
             graft.operators.Relational.releaseCkpt(occAll, sdfAll, docsAll,
               merged, srcAll)
           } else {
+            // the four sd-independent segment writes start FIRST and
+            // overlap srcDelta's prior-flag probe + the snapshot
+            // publish: every write lands in the uncommitted
+            // _seg=batchId partitions, invisible to the concurrent
+            // committed-store reads; all are quiesced before the
+            // marker (same crash discipline as the serial form)
+            val join1 = SegStore.writeBucketedAllAsync(ss, storeDir,
+              Seq("occ" -> newOcc, "sdf" -> newDf, "docs" -> newDocs,
+                "docstat" -> statDelta), batchId)
             val sd = srcDelta()
-            phased("write") {
-              SegStore.writeBucketedAll(ss, storeDir,
-                Seq("occ" -> newOcc, "sdf" -> newDf, "docs" -> newDocs,
-                  "docstat" -> statDelta, "srcstat" -> sd), batchId)
-            }
+            val join2 = SegStore.writeBucketedAllAsync(ss, storeDir,
+              Seq("srcstat" -> sd), batchId)
             // snapshot = committed srcstat partials + this batch's
             // delta — a |sources|-bounded fold, NOT a docstat scan
             // (the uncommitted partitions are invisible to the read)
@@ -255,6 +261,7 @@ object SegScrubStream {
                 snapshotFold(ss, storeDir, sd).orderBy($"source"),
                 batchId)
             }
+            phased("write") { join1(); join2() }
             graft.operators.Relational.releaseCkpt(sd)
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)

@@ -509,7 +509,18 @@ object SegStore {
     * their folds — same rule as [[writeBucketed]]).
     */
   def writeBucketedAll(ss: SparkSession, root: String,
-      subs: Seq[(String, DataFrame)], batchId: Long): Unit = {
+      subs: Seq[(String, DataFrame)], batchId: Long): Unit =
+    writeBucketedAllAsync(ss, root, subs, batchId)()
+
+  /** [[writeBucketedAll]] started immediately but awaited LATER: the
+    * returned thunk blocks until every INSERT lands and rethrows the
+    * first failure. Gates use this to overlap the segment write with
+    * the batch's probe/flags work — the writes touch only the
+    * uncommitted `_seg=batchId` partitions, which no concurrent read
+    * of the committed store can see.
+    */
+  def writeBucketedAllAsync(ss: SparkSession, root: String,
+      subs: Seq[(String, DataFrame)], batchId: Long): () => Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     // A dedicated pool, NOT ExecutionContext.Implicits.global: each
@@ -529,10 +540,19 @@ object SegStore {
     // _seg partition — the commit marker would seal a torn mix. With
     // all writes quiesced first, the replay's overwrite-then-commit
     // keeps the store's crash-safety invariant.
-    val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    results.collectFirst { case scala.util.Failure(e) => throw e }
-    ()
+    () => {
+      val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    }
   }
+
+  /** Run `f` on the gate pool (blocking Spark actions allowed there). */
+  private[streaming] def async[T](f: => T): scala.concurrent.Future[T] =
+    scala.concurrent.Future(f)(insertPool)
+
+  private[streaming] def await[T](f: scala.concurrent.Future[T]): T =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
 
   /** THE gate probe device: a bucketed sub-table restricted to a
     * batch's key set, as a pruned SCAN — an IN filter (pushed to

@@ -154,12 +154,19 @@ object WinnowScrubStream {
             graft.operators.Relational.releaseCkpt(selAll, fdfAll, docsAll,
               merged, srcAll)
           } else {
-            val sd = srcDelta()
-            SegStore.writeBucketedAll(ss, storeDir,
+            // sd-independent segment writes overlap srcDelta's
+            // prior-flag probe and the snapshot publish (uncommitted
+            // _seg partitions are invisible to the concurrent
+            // committed-store reads); quiesced before the marker
+            val join1 = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("sel" -> newSel, "fdf" -> newDf, "docs" -> newDocs,
-                "docstat" -> statDelta, "srcstat" -> sd), batchId)
+                "docstat" -> statDelta), batchId)
+            val sd = srcDelta()
+            val join2 = SegStore.writeBucketedAllAsync(ss, storeDir,
+              Seq("srcstat" -> sd), batchId)
             SegStore.writeSnapshot(ss, outDir,
               readoutOf(snapshotFold(ss, storeDir, sd)), batchId)
+            join1(); join2()
             graft.operators.Relational.releaseCkpt(sd)
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)

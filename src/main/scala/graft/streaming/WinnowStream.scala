@@ -105,6 +105,20 @@ object WinnowStream {
               .winnowFp(batch.dropDuplicates("doc_id"))
               .localCheckpoint()
           }
+          // the probe's two store scans (df cap fold, then the capped
+          // fp fetch) are keyed by the PRE-absorb hash set — a
+          // superset of newFp's hashes whose extras (purely-replayed
+          // docs' hashes) the final pair join drops — so they run
+          // CONCURRENTLY with the absorb probe and the store write;
+          // the delta batch's wall collapses from 4 serial driver
+          // jobs to max(probe, absorb+write) + the cheap pair join
+          // (GateProbe: delta_200 3.4 → ~2.4 s)
+          val fOlds = SegStore.async {
+            phased("probe") {
+              probeOlds(ss, storeDir, bfp.select($"h").distinct())
+                .localCheckpoint()
+            }
+          }
           // at-least-once absorption: a doc already in the index is a
           // replay — it must neither re-flag nor double-count df. The
           // seen-before set comes from a PRUNED scan of the docs
@@ -115,14 +129,19 @@ object WinnowStream {
             bfp.join(broadcast(seen), Seq("doc_id"), "left_anti")
               .localCheckpoint()
           }
-          phased("flags") {
-            val flags = probeFlags(ss, storeDir, newFp)
-            flags.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-          }
           val newDf = newFp.groupBy($"h").agg(count(lit(1)).as("df"))
           val newDocs = newFp.select($"doc_id").distinct()
           val base = SegStore.active(ss, storeDir).size >= compactEvery
+          def writeFlags(): Unit = {
+            val olds = SegStore.await(fOlds)
+            phased("flags") {
+              pairFlags(newFp, olds)
+                .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+            }
+            graft.operators.Relational.releaseCkpt(olds)
+          }
           if (base) {
+            writeFlags()
             // fold the full store with the delta — amortized O(store);
             // checkpointed because the INSERT overwrites a table the
             // fold reads
@@ -139,10 +158,13 @@ object WinnowStream {
             }
             graft.operators.Relational.releaseCkpt(fpAll, dfAll, docsAll)
           } else {
-            phased("write") {
-              SegStore.writeBucketedAll(ss, storeDir,
-                Seq("fp" -> newFp, "df" -> newDf, "docs" -> newDocs), batchId)
-            }
+            // delta path: the segment write only touches the
+            // uncommitted _seg=batchId partitions — start it, overlap
+            // the flags probe/join, then quiesce before the marker
+            val join = SegStore.writeBucketedAllAsync(ss, storeDir,
+              Seq("fp" -> newFp, "df" -> newDf, "docs" -> newDocs), batchId)
+            writeFlags()
+            phased("write") { join() }
           }
           phased("commit") {
             SegStore.commit(ss, storeDir, batchId, base, runId)
@@ -162,19 +184,32 @@ object WinnowStream {
   private[graft] def probeFlags(ss: SparkSession, storeDir: String,
       newFp: DataFrame): DataFrame = {
     import ss.implicits._
-    val batchHs = newFp.select($"h").distinct()
+    pairFlags(newFp, probeOlds(ss, storeDir, newFp.select($"h").distinct()))
+  }
+
+  /** The probe's two store-side scans: pre-batch df partials folded
+    * and capped (df <= 16) over the given hash set, then the capped
+    * hashes' (doc_id, h) fp rows. Output is delta-bounded (<= 16
+    * docs per capped hash), so the gate can materialize it while the
+    * segment write proceeds concurrently.
+    */
+  private def probeOlds(ss: SparkSession, storeDir: String,
+      hs: DataFrame): DataFrame = {
+    import ss.implicits._
     // df cap over PRE-batch partials, folded only after the prune
-    val dfRel = SegStore.prunedScan(ss, storeDir, "df", "h", batchHs)
+    val dfRel = SegStore.prunedScan(ss, storeDir, "df", "h", hs)
       .groupBy($"h").agg(sum($"df").as("df"))
       .where($"df" <= 16)
-    val capHs = dfRel.select($"h")
-    val olds = SegStore.prunedScan(ss, storeDir, "fp", "h", capHs)
-    broadcast(newFp.select($"doc_id".as("new_doc"), $"h"))
-      .join(olds.select($"doc_id".as("old_doc"), $"h"), "h")
-      .groupBy($"new_doc", $"old_doc")
-      .agg(count(lit(1)).as("shared"))
-      .where($"shared" >= 4)
+    SegStore.prunedScan(ss, storeDir, "fp", "h", dfRel.select($"h"))
   }
+
+  /** The delta-bounded pair fold over [[probeOlds]]' rows. */
+  private def pairFlags(newFp: DataFrame, olds: DataFrame): DataFrame =
+    broadcast(newFp.select(col("doc_id").as("new_doc"), col("h")))
+      .join(olds.select(col("doc_id").as("old_doc"), col("h")), "h")
+      .groupBy(col("new_doc"), col("old_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 4)
 
   private def readAll(ss: SparkSession, storeDir: String): (DataFrame, DataFrame, DataFrame) = {
     import ss.implicits._

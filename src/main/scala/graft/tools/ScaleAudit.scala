@@ -283,6 +283,16 @@ object ScaleAudit {
           .foreach(_.unpersist(blocking = false))
       }
       bench("q145_ppr", dir, graft.SparkEntry.queries("q145_ppr"))
+      // the traversal family at the key-shifted graph (round-14
+      // VERDICT task #5: pin the 64x exponents the 8x grid
+      // extrapolates). q163: seeds repeat per copy (node % 20 under
+      // the key shift), push mass and edges grow mult-x together.
+      // q168: per-component HITS, mult disjoint copies — per-round
+      // matvec must track the edge count. q134 above: copy-0 seeds,
+      // constant frontier over mult-x edges.
+      bench("q163_ppr_forward_push", dir,
+        graft.SparkEntry.queries("q163_ppr_forward_push"))
+      bench("q168_hits", dir, graft.SparkEntry.queries("q168_hits"))
       bench("q148_semdedup", dir, graft.SparkEntry.queries("q148_semdedup"))
       // The q157 skew probe pointed at the IVF chunk-pair candidate
       // key (cell, ca, cb) that q59 joins on — the adaptive chunking
