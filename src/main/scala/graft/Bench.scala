@@ -195,18 +195,26 @@ object Bench {
     // is a real regression, not weather. Only the prior top-level
     // queries block is read (not its own min block), so the merge
     // window is one run, not best-ever-forever.
-    val priorQ: Map[String, Double] = try {
+    // The merge is only meaningful between runs at the SAME scale
+    // factor: a local sf0.001 smoke (e.g. the verify recipe) would
+    // otherwise seed the minima with 100x-smaller times and poison
+    // every later sf0.1 merge (caught round 15 — min_total read 64 s).
+    // A mismatched-sf run neither merges with nor overwrites the
+    // canonical artifact; it writes BENCH_FULL_<sfbase>.json instead.
+    val (priorQ: Map[String, Double], sameSf: Boolean) = try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], true)
       else {
         val txt = java.nio.file.Files.readString(p)
-        txt.split("\"queries\":\\{", 2).lift(1).map(_.takeWhile(_ != '}'))
+        val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!priorSf.contains(sfDir)) (Map.empty[String, Double], false)
+        else (txt.split("\"queries\":\\{", 2).lift(1).map(_.takeWhile(_ != '}'))
           .map { block =>
             """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(block)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty)
+          }.getOrElse(Map.empty[String, Double]), true)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], true) }
     val minMerged = results.map { case (k, v) =>
       val prior = priorQ.get(k).filter(_ >= 0)
       k -> (if (v < 0) prior.getOrElse(-1.0)
@@ -218,7 +226,10 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         jmap(results)},"min_with_prior":${jmap(minMerged)},"min_total":$minTotal,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full)
+    val artifact =
+      if (sameSf) "BENCH_FULL.json"
+      else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)
     println(full)
     // Compact form last: `q131_audio_energy` -> `q131`; shrink decimal
     // places until the line fits the harness's 2000-char tail window
