@@ -78,42 +78,54 @@ object GraphStream {
           val newDeg = graft.operators.BipartiteGraph.degreesOf(newPairs)
           val base = SegStore.active(ss, storeDir).size >= compactEvery
           val (store0, deg0) = readGraph(ss, storeDir)
+          // the push reads the post-batch graph: committed view + this
+          // batch's (not yet committed) delta. A batch whose pairs
+          // were ALL replays leaves the graph — and therefore the
+          // exact PPR snapshot — unchanged: skip the push entirely
+          // (the common at-least-once case; exactness trivially
+          // preserved). A partial refresh of a CHANGED graph is NOT
+          // attempted: the push's 6-round thresholded schedule makes
+          // est/res order-dependent and Total/nS couples every
+          // component through the global seed count, so any
+          // residual-carryover shortcut breaks the exact batch-q163
+          // equality this gate pins (see PLANS.md round-13 for the
+          // full analysis). The segment INSERTs land in the
+          // uncommitted _seg=batchId partitions, invisible to the
+          // push's committed-store reads — they overlap the push and
+          // quiesce before the marker.
+          val changed = !newPairs.isEmpty
           if (base) {
             val pairsAll = store0.union(newPairs).localCheckpoint()
             val degAll = deg0.union(newDeg)
               .groupBy($"src").agg(sum($"degree").as("degree")).localCheckpoint()
-            SegStore.writeBucketedAll(ss, storeDir,
+            val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("pairs" -> pairsAll, "degree" -> degAll), batchId)
+            if (changed || SegStore.readSnapshot(ss, outDir).isEmpty) {
+              val snap = graft.operators.GraphOps
+                .forwardPush(ss, pairsAll, degAll, earlyExit = true)
+              SegStore.writeSnapshot(ss, outDir, snap, batchId)
+              graft.operators.Relational.releaseCkpt(snap)
+            }
+            join()
             graft.operators.Relational.releaseCkpt(pairsAll, degAll)
           } else {
-            SegStore.writeBucketedAll(ss, storeDir,
+            val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("pairs" -> newPairs, "degree" -> newDeg), batchId)
-          }
-          // the push reads the post-batch graph: committed view + this
-          // batch's (not yet committed) delta. A batch whose pairs were
-          // ALL replays leaves the graph — and therefore the exact PPR
-          // snapshot — unchanged: skip the push entirely (the common
-          // at-least-once case; exactness trivially preserved). A
-          // partial refresh of a CHANGED graph is NOT attempted: the
-          // push's 6-round thresholded schedule makes est/res
-          // order-dependent and Total/nS couples every component
-          // through the global seed count, so any residual-carryover
-          // shortcut breaks the exact batch-q163 equality this gate
-          // pins (see PLANS.md round-13 for the full analysis).
-          if (newPairs.isEmpty) {
-            if (SegStore.readSnapshot(ss, outDir).isEmpty)
+            if (changed) {
+              val store1 = store0.union(newPairs).localCheckpoint()
+              val deg1 = deg0.union(newDeg)
+                .groupBy($"src").agg(sum($"degree").as("degree"))
+                .localCheckpoint()
+              val snap = graft.operators.GraphOps
+                .forwardPush(ss, store1, deg1, earlyExit = true)
+              SegStore.writeSnapshot(ss, outDir, snap, batchId)
+              graft.operators.Relational.releaseCkpt(store1, deg1, snap)
+            } else if (SegStore.readSnapshot(ss, outDir).isEmpty) {
               SegStore.writeSnapshot(ss, outDir,
                 graft.operators.GraphOps.forwardPush(ss, store0, deg0,
                   earlyExit = true), batchId)
-          } else {
-            val store1 = store0.union(newPairs).localCheckpoint()
-            val deg1 = deg0.union(newDeg)
-              .groupBy($"src").agg(sum($"degree").as("degree"))
-              .localCheckpoint()
-            val snap = graft.operators.GraphOps
-              .forwardPush(ss, store1, deg1, earlyExit = true)
-            SegStore.writeSnapshot(ss, outDir, snap, batchId)
-            graft.operators.Relational.releaseCkpt(store1, deg1, snap)
+            }
+            join()
           }
           // marker LAST: store delta + snapshot are on disk, so replay
           // after any crash point redoes the whole batch idempotently

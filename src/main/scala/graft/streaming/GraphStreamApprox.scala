@@ -169,7 +169,19 @@ object GraphStreamApprox {
               Relational.releaseCkpt(pairsAll, degAll, state)
             }
             if (SegStore.active(ss, storeDir).isEmpty || newSeed) fullPush()
-            else incrementalRefresh(ss, storeDir, newPairs, newEdges,
+            else {
+            // the three drain-independent segment INSERTs overlap the
+            // driver drain (they land in uncommitted _seg=batchId
+            // partitions the drain's committed-store probes cannot
+            // see). Delta layout only: a compaction or bail-out batch
+            // OVERWRITES these same partitions, so those paths quiesce
+            // the futures before writing
+            val preJoin =
+              if (compactDue) None
+              else Some(SegStore.writeBucketedAllAsync(ss, storeDir, Seq(
+                "pairs" -> newPairs, "edges" -> newEdges,
+                "degree" -> newDeg), batchId))
+            incrementalRefresh(ss, storeDir, newPairs, newEdges,
               newDeg, degPrior, maxLocalNodes, maxLocalEdges) match {
               case None =>
                 // the delta disturbed more state than the local caps
@@ -179,6 +191,7 @@ object GraphStreamApprox {
                     s"exceeded maxLocalNodes=$maxLocalNodes/" +
                     s"maxLocalEdges=$maxLocalEdges - falling back to a " +
                     "full converged push for this batch")
+                preJoin.foreach(_())
                 fullPush()
               case Some(prDelta0) =>
                 val prDelta = prDelta0.localCheckpoint()
@@ -196,12 +209,13 @@ object GraphStreamApprox {
                   SegStore.commit(ss, storeDir, batchId, base = true, runId)
                   Relational.releaseCkpt(pairsAll, degAll, prAll)
                 } else {
-                  SegStore.writeBucketedAll(ss, storeDir, Seq(
-                    "pairs" -> newPairs, "edges" -> newEdges,
-                    "degree" -> newDeg, "pr" -> prDelta), batchId)
+                  val j2 = SegStore.writeBucketedAllAsync(ss, storeDir,
+                    Seq("pr" -> prDelta), batchId)
+                  preJoin.foreach(_()); j2()
                   SegStore.commit(ss, storeDir, batchId, base = false, runId)
                 }
                 Relational.releaseCkpt(prDelta)
+            }
             }
             Relational.releaseCkpt(newEdges, newDeg)
           }
