@@ -100,32 +100,36 @@ object GraphStream {
               .groupBy($"src").agg(sum($"degree").as("degree")).localCheckpoint()
             val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("pairs" -> pairsAll, "degree" -> degAll), batchId)
-            if (changed || SegStore.readSnapshot(ss, outDir).isEmpty) {
-              val snap = graft.operators.GraphOps
-                .forwardPush(ss, pairsAll, degAll, earlyExit = true)
-              SegStore.writeSnapshot(ss, outDir, snap, batchId)
-              graft.operators.Relational.releaseCkpt(snap)
-            }
-            join()
+            try {
+              if (changed || SegStore.readSnapshot(ss, outDir).isEmpty) {
+                val snap = graft.operators.GraphOps
+                  .forwardPush(ss, pairsAll, degAll, earlyExit = true)
+                SegStore.writeSnapshot(ss, outDir, snap, batchId)
+                graft.operators.Relational.releaseCkpt(snap)
+              }
+              join()
+            } catch { case e: Throwable => SegStore.quiesce(join); throw e }
             graft.operators.Relational.releaseCkpt(pairsAll, degAll)
           } else {
             val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("pairs" -> newPairs, "degree" -> newDeg), batchId)
-            if (changed) {
-              val store1 = store0.union(newPairs).localCheckpoint()
-              val deg1 = deg0.union(newDeg)
-                .groupBy($"src").agg(sum($"degree").as("degree"))
-                .localCheckpoint()
-              val snap = graft.operators.GraphOps
-                .forwardPush(ss, store1, deg1, earlyExit = true)
-              SegStore.writeSnapshot(ss, outDir, snap, batchId)
-              graft.operators.Relational.releaseCkpt(store1, deg1, snap)
-            } else if (SegStore.readSnapshot(ss, outDir).isEmpty) {
-              SegStore.writeSnapshot(ss, outDir,
-                graft.operators.GraphOps.forwardPush(ss, store0, deg0,
-                  earlyExit = true), batchId)
-            }
-            join()
+            try {
+              if (changed) {
+                val store1 = store0.union(newPairs).localCheckpoint()
+                val deg1 = deg0.union(newDeg)
+                  .groupBy($"src").agg(sum($"degree").as("degree"))
+                  .localCheckpoint()
+                val snap = graft.operators.GraphOps
+                  .forwardPush(ss, store1, deg1, earlyExit = true)
+                SegStore.writeSnapshot(ss, outDir, snap, batchId)
+                graft.operators.Relational.releaseCkpt(store1, deg1, snap)
+              } else if (SegStore.readSnapshot(ss, outDir).isEmpty) {
+                SegStore.writeSnapshot(ss, outDir,
+                  graft.operators.GraphOps.forwardPush(ss, store0, deg0,
+                    earlyExit = true), batchId)
+              }
+              join()
+            } catch { case e: Throwable => SegStore.quiesce(join); throw e }
           }
           // marker LAST: store delta + snapshot are on disk, so replay
           // after any crash point redoes the whole batch idempotently

@@ -181,7 +181,8 @@ object GraphStreamApprox {
               else Some(SegStore.writeBucketedAllAsync(ss, storeDir, Seq(
                 "pairs" -> newPairs, "edges" -> newEdges,
                 "degree" -> newDeg), batchId))
-            incrementalRefresh(ss, storeDir, newPairs, newEdges,
+            var j2: () => Unit = () => ()
+            try incrementalRefresh(ss, storeDir, newPairs, newEdges,
               newDeg, degPrior, maxLocalNodes, maxLocalEdges) match {
               case None =>
                 // the delta disturbed more state than the local caps
@@ -209,12 +210,17 @@ object GraphStreamApprox {
                   SegStore.commit(ss, storeDir, batchId, base = true, runId)
                   Relational.releaseCkpt(pairsAll, degAll, prAll)
                 } else {
-                  val j2 = SegStore.writeBucketedAllAsync(ss, storeDir,
+                  j2 = SegStore.writeBucketedAllAsync(ss, storeDir,
                     Seq("pr" -> prDelta), batchId)
                   preJoin.foreach(_()); j2()
                   SegStore.commit(ss, storeDir, batchId, base = false, runId)
                 }
                 Relational.releaseCkpt(prDelta)
+            } catch {
+              case e: Throwable => // never leave orphan INSERTs behind
+                preJoin.foreach(SegStore.quiesce)
+                SegStore.quiesce(j2)
+                throw e
             }
             }
             Relational.releaseCkpt(newEdges, newDeg)

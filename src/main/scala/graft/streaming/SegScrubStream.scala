@@ -250,19 +250,25 @@ object SegScrubStream {
             val join1 = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("occ" -> newOcc, "sdf" -> newDf, "docs" -> newDocs,
                 "docstat" -> statDelta), batchId)
-            val sd = srcDelta()
-            val join2 = SegStore.writeBucketedAllAsync(ss, storeDir,
-              Seq("srcstat" -> sd), batchId)
-            // snapshot = committed srcstat partials + this batch's
-            // delta — a |sources|-bounded fold, NOT a docstat scan
-            // (the uncommitted partitions are invisible to the read)
-            phased("snapshot") {
-              SegStore.writeSnapshot(ss, outDir,
-                snapshotFold(ss, storeDir, sd).orderBy($"source"),
-                batchId)
+            var join2: () => Unit = () => ()
+            try {
+              val sd = srcDelta()
+              join2 = SegStore.writeBucketedAllAsync(ss, storeDir,
+                Seq("srcstat" -> sd), batchId)
+              // snapshot = committed srcstat partials + this batch's
+              // delta — a |sources|-bounded fold, NOT a docstat scan
+              // (the uncommitted partitions are invisible to the read)
+              phased("snapshot") {
+                SegStore.writeSnapshot(ss, outDir,
+                  snapshotFold(ss, storeDir, sd).orderBy($"source"),
+                  batchId)
+              }
+              phased("write") { join1(); join2() }
+              graft.operators.Relational.releaseCkpt(sd)
+            } catch {
+              case e: Throwable => // never leave orphan INSERTs behind
+                SegStore.quiesce(join1); SegStore.quiesce(join2); throw e
             }
-            phased("write") { join1(); join2() }
-            graft.operators.Relational.releaseCkpt(sd)
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
           graft.operators.Relational.releaseCkpt(bOcc, newOcc, post,

@@ -547,6 +547,18 @@ object SegStore {
     }
   }
 
+  /** Await an async write handle SWALLOWING its failure — for gate
+    * error paths only: when work between the async start and the
+    * normal join throws, every started INSERT must still be awaited
+    * before the original exception propagates (a restarted query
+    * could otherwise replay the batch while an orphan INSERT is still
+    * writing the same _seg partitions — the torn-mix hazard
+    * [[writeBucketedAll]]'s quiesce-all discipline exists to prevent),
+    * and the write's own failure must not mask the original one.
+    */
+  def quiesce(join: () => Unit): Unit =
+    try join() catch { case _: Throwable => () }
+
   /** Run `f` on the gate pool (blocking Spark actions allowed there). */
   private[streaming] def async[T](f: => T): scala.concurrent.Future[T] =
     scala.concurrent.Future(f)(insertPool)

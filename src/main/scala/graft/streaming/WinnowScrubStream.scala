@@ -161,13 +161,19 @@ object WinnowScrubStream {
             val join1 = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("sel" -> newSel, "fdf" -> newDf, "docs" -> newDocs,
                 "docstat" -> statDelta), batchId)
-            val sd = srcDelta()
-            val join2 = SegStore.writeBucketedAllAsync(ss, storeDir,
-              Seq("srcstat" -> sd), batchId)
-            SegStore.writeSnapshot(ss, outDir,
-              readoutOf(snapshotFold(ss, storeDir, sd)), batchId)
-            join1(); join2()
-            graft.operators.Relational.releaseCkpt(sd)
+            var join2: () => Unit = () => ()
+            try {
+              val sd = srcDelta()
+              join2 = SegStore.writeBucketedAllAsync(ss, storeDir,
+                Seq("srcstat" -> sd), batchId)
+              SegStore.writeSnapshot(ss, outDir,
+                readoutOf(snapshotFold(ss, storeDir, sd)), batchId)
+              join1(); join2()
+              graft.operators.Relational.releaseCkpt(sd)
+            } catch {
+              case e: Throwable => // never leave orphan INSERTs behind
+                SegStore.quiesce(join1); SegStore.quiesce(join2); throw e
+            }
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
           graft.operators.Relational.releaseCkpt(bSel, newSel, post,

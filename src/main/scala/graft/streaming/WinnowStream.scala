@@ -161,10 +161,14 @@ object WinnowStream {
             // delta path: the segment write only touches the
             // uncommitted _seg=batchId partitions — start it, overlap
             // the flags probe/join, then quiesce before the marker
+            // (on a flags failure too: an orphan INSERT must never
+            // outlive the batch attempt)
             val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("fp" -> newFp, "df" -> newDf, "docs" -> newDocs), batchId)
-            writeFlags()
-            phased("write") { join() }
+            try {
+              writeFlags()
+              phased("write") { join() }
+            } catch { case e: Throwable => SegStore.quiesce(join); throw e }
           }
           phased("commit") {
             SegStore.commit(ss, storeDir, batchId, base, runId)
