@@ -109,6 +109,18 @@ object SegScrubStream {
               .crossSegOcc(batch.dropDuplicates("doc_id"))
               .localCheckpoint()
           }
+          // PRIOR per-seg df, probed by the PRE-absorb segment set (a
+          // superset of the post-absorb one whose extras the newDf
+          // join drops) so the store scan runs CONCURRENT with the
+          // absorb probe — same device as the winnow gate's probeOlds
+          val fPrior = SegStore.async {
+            phased("dfprior") {
+              SegStore.prunedScan(ss, storeDir, "sdf", "seg",
+                  bOcc.select($"seg").distinct())
+                .groupBy($"seg").agg(sum($"df").as("df_prior"))
+                .localCheckpoint()
+            }
+          }
           val newOcc = phased("absorb") {
             val bDocs = bOcc.select($"doc_id").distinct()
             val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
@@ -117,13 +129,11 @@ object SegScrubStream {
               .localCheckpoint()
           }
           val newDocs = newOcc.select($"doc_id").distinct()
-          // per-seg df: delta partials + PRIOR df of exactly the
-          // batch's segments (pruned scan, folded after the prune)
+          // per-seg df: delta partials + the PRIOR partials (folded
+          // after the prune, awaited from the concurrent probe)
           val newDf = newOcc.groupBy($"seg").agg(count(lit(1)).as("df"))
           val post = phased("dfpost") {
-            val batchSegs = newDf.select($"seg")
-            val prior = SegStore.prunedScan(ss, storeDir, "sdf", "seg", batchSegs)
-              .groupBy($"seg").agg(sum($"df").as("df_prior"))
+            val prior = SegStore.await(fPrior)
             newDf.join(prior, Seq("seg"), "left_outer")
               .select($"seg", $"df".as("df_delta"),
                 coalesce($"df_prior", lit(0L)).as("df_prior"))

@@ -68,6 +68,15 @@ object WinnowScrubStream {
           val bSel = graft.operators.Dedup
             .winnowSel(batch.dropDuplicates("doc_id"))
             .localCheckpoint()
+          // PRIOR per-fp df, probed by the PRE-absorb fingerprint set
+          // (superset; extras dropped by the newDf join) so the store
+          // scan runs concurrent with the absorb probe
+          val fPrior = SegStore.async {
+            SegStore.prunedScan(ss, storeDir, "fdf", "fp",
+                bSel.select($"fp").distinct())
+              .groupBy($"fp").agg(sum($"df").as("df_prior"))
+              .localCheckpoint()
+          }
           val bDocs = bSel.select($"doc_id").distinct()
           val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
           val newSel = bSel.join(broadcast(seen), Seq("doc_id"), "left_anti")
@@ -75,10 +84,7 @@ object WinnowScrubStream {
             .localCheckpoint()
           val newDocs = newSel.select($"doc_id").distinct()
           val newDf = newSel.groupBy($"fp").agg(count(lit(1)).as("df"))
-          val batchFps = newDf.select($"fp")
-          val prior = SegStore.prunedScan(ss, storeDir, "fdf", "fp", batchFps)
-            .groupBy($"fp").agg(sum($"df").as("df_prior"))
-          val post = newDf.join(prior, Seq("fp"), "left_outer")
+          val post = newDf.join(SegStore.await(fPrior), Seq("fp"), "left_outer")
             .select($"fp", $"df".as("df_delta"),
               coalesce($"df_prior", lit(0L)).as("df_prior"))
             .withColumn("df_post", $"df_prior" + $"df_delta")
