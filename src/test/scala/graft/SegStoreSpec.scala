@@ -183,6 +183,36 @@ class SegStoreSpec extends AnyFunSuite {
     assert(gotBig.count() == 1000L)
   }
 
+  test("prunedScan tolerates active segments missing a later-added sub-table's partition") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("segstore_legacy_part").toString + "/s"
+    // segment 0 predates sub-table `kv2`: only `kv` has a partition
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 4)
+    SegStore.writeBucketed(spark, root, "kv",
+      Seq((1L, 10L)).toDF("k", "v"), 0L)
+    SegStore.commit(spark, root, 0L, base = false)
+    SegStore.ensureBucketed(spark, root, "kv2",
+      "k BIGINT, w BIGINT", Seq("k"), 4)
+    SegStore.writeBucketed(spark, root, "kv",
+      Seq((2L, 20L)).toDF("k", "v"), 1L)
+    SegStore.writeBucketed(spark, root, "kv2",
+      Seq((2L, 200L)).toDF("k", "w"), 1L)
+    SegStore.commit(spark, root, 1L, base = false)
+    // the raw probe read must list only the partitions that exist —
+    // the catalog semantics (missing = zero rows), never
+    // PATH_NOT_FOUND (round-14 ADVICE #1)
+    val got = SegStore.prunedScan(spark, root, "kv2", "k",
+      Seq(1L, 2L).toDF("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((2L, 200L)), s"unexpected rows: ${got.toSeq}")
+    // and a sub-table with NO partition on any active segment reads
+    // as empty, not as an error
+    SegStore.ensureBucketed(spark, root, "kv3",
+      "k BIGINT, z BIGINT", Seq("k"), 4)
+    assert(SegStore.prunedScan(spark, root, "kv3", "k",
+      Seq(1L).toDF("k")).count() == 0L)
+  }
+
   test("gate compaction: WinnowStream folds into a base segment and the index is unchanged") {
     import org.apache.spark.sql.functions._
     import graft.streaming.WinnowStream
