@@ -214,7 +214,13 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }.getOrElse(Map.empty[String, Double]), true)
       }
-    } catch { case _: Throwable => (Map.empty[String, Double], true) }
+    } catch {
+      // fail CLOSED: if the prior artifact exists but can't be read,
+      // assume a different sf — overwriting it on a guess is exactly
+      // the poisoning this guard exists to prevent
+      case _: Throwable => (Map.empty[String, Double],
+        !java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH_FULL.json")))
+    }
     val minMerged = results.map { case (k, v) =>
       val prior = priorQ.get(k).filter(_ >= 0)
       k -> (if (v < 0) prior.getOrElse(-1.0)

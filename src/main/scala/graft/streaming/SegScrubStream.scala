@@ -113,7 +113,7 @@ object SegScrubStream {
           // superset of the post-absorb one whose extras the newDf
           // join drops) so the store scan runs CONCURRENT with the
           // absorb probe — same device as the winnow gate's probeOlds
-          val fPrior = SegStore.async {
+          val fPrior = SegStore.async(ss) {
             phased("dfprior") {
               SegStore.prunedScan(ss, storeDir, "sdf", "seg",
                   bOcc.select($"seg").distinct())
@@ -121,6 +121,12 @@ object SegScrubStream {
                 .localCheckpoint()
             }
           }
+          // error-path cleanup for the concurrent probe (await it and
+          // drop its checkpoint; releaseCkpt is idempotent unpersist)
+          def dropPrior(): Unit =
+            try graft.operators.Relational.releaseCkpt(SegStore.await(fPrior))
+            catch { case _: Throwable => () }
+          try {
           val newOcc = phased("absorb") {
             val bDocs = bOcc.select($"doc_id").distinct()
             val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
@@ -134,11 +140,12 @@ object SegScrubStream {
           val newDf = newOcc.groupBy($"seg").agg(count(lit(1)).as("df"))
           val post = phased("dfpost") {
             val prior = SegStore.await(fPrior)
-            newDf.join(prior, Seq("seg"), "left_outer")
+            try newDf.join(prior, Seq("seg"), "left_outer")
               .select($"seg", $"df".as("df_delta"),
                 coalesce($"df_prior", lit(0L)).as("df_prior"))
               .withColumn("df_post", $"df_prior" + $"df_delta")
               .localCheckpoint() // batch-seg-sized; feeds inserts AND flips
+            finally graft.operators.Relational.releaseCkpt(prior)
           }
           // (a) INSERT rows: batch docs against the POST-batch df of
           // their own segments
@@ -281,8 +288,9 @@ object SegScrubStream {
             }
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
-          graft.operators.Relational.releaseCkpt(bOcc, newOcc, post,
-            statDelta)
+          graft.operators.Relational.releaseCkpt(newOcc, post, statDelta)
+          } catch { case e: Throwable => dropPrior(); throw e }
+          finally graft.operators.Relational.releaseCkpt(bOcc)
         }
         ()
       }

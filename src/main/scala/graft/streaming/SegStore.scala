@@ -489,9 +489,16 @@ object SegStore {
       // yields zero rows for a missing partition, but an explicit
       // dir-list read throws PATH_NOT_FOUND. Keep the same missing =
       // empty semantics by listing only the partitions that exist —
-      // one driver-side FS probe per active segment, bounded by the
-      // compaction-held segment count.
-      val present = ids.filter(id => partitionExists(ss, root, sub, id))
+      // ONE listStatus of the sub-table dir (not one exists() per
+      // segment: a gate batch makes several pruned scans, and on an
+      // object store per-partition HEADs would stack to hundreds of
+      // ms of serial driver latency).
+      val fs = fsOf(ss, root)
+      val tblDir = new Path(loc)
+      val onDisk =
+        if (!fs.exists(tblDir)) Set.empty[String]
+        else fs.listStatus(tblDir).map(_.getPath.getName).toSet
+      val present = ids.filter(id => onDisk.contains(s"_seg=$id"))
       if (present.isEmpty) Some(ss.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
       else Some(ss.read.schema(schema).option("basePath", loc)
@@ -521,7 +528,7 @@ object SegStore {
     */
   def writeBucketedAllAsync(ss: SparkSession, root: String,
       subs: Seq[(String, DataFrame)], batchId: Long): () => Unit = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
     // A dedicated pool, NOT ExecutionContext.Implicits.global: each
     // task blocks on a Spark INSERT action, and several gates writing
@@ -529,9 +536,8 @@ object SegStore {
     // fork-join pool on blocked I/O, starving any other library code
     // on that pool (round-14 ADVICE). Cached daemon threads: sized by
     // demand, free when idle, never block JVM exit.
-    implicit val ec: scala.concurrent.ExecutionContext = insertPool
     val fs = subs.map { case (sub, df) =>
-      Future(writeBucketed(ss, root, sub, df, batchId))
+      async(ss)(writeBucketed(ss, root, sub, df, batchId))
     }
     // await EVERY future before propagating any failure: throwing on
     // the first failed insert would leave sibling INSERTs running as
@@ -559,9 +565,27 @@ object SegStore {
   def quiesce(join: () => Unit): Unit =
     try join() catch { case _: Throwable => () }
 
-  /** Run `f` on the gate pool (blocking Spark actions allowed there). */
-  private[streaming] def async[T](f: => T): scala.concurrent.Future[T] =
-    scala.concurrent.Future(f)(insertPool)
+  /** Run `f` on the gate pool (blocking Spark actions allowed there),
+    * carrying the CALLING thread's Spark job-group properties onto the
+    * worker. Without this, a cached worker keeps whatever job group
+    * the thread that happened to CREATE it inherited
+    * (localProperties is an InheritableThreadLocal cloned at thread
+    * birth) — in a composed pipeline, gate B's INSERT could run under
+    * gate A's group and be cancelled by gate A's stop()/failure, and
+    * a query's own cancel would miss inserts on stale-group workers.
+    */
+  private[streaming] def async[T](ss: SparkSession)(f: => T): scala.concurrent.Future[T] = {
+    val sc = ss.sparkContext
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    val desc = sc.getLocalProperty("spark.job.description")
+    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    scala.concurrent.Future {
+      sc.setLocalProperty("spark.jobGroup.id", group)
+      sc.setLocalProperty("spark.job.description", desc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", interrupt)
+      f
+    }(insertPool)
+  }
 
   private[streaming] def await[T](f: scala.concurrent.Future[T]): T =
     scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)

@@ -71,12 +71,18 @@ object WinnowScrubStream {
           // PRIOR per-fp df, probed by the PRE-absorb fingerprint set
           // (superset; extras dropped by the newDf join) so the store
           // scan runs concurrent with the absorb probe
-          val fPrior = SegStore.async {
+          val fPrior = SegStore.async(ss) {
             SegStore.prunedScan(ss, storeDir, "fdf", "fp",
                 bSel.select($"fp").distinct())
               .groupBy($"fp").agg(sum($"df").as("df_prior"))
               .localCheckpoint()
           }
+          // error-path cleanup for the concurrent probe (await it and
+          // drop its checkpoint; releaseCkpt is idempotent unpersist)
+          def dropPrior(): Unit =
+            try graft.operators.Relational.releaseCkpt(SegStore.await(fPrior))
+            catch { case _: Throwable => () }
+          try {
           val bDocs = bSel.select($"doc_id").distinct()
           val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
           val newSel = bSel.join(broadcast(seen), Seq("doc_id"), "left_anti")
@@ -84,11 +90,15 @@ object WinnowScrubStream {
             .localCheckpoint()
           val newDocs = newSel.select($"doc_id").distinct()
           val newDf = newSel.groupBy($"fp").agg(count(lit(1)).as("df"))
-          val post = newDf.join(SegStore.await(fPrior), Seq("fp"), "left_outer")
-            .select($"fp", $"df".as("df_delta"),
-              coalesce($"df_prior", lit(0L)).as("df_prior"))
-            .withColumn("df_post", $"df_prior" + $"df_delta")
-            .localCheckpoint()
+          val post = {
+            val prior = SegStore.await(fPrior)
+            try newDf.join(prior, Seq("fp"), "left_outer")
+              .select($"fp", $"df".as("df_delta"),
+                coalesce($"df_prior", lit(0L)).as("df_prior"))
+              .withColumn("df_post", $"df_prior" + $"df_delta")
+              .localCheckpoint()
+            finally graft.operators.Relational.releaseCkpt(prior)
+          }
           val inserts = newSel
             .join(broadcast(post.select($"fp", $"df_post")), "fp")
             .groupBy($"doc_id", $"source")
@@ -182,8 +192,9 @@ object WinnowScrubStream {
             }
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
-          graft.operators.Relational.releaseCkpt(bSel, newSel, post,
-            statDelta)
+          graft.operators.Relational.releaseCkpt(newSel, post, statDelta)
+          } catch { case e: Throwable => dropPrior(); throw e }
+          finally graft.operators.Relational.releaseCkpt(bSel)
         }
         ()
       }

@@ -113,12 +113,22 @@ object WinnowStream {
           // the delta batch's wall collapses from 4 serial driver
           // jobs to max(probe, absorb+write) + the cheap pair join
           // (GateProbe: delta_200 3.4 → ~2.4 s)
-          val fOlds = SegStore.async {
+          val fOlds = SegStore.async(ss) {
             phased("probe") {
               probeOlds(ss, storeDir, bfp.select($"h").distinct())
                 .localCheckpoint()
             }
           }
+          // error-path cleanup: a failure anywhere between the probe's
+          // start and its normal consumption must still await the
+          // future and drop its checkpoint (else each failed batch
+          // attempt leaks one checkpointed RDD and leaves an orphan
+          // probe job racing the replay). releaseCkpt is unpersist —
+          // idempotent, so the success path releasing first is fine.
+          def dropProbe(): Unit =
+            try graft.operators.Relational.releaseCkpt(SegStore.await(fOlds))
+            catch { case _: Throwable => () }
+          try {
           // at-least-once absorption: a doc already in the index is a
           // replay — it must neither re-flag nor double-count df. The
           // seen-before set comes from a PRUNED scan of the docs
@@ -134,11 +144,10 @@ object WinnowStream {
           val base = SegStore.active(ss, storeDir).size >= compactEvery
           def writeFlags(): Unit = {
             val olds = SegStore.await(fOlds)
-            phased("flags") {
+            try phased("flags") {
               pairFlags(newFp, olds)
                 .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-            }
-            graft.operators.Relational.releaseCkpt(olds)
+            } finally graft.operators.Relational.releaseCkpt(olds)
           }
           if (base) {
             writeFlags()
@@ -173,7 +182,9 @@ object WinnowStream {
           phased("commit") {
             SegStore.commit(ss, storeDir, batchId, base, runId)
           }
-          graft.operators.Relational.releaseCkpt(bfp, newFp)
+          graft.operators.Relational.releaseCkpt(newFp)
+          } catch { case e: Throwable => dropProbe(); throw e }
+          finally graft.operators.Relational.releaseCkpt(bfp)
         }
         ()
       }
