@@ -201,13 +201,21 @@ object Bench {
     // every later sf0.1 merge (caught round 15 — min_total read 64 s).
     // A mismatched-sf run neither merges with nor overwrites the
     // canonical artifact; it writes BENCH_FULL_<sfbase>.json instead.
+    // Canonicalize before comparing (round-15 ADVICE #2): the artifact
+    // records the raw sfDir string, so the same scale factor spelled
+    // differently (relative vs absolute, trailing slash) must not read
+    // as a different sf — that would silently stop updating the
+    // canonical artifact forever.
+    def canonSf(s: String): String =
+      try new java.io.File(s).getCanonicalPath catch { case _: Throwable => s }
     val (priorQ: Map[String, Double], sameSf: Boolean) = try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], true)
       else {
         val txt = java.nio.file.Files.readString(p)
         val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!priorSf.contains(sfDir)) (Map.empty[String, Double], false)
+        if (!priorSf.map(canonSf).contains(canonSf(sfDir)))
+          (Map.empty[String, Double], false)
         else (txt.split("\"queries\":\\{", 2).lift(1).map(_.takeWhile(_ != '}'))
           .map { block =>
             """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(block)
@@ -232,9 +240,16 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         jmap(results)},"min_with_prior":${jmap(minMerged)},"min_total":$minTotal,"sf":"$sfDir"}"""
+    // Diverted artifact keyed by the CANONICAL path, not just the
+    // basename — two different dirs sharing a basename must not
+    // collide on one suffixed file (round-15 ADVICE #2).
     val artifact =
       if (sameSf) "BENCH_FULL.json"
-      else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
+      else {
+        val c = canonSf(sfDir)
+        val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(c))
+        s"BENCH_FULL_${new java.io.File(c).getName}_$tag.json"
+      }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), full)
     println(full)
     // Compact form last: `q131_audio_energy` -> `q131`; shrink decimal

@@ -313,8 +313,13 @@ object EventsStream {
             "key BIGINT, deleted BOOLEAN, value DOUBLE, n_ops BIGINT",
             Seq("key"), buckets)
           // one row per touched key; checkpointed so the segment write
-          // below cannot re-trigger the stateful computation
+          // below cannot re-trigger the stateful computation. The
+          // Ckpts finally releases both batch checkpoints on success
+          // and failed/replayed attempts alike (round-15 ADVICE #1).
+          val ck = new Ckpts
+          try {
           val up = updates.localCheckpoint()
+          ck.add(up.toDF())
           val agg0 = readCdcAgg(ss, storeDir)
           // contribution of a store snapshot restricted to some keys —
           // distributed aggregates, four numbers to the driver
@@ -349,20 +354,19 @@ object EventsStream {
             // the resolve is exchange-free over the key-bucketed scan,
             // checkpointed because the INSERT overwrites a table the
             // fold reads
-            val folded = readCdcStore(ss, storeDir).toDF()
+            val folded = ck(readCdcStore(ss, storeDir).toDF()
               .join(broadcast(bKeys), Seq("key"), "left_anti")
-              .unionByName(up.toDF()).localCheckpoint()
+              .unionByName(up.toDF()))
             SegStore.writeBucketed(ss, storeDir, "kv", folded, batchId)
-            graft.operators.Relational.releaseCkpt(folded)
           } else SegStore.writeBucketed(ss, storeDir, "kv", up.toDF(), batchId)
           Seq(agg1).toDS().write.mode("overwrite").parquet(s"$seg/agg")
           SegStore.writeSnapshot(ss, aggDir, Seq(agg1).toDS().toDF(), batchId)
           SegStore.commit(ss, storeDir, batchId, base, runId)
-          // drop-on-write: the checkpoint is on disk — release its
+          // drop-on-write: the checkpoints are on disk — release their
           // blocks so a long-lived stream doesn't accumulate one block
           // set per micro-batch (Dataset.unpersist never sees a local
           // checkpoint)
-          graft.operators.Relational.releaseCkpt(up.toDF())
+          } finally ck.releaseAll()
         }
         ()
       }

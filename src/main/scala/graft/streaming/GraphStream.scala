@@ -65,7 +65,13 @@ object GraphStream {
             "c BIGINT, s BIGINT", Seq("c"), buckets)
           SegStore.ensureBucketed(ss, storeDir, "degree",
             "src BIGINT, degree BIGINT", Seq("src"), buckets)
-          val up = batch.select($"c", $"s").distinct().localCheckpoint()
+          // every batch-scoped checkpoint registers here; the single
+          // finally releases them on success AND failed/replayed
+          // attempts alike (round-15 ADVICE #1 — the success-only
+          // releases leaked blocks on every failed attempt)
+          val ck = new Ckpts
+          try {
+          val up = ck(batch.select($"c", $"s").distinct())
           // delta-sized dedup against the store: the batch's customer
           // keys prune the pairs scan; the semi-join against the batch
           // (broadcast) shrinks the hit set to <= batch size, and THAT
@@ -73,8 +79,7 @@ object GraphStream {
           val bCs = up.select($"c").distinct()
           val present = SegStore.prunedScan(ss, storeDir, "pairs", "c", bCs)
             .join(broadcast(up), Seq("c", "s"), "left_semi")
-          val newPairs = up.join(broadcast(present), Seq("c", "s"), "left_anti")
-            .localCheckpoint()
+          val newPairs = ck(up.join(broadcast(present), Seq("c", "s"), "left_anti"))
           val newDeg = graft.operators.BipartiteGraph.degreesOf(newPairs)
           val base = SegStore.active(ss, storeDir).size >= compactEvery
           val (store0, deg0) = readGraph(ss, storeDir)
@@ -95,41 +100,37 @@ object GraphStream {
           // quiesce before the marker.
           val changed = !newPairs.isEmpty
           if (base) {
-            val pairsAll = store0.union(newPairs).localCheckpoint()
-            val degAll = deg0.union(newDeg)
-              .groupBy($"src").agg(sum($"degree").as("degree")).localCheckpoint()
+            val pairsAll = ck(store0.union(newPairs))
+            val degAll = ck(deg0.union(newDeg)
+              .groupBy($"src").agg(sum($"degree").as("degree")))
             val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("pairs" -> pairsAll, "degree" -> degAll), batchId)
             try {
               if (changed || SegStore.readSnapshot(ss, outDir).isEmpty) {
-                val snap = graft.operators.GraphOps
-                  .forwardPush(ss, pairsAll, degAll, earlyExit = true)
+                val snap = ck.add(graft.operators.GraphOps
+                  .forwardPush(ss, pairsAll, degAll, earlyExit = true))
                 SegStore.writeSnapshot(ss, outDir, snap, batchId)
-                graft.operators.Relational.releaseCkpt(snap)
               }
               join()
-            } catch { case e: Throwable => SegStore.quiesce(join); throw e }
-            graft.operators.Relational.releaseCkpt(pairsAll, degAll)
+            } catch { case e: Throwable => SegStore.quiesce(ss, join); throw e }
           } else {
             val join = SegStore.writeBucketedAllAsync(ss, storeDir,
               Seq("pairs" -> newPairs, "degree" -> newDeg), batchId)
             try {
               if (changed) {
-                val store1 = store0.union(newPairs).localCheckpoint()
-                val deg1 = deg0.union(newDeg)
-                  .groupBy($"src").agg(sum($"degree").as("degree"))
-                  .localCheckpoint()
-                val snap = graft.operators.GraphOps
-                  .forwardPush(ss, store1, deg1, earlyExit = true)
+                val store1 = ck(store0.union(newPairs))
+                val deg1 = ck(deg0.union(newDeg)
+                  .groupBy($"src").agg(sum($"degree").as("degree")))
+                val snap = ck.add(graft.operators.GraphOps
+                  .forwardPush(ss, store1, deg1, earlyExit = true))
                 SegStore.writeSnapshot(ss, outDir, snap, batchId)
-                graft.operators.Relational.releaseCkpt(store1, deg1, snap)
               } else if (SegStore.readSnapshot(ss, outDir).isEmpty) {
                 SegStore.writeSnapshot(ss, outDir,
-                  graft.operators.GraphOps.forwardPush(ss, store0, deg0,
-                    earlyExit = true), batchId)
+                  ck.add(graft.operators.GraphOps.forwardPush(ss, store0, deg0,
+                    earlyExit = true)), batchId)
               }
               join()
-            } catch { case e: Throwable => SegStore.quiesce(join); throw e }
+            } catch { case e: Throwable => SegStore.quiesce(ss, join); throw e }
           }
           // marker LAST: store delta + snapshot are on disk, so replay
           // after any crash point redoes the whole batch idempotently
@@ -137,8 +138,8 @@ object GraphStream {
           // drop-on-write: without the RDD-level release the per-batch
           // checkpoints' blocks accumulate across micro-batches for the
           // life of the stream (Dataset.unpersist never sees a local
-          // checkpoint)
-          graft.operators.Relational.releaseCkpt(up, newPairs)
+          // checkpoint); the finally runs the same sweep on failure
+          } finally ck.releaseAll()
         }
         ()
       }

@@ -123,12 +123,16 @@ object GraphStreamApprox {
             "src BIGINT, degree BIGINT", Seq("src"), buckets)
           SegStore.ensureBucketed(ss, storeDir, "pr",
             "node BIGINT, est BIGINT, res BIGINT", Seq("node"), buckets)
-          val up = batch.select($"c", $"s").distinct().localCheckpoint()
+          // leak-proof release: every batch-scoped checkpoint registers
+          // here and the single finally releases them on success and
+          // failed/replayed attempts alike (round-15 ADVICE #1)
+          val ck = new Ckpts
+          try {
+          val up = ck(batch.select($"c", $"s").distinct())
           val bCs = up.select($"c").distinct()
           val present = SegStore.prunedScan(ss, storeDir, "pairs", "c", bCs)
             .join(broadcast(up), Seq("c", "s"), "left_semi")
-          val newPairs = up.join(broadcast(present), Seq("c", "s"), "left_anti")
-            .localCheckpoint()
+          val newPairs = ck(up.join(broadcast(present), Seq("c", "s"), "left_anti"))
           val compactDue = SegStore.active(ss, storeDir).size >= compactEvery
           if (newPairs.isEmpty) {
             // all-replay: graph and state unchanged — record the batch
@@ -140,8 +144,8 @@ object GraphStreamApprox {
                 lit(0L).as("res"))), batchId)
             SegStore.commit(ss, storeDir, batchId, base = false, runId)
           } else {
-            val newEdges = BipartiteGraph.edgesOf(newPairs).localCheckpoint()
-            val newDeg = BipartiteGraph.degreesOf(newPairs).localCheckpoint()
+            val newEdges = ck(BipartiteGraph.edgesOf(newPairs))
+            val newDeg = ck(BipartiteGraph.degreesOf(newPairs))
             val touched = newDeg.select($"src")
             val degPrior = SegStore.prunedScan(ss, storeDir, "degree", "src", touched)
               .groupBy($"src").agg(sum($"degree").as("d_old"))
@@ -154,19 +158,16 @@ object GraphStreamApprox {
             // resolve a stale row past it
             def fullPush(): Unit = {
               val (p0, d0) = GraphStream.readGraph(ss, storeDir)
-              val pairsAll = p0.union(newPairs).localCheckpoint()
-              val degAll = d0.union(newDeg)
-                .groupBy($"src").agg(sum($"degree").as("degree"))
-                .localCheckpoint()
-              val state = GraphOps.forwardPush(ss, pairsAll, degAll,
-                earlyExit = true, maxRounds = maxPushRounds)
-                .localCheckpoint()
+              val pairsAll = ck(p0.union(newPairs))
+              val degAll = ck(d0.union(newDeg)
+                .groupBy($"src").agg(sum($"degree").as("degree")))
+              val state = ck(GraphOps.forwardPush(ss, pairsAll, degAll,
+                earlyExit = true, maxRounds = maxPushRounds))
               SegStore.writeBucketedAll(ss, storeDir, Seq(
                 "pairs" -> pairsAll,
                 "edges" -> BipartiteGraph.edgesOf(pairsAll),
                 "degree" -> degAll, "pr" -> state), batchId)
               SegStore.commit(ss, storeDir, batchId, base = true, runId)
-              Relational.releaseCkpt(pairsAll, degAll, state)
             }
             if (SegStore.active(ss, storeDir).isEmpty || newSeed) fullPush()
             else {
@@ -195,37 +196,33 @@ object GraphStreamApprox {
                 preJoin.foreach(_())
                 fullPush()
               case Some(prDelta0) =>
-                val prDelta = prDelta0.localCheckpoint()
+                val prDelta = ck(prDelta0)
                 if (compactDue) {
                   val (p0, d0) = GraphStream.readGraph(ss, storeDir)
-                  val pairsAll = p0.union(newPairs).localCheckpoint()
-                  val degAll = d0.union(newDeg)
-                    .groupBy($"src").agg(sum($"degree").as("degree"))
-                    .localCheckpoint()
-                  val prAll = foldPr(ss, storeDir, prDelta).localCheckpoint()
+                  val pairsAll = ck(p0.union(newPairs))
+                  val degAll = ck(d0.union(newDeg)
+                    .groupBy($"src").agg(sum($"degree").as("degree")))
+                  val prAll = ck(foldPr(ss, storeDir, prDelta))
                   SegStore.writeBucketedAll(ss, storeDir, Seq(
                     "pairs" -> pairsAll,
                     "edges" -> BipartiteGraph.edgesOf(pairsAll),
                     "degree" -> degAll, "pr" -> prAll), batchId)
                   SegStore.commit(ss, storeDir, batchId, base = true, runId)
-                  Relational.releaseCkpt(pairsAll, degAll, prAll)
                 } else {
                   j2 = SegStore.writeBucketedAllAsync(ss, storeDir,
                     Seq("pr" -> prDelta), batchId)
                   preJoin.foreach(_()); j2()
                   SegStore.commit(ss, storeDir, batchId, base = false, runId)
                 }
-                Relational.releaseCkpt(prDelta)
             } catch {
               case e: Throwable => // never leave orphan INSERTs behind
-                preJoin.foreach(SegStore.quiesce)
-                SegStore.quiesce(j2)
+                preJoin.foreach(j => SegStore.quiesce(ss, j))
+                SegStore.quiesce(ss, j2)
                 throw e
             }
             }
-            Relational.releaseCkpt(newEdges, newDeg)
           }
-          Relational.releaseCkpt(up, newPairs)
+          } finally ck.releaseAll()
         }
         ()
       }
@@ -294,10 +291,9 @@ object GraphStreamApprox {
           .otherwise($"est").as("est"),
         ($"res" - $"k" * $"per_edge" + $"partner_sum").as("res"),
         ($"d_old" + $"k").as("deg"))
-    val seedRows = corrected
-      .limit(maxLocalNodes + 1)
-      .as[(Long, Long, Long, Long)].collect()
-    Relational.releaseCkpt(endp)
+    val seedRows =
+      try corrected.limit(maxLocalNodes + 1).as[(Long, Long, Long, Long)].collect()
+      finally Relational.releaseCkpt(endp)
     if (seedRows.length > maxLocalNodes) return None
     // in-memory working state; adjacency fetched in frontier waves
     val est = new java.util.HashMap[Long, Long]()

@@ -102,12 +102,15 @@ object SegScrubStream {
                 "dup_docs_g0 BIGINT, dup_docs_any BIGINT, straddle_docs BIGINT",
               Seq("source"), buckets)
           }
+          // leak-proof release: every batch-scoped checkpoint registers
+          // here and the single finally releases them on success and
+          // failed/replayed attempts alike (round-15 ADVICE #1)
+          val ck = new Ckpts
           // replay absorption: seen doc ids from a pruned scan,
           // survivors anti-join the <= batch-sized hit set broadcast
           val bOcc = phased("segment") {
-            graft.operators.Dedup
-              .crossSegOcc(batch.dropDuplicates("doc_id"))
-              .localCheckpoint()
+            ck(graft.operators.Dedup
+              .crossSegOcc(batch.dropDuplicates("doc_id")))
           }
           // PRIOR per-seg df, probed by the PRE-absorb segment set (a
           // superset of the post-absorb one whose extras the newDf
@@ -121,18 +124,12 @@ object SegScrubStream {
                 .localCheckpoint()
             }
           }
-          // error-path cleanup for the concurrent probe (await it and
-          // drop its checkpoint; releaseCkpt is idempotent unpersist)
-          def dropPrior(): Unit =
-            try graft.operators.Relational.releaseCkpt(SegStore.await(fPrior))
-            catch { case _: Throwable => () }
           try {
           val newOcc = phased("absorb") {
             val bDocs = bOcc.select($"doc_id").distinct()
             val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
-            bOcc.join(broadcast(seen), Seq("doc_id"), "left_anti")
-              .select($"seg", $"doc_id", $"source", $"occ0", $"occ1")
-              .localCheckpoint()
+            ck(bOcc.join(broadcast(seen), Seq("doc_id"), "left_anti")
+              .select($"seg", $"doc_id", $"source", $"occ0", $"occ1"))
           }
           val newDocs = newOcc.select($"doc_id").distinct()
           // per-seg df: delta partials + the PRIOR partials (folded
@@ -140,11 +137,11 @@ object SegScrubStream {
           val newDf = newOcc.groupBy($"seg").agg(count(lit(1)).as("df"))
           val post = phased("dfpost") {
             val prior = SegStore.await(fPrior)
-            try newDf.join(prior, Seq("seg"), "left_outer")
+            try ck(newDf.join(prior, Seq("seg"), "left_outer")
               .select($"seg", $"df".as("df_delta"),
                 coalesce($"df_prior", lit(0L)).as("df_prior"))
-              .withColumn("df_post", $"df_prior" + $"df_delta")
-              .localCheckpoint() // batch-seg-sized; feeds inserts AND flips
+              .withColumn("df_post", $"df_prior" + $"df_delta"))
+              // batch-seg-sized; feeds inserts AND flips
             finally graft.operators.Relational.releaseCkpt(prior)
           }
           // (a) INSERT rows: batch docs against the POST-batch df of
@@ -168,7 +165,7 @@ object SegScrubStream {
               when($"occ0" > 0, 1L).otherwise(0L).as("f0"),
               when($"occ1" > 0, 1L).otherwise(0L).as("f1"))
           val statDelta = phased("statdelta") {
-            inserts.unionByName(flipRows).localCheckpoint()
+            ck(inserts.unionByName(flipRows))
           }
           // The per-source readout state is maintained INCREMENTALLY
           // (sub-table `srcstat`, additive partials keyed on source):
@@ -233,30 +230,27 @@ object SegScrubStream {
                     greatest($"p0", $"p1")).as("dup_docs_any"),
                   sum(straddleOf(greatest($"p0", $"f0"), greatest($"p1", $"f1"))
                     - $"ex" * straddleOf($"p0", $"p1")).as("straddle_docs"))
-            }).localCheckpoint()
+            }).transform(ck.apply)
           }
           if (base) {
             val occ0 = readOcc(ss, storeDir)
-            val occAll = occ0.union(newOcc).localCheckpoint()
-            val sdfAll = SegStore.readBucketed(ss, storeDir, "sdf")
+            val occAll = ck(occ0.union(newOcc))
+            val sdfAll = ck(SegStore.readBucketed(ss, storeDir, "sdf")
               .getOrElse(Seq.empty[(String, Long)].toDF("seg", "df"))
               .union(newDf)
-              .groupBy($"seg").agg(sum($"df").as("df")).localCheckpoint()
-            val docsAll = SegStore.readBucketed(ss, storeDir, "docs")
+              .groupBy($"seg").agg(sum($"df").as("df")))
+            val docsAll = ck(SegStore.readBucketed(ss, storeDir, "docs")
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
-              .union(newDocs)
-              .localCheckpoint()
+              .union(newDocs))
             // `merged` IS the folded docstat — the compaction reuses
             // it, and its source grain IS the total srcstat state
-            val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
-            val srcAll = srcGrainPartial(merged).localCheckpoint()
+            val merged = ck(mergedDocstat(ss, storeDir, statDelta))
+            val srcAll = ck(srcGrainPartial(merged))
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("occ" -> occAll, "sdf" -> sdfAll, "docs" -> docsAll,
                 "docstat" -> merged, "srcstat" -> srcAll), batchId)
             SegStore.writeSnapshot(ss, outDir,
               srcAll.orderBy($"source"), batchId)
-            graft.operators.Relational.releaseCkpt(occAll, sdfAll, docsAll,
-              merged, srcAll)
           } else {
             // the four sd-independent segment writes start FIRST and
             // overlap srcDelta's prior-flag probe + the snapshot
@@ -281,16 +275,15 @@ object SegScrubStream {
                   batchId)
               }
               phased("write") { join1(); join2() }
-              graft.operators.Relational.releaseCkpt(sd)
             } catch {
               case e: Throwable => // never leave orphan INSERTs behind
-                SegStore.quiesce(join1); SegStore.quiesce(join2); throw e
+                SegStore.quiesce(ss, join1); SegStore.quiesce(ss, join2)
+                throw e
             }
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
-          graft.operators.Relational.releaseCkpt(newOcc, post, statDelta)
-          } catch { case e: Throwable => dropPrior(); throw e }
-          finally graft.operators.Relational.releaseCkpt(bOcc)
+          } catch { case e: Throwable => SegStore.dropQuiet(fPrior); throw e }
+          finally ck.releaseAll()
         }
         ()
       }

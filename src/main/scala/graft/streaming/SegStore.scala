@@ -553,36 +553,101 @@ object SegStore {
     }
   }
 
-  /** Await an async write handle SWALLOWING its failure — for gate
-    * error paths only: when work between the async start and the
-    * normal join throws, every started INSERT must still be awaited
-    * before the original exception propagates (a restarted query
-    * could otherwise replay the batch while an orphan INSERT is still
-    * writing the same _seg partitions — the torn-mix hazard
+  /** How long an ERROR path waits for in-flight INSERTs/probes before
+    * escalating to a job-group cancel ([[quiesce]]) or abandoning a
+    * read-only probe ([[dropQuiet]]). Generous — a healthy INSERT
+    * finishes in seconds — but finite: a wedged write must not hang
+    * the error path forever and mask the batch's original failure
+    * (round-15 ADVICE #4). Test hook: specs shrink it to force the
+    * timeout branch.
+    */
+  @volatile private[graft] var quiesceWait: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(120, java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Grace period after the cancel for the wedged jobs to observe it. */
+  @volatile private[graft] var quiesceGrace: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Await an async write handle SWALLOWING its (non-fatal) failure —
+    * for gate error paths only: when work between the async start and
+    * the normal join throws, every started INSERT must still be
+    * awaited before the original exception propagates (a restarted
+    * query could otherwise replay the batch while an orphan INSERT is
+    * still writing the same _seg partitions — the torn-mix hazard
     * [[writeBucketedAll]]'s quiesce-all discipline exists to prevent),
     * and the write's own failure must not mask the original one.
+    *
+    * BOUNDED (round-15 ADVICE #4 / VERDICT #3): the old form awaited
+    * `Duration.Inf`, so a wedged INSERT made the error path — and
+    * therefore the query's stop() — hang forever while the primary
+    * exception was never surfaced. Now the join runs under a watchdog:
+    * past [[quiesceWait]] the calling thread's job group is cancelled
+    * (the INSERTs run under the same group — [[async]] copies the full
+    * local-properties set), and past a further [[quiesceGrace]] the
+    * orphan is abandoned with a warning. An abandoned write can only
+    * be touching the uncommitted `_seg` partitions a replay overwrites
+    * first. Fatal VM errors and interrupts from the write are
+    * rethrown, never swallowed.
     */
-  def quiesce(join: () => Unit): Unit =
-    try join() catch { case _: Throwable => () }
+  def quiesce(ss: SparkSession, join: () => Unit): Unit = {
+    val sc = ss.sparkContext
+    val f = async(ss)(join())
+    def ready(d: scala.concurrent.duration.FiniteDuration): Boolean =
+      try { scala.concurrent.Await.ready(f, d); true }
+      catch { case _: java.util.concurrent.TimeoutException => false }
+    if (!ready(quiesceWait)) {
+      val group = sc.getLocalProperty("spark.jobGroup.id")
+      if (group != null)
+        try sc.cancelJobGroup(group)
+        catch { case scala.util.control.NonFatal(_) => () }
+      if (!ready(quiesceGrace))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "graft.SegStore: error-path quiesce timed out after " +
+            s"$quiesceWait + $quiesceGrace (job group cancelled: " +
+            s"${sc.getLocalProperty("spark.jobGroup.id") != null}); " +
+            "abandoning the in-flight write - its output lands only in " +
+            "uncommitted _seg partitions a replay overwrites")
+    }
+    f.value match {
+      // never let an OOM/interrupt vanish into the error path
+      case Some(scala.util.Failure(e)) if !scala.util.control.NonFatal(e) =>
+        throw e
+      case _ => ()
+    }
+  }
+
+  /** Await an async PROBE and drop its checkpoint, swallowing
+    * non-fatal failures — the gates' error-path cleanup for
+    * concurrent read-only probes. Bounded like [[quiesce]]: a wedged
+    * probe is abandoned after [[quiesceWait]] (it holds no write
+    * hazard — worst case one leaked checkpoint on a wedged-forever
+    * probe, vs. the error path hanging). Fatals/interrupts propagate.
+    */
+  private[streaming] def dropQuiet(f: scala.concurrent.Future[DataFrame]): Unit =
+    try graft.operators.Relational.releaseCkpt(
+      scala.concurrent.Await.result(f, quiesceWait))
+    catch {
+      case _: java.util.concurrent.TimeoutException => ()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** Run `f` on the gate pool (blocking Spark actions allowed there),
-    * carrying the CALLING thread's Spark job-group properties onto the
-    * worker. Without this, a cached worker keeps whatever job group
-    * the thread that happened to CREATE it inherited
-    * (localProperties is an InheritableThreadLocal cloned at thread
-    * birth) — in a composed pipeline, gate B's INSERT could run under
-    * gate A's group and be cancelled by gate A's stop()/failure, and
-    * a query's own cancel would miss inserts on stale-group workers.
+    * carrying the CALLING thread's FULL Spark local-properties set
+    * onto the worker — job group, SQL execution id, fair-scheduler
+    * pool, everything (round-15 ADVICE #3: copying three hand-picked
+    * keys left the rest stale). Without this, a cached worker keeps
+    * whatever properties the thread that happened to CREATE it
+    * inherited (localProperties is an InheritableThreadLocal cloned at
+    * thread birth) — in a composed pipeline, gate B's INSERT could run
+    * under gate A's group and be cancelled by gate A's stop()/failure,
+    * and a query's own cancel would miss inserts on stale-group
+    * workers.
     */
   private[streaming] def async[T](ss: SparkSession)(f: => T): scala.concurrent.Future[T] = {
     val sc = ss.sparkContext
-    val group = sc.getLocalProperty("spark.jobGroup.id")
-    val desc = sc.getLocalProperty("spark.job.description")
-    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    val props = org.apache.spark.GraftCoreBridge.captureLocalProps(sc)
     scala.concurrent.Future {
-      sc.setLocalProperty("spark.jobGroup.id", group)
-      sc.setLocalProperty("spark.job.description", desc)
-      sc.setLocalProperty("spark.job.interruptOnCancel", interrupt)
+      org.apache.spark.GraftCoreBridge.installLocalProps(sc, props)
       f
     }(insertPool)
   }

@@ -65,9 +65,12 @@ object WinnowScrubStream {
           SegStore.ensureBucketed(ss, storeDir, "srcstat",
             "source STRING, n_docs BIGINT, n_fps BIGINT, dup_fps BIGINT, " +
               "dup_docs BIGINT", Seq("source"), buckets)
-          val bSel = graft.operators.Dedup
-            .winnowSel(batch.dropDuplicates("doc_id"))
-            .localCheckpoint()
+          // leak-proof release: every batch-scoped checkpoint registers
+          // here and the single finally releases them on success and
+          // failed/replayed attempts alike (round-15 ADVICE #1)
+          val ck = new Ckpts
+          val bSel = ck(graft.operators.Dedup
+            .winnowSel(batch.dropDuplicates("doc_id")))
           // PRIOR per-fp df, probed by the PRE-absorb fingerprint set
           // (superset; extras dropped by the newDf join) so the store
           // scan runs concurrent with the absorb probe
@@ -77,26 +80,19 @@ object WinnowScrubStream {
               .groupBy($"fp").agg(sum($"df").as("df_prior"))
               .localCheckpoint()
           }
-          // error-path cleanup for the concurrent probe (await it and
-          // drop its checkpoint; releaseCkpt is idempotent unpersist)
-          def dropPrior(): Unit =
-            try graft.operators.Relational.releaseCkpt(SegStore.await(fPrior))
-            catch { case _: Throwable => () }
           try {
           val bDocs = bSel.select($"doc_id").distinct()
           val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
-          val newSel = bSel.join(broadcast(seen), Seq("doc_id"), "left_anti")
-            .select($"fp", $"doc_id", $"source")
-            .localCheckpoint()
+          val newSel = ck(bSel.join(broadcast(seen), Seq("doc_id"), "left_anti")
+            .select($"fp", $"doc_id", $"source"))
           val newDocs = newSel.select($"doc_id").distinct()
           val newDf = newSel.groupBy($"fp").agg(count(lit(1)).as("df"))
           val post = {
             val prior = SegStore.await(fPrior)
-            try newDf.join(prior, Seq("fp"), "left_outer")
+            try ck(newDf.join(prior, Seq("fp"), "left_outer")
               .select($"fp", $"df".as("df_delta"),
                 coalesce($"df_prior", lit(0L)).as("df_prior"))
-              .withColumn("df_post", $"df_prior" + $"df_delta")
-              .localCheckpoint()
+              .withColumn("df_post", $"df_prior" + $"df_delta"))
             finally graft.operators.Relational.releaseCkpt(prior)
           }
           val inserts = newSel
@@ -110,7 +106,7 @@ object WinnowScrubStream {
           val flipRows = SegStore.prunedScan(ss, storeDir, "sel", "fp", flipped)
             .select($"doc_id", $"source", lit(0L).as("fps"),
               lit(1L).as("dup_fps"), lit(1L).as("flag"))
-          val statDelta = inserts.unionByName(flipRows).localCheckpoint()
+          val statDelta = ck(inserts.unionByName(flipRows))
           // incremental source-grain state (`srcstat`, additive
           // partials) — the SegScrubStream device: the per-batch
           // snapshot folds |sources|-bounded rows, never the
@@ -147,28 +143,26 @@ object WinnowScrubStream {
                   sum($"fps").as("n_fps"),
                   sum($"dup_fps").as("dup_fps"),
                   sum(greatest($"p", $"flag") - $"p").as("dup_docs"))
-            }).localCheckpoint()
+            }).transform(ck.apply)
           }
           if (base) {
-            val selAll = SegStore.readBucketed(ss, storeDir, "sel")
+            val selAll = ck(SegStore.readBucketed(ss, storeDir, "sel")
               .getOrElse(Seq.empty[(String, Long, String)]
                 .toDF("fp", "doc_id", "source"))
-              .union(newSel).localCheckpoint()
-            val fdfAll = SegStore.readBucketed(ss, storeDir, "fdf")
+              .union(newSel))
+            val fdfAll = ck(SegStore.readBucketed(ss, storeDir, "fdf")
               .getOrElse(Seq.empty[(String, Long)].toDF("fp", "df"))
               .union(newDf)
-              .groupBy($"fp").agg(sum($"df").as("df")).localCheckpoint()
-            val docsAll = SegStore.readBucketed(ss, storeDir, "docs")
+              .groupBy($"fp").agg(sum($"df").as("df")))
+            val docsAll = ck(SegStore.readBucketed(ss, storeDir, "docs")
               .getOrElse(Seq.empty[Long].toDF("doc_id"))
-              .union(newDocs).localCheckpoint()
-            val merged = mergedDocstat(ss, storeDir, statDelta).localCheckpoint()
-            val srcAll = srcGrainPartial(merged).localCheckpoint()
+              .union(newDocs))
+            val merged = ck(mergedDocstat(ss, storeDir, statDelta))
+            val srcAll = ck(srcGrainPartial(merged))
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("sel" -> selAll, "fdf" -> fdfAll, "docs" -> docsAll,
                 "docstat" -> merged, "srcstat" -> srcAll), batchId)
             SegStore.writeSnapshot(ss, outDir, readoutOf(srcAll), batchId)
-            graft.operators.Relational.releaseCkpt(selAll, fdfAll, docsAll,
-              merged, srcAll)
           } else {
             // sd-independent segment writes overlap srcDelta's
             // prior-flag probe and the snapshot publish (uncommitted
@@ -185,16 +179,15 @@ object WinnowScrubStream {
               SegStore.writeSnapshot(ss, outDir,
                 readoutOf(snapshotFold(ss, storeDir, sd)), batchId)
               join1(); join2()
-              graft.operators.Relational.releaseCkpt(sd)
             } catch {
               case e: Throwable => // never leave orphan INSERTs behind
-                SegStore.quiesce(join1); SegStore.quiesce(join2); throw e
+                SegStore.quiesce(ss, join1); SegStore.quiesce(ss, join2)
+                throw e
             }
           }
           SegStore.commit(ss, storeDir, batchId, base, runId)
-          graft.operators.Relational.releaseCkpt(newSel, post, statDelta)
-          } catch { case e: Throwable => dropPrior(); throw e }
-          finally graft.operators.Relational.releaseCkpt(bSel)
+          } catch { case e: Throwable => SegStore.dropQuiet(fPrior); throw e }
+          finally ck.releaseAll()
         }
         ()
       }

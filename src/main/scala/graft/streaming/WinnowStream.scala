@@ -100,10 +100,13 @@ object WinnowStream {
             SegStore.ensureBucketed(ss, storeDir, "docs",
               "doc_id BIGINT", Seq("doc_id"), buckets)
           }
+          // leak-proof release: every batch-scoped checkpoint registers
+          // here and the single finally releases them on success and
+          // failed/replayed attempts alike (round-15 ADVICE #1)
+          val ck = new Ckpts
           val bfp = phased("fingerprint") {
-            graft.operators.Dedup
-              .winnowFp(batch.dropDuplicates("doc_id"))
-              .localCheckpoint()
+            ck(graft.operators.Dedup
+              .winnowFp(batch.dropDuplicates("doc_id")))
           }
           // the probe's two store scans (df cap fold, then the capped
           // fp fetch) are keyed by the PRE-absorb hash set — a
@@ -119,15 +122,6 @@ object WinnowStream {
                 .localCheckpoint()
             }
           }
-          // error-path cleanup: a failure anywhere between the probe's
-          // start and its normal consumption must still await the
-          // future and drop its checkpoint (else each failed batch
-          // attempt leaks one checkpointed RDD and leaves an orphan
-          // probe job racing the replay). releaseCkpt is unpersist —
-          // idempotent, so the success path releasing first is fine.
-          def dropProbe(): Unit =
-            try graft.operators.Relational.releaseCkpt(SegStore.await(fOlds))
-            catch { case _: Throwable => () }
           try {
           // at-least-once absorption: a doc already in the index is a
           // replay — it must neither re-flag nor double-count df. The
@@ -136,8 +130,7 @@ object WinnowStream {
           val newFp = phased("absorb") {
             val bDocs = bfp.select($"doc_id").distinct()
             val seen = SegStore.prunedScan(ss, storeDir, "docs", "doc_id", bDocs)
-            bfp.join(broadcast(seen), Seq("doc_id"), "left_anti")
-              .localCheckpoint()
+            ck(bfp.join(broadcast(seen), Seq("doc_id"), "left_anti"))
           }
           val newDf = newFp.groupBy($"h").agg(count(lit(1)).as("df"))
           val newDocs = newFp.select($"doc_id").distinct()
@@ -156,16 +149,14 @@ object WinnowStream {
             // fold reads
             val (fpAll, dfAll, docsAll) = phased("fold") {
               val (fp0, df0, docs0) = readAll(ss, storeDir)
-              (fp0.union(newFp).localCheckpoint(),
-                df0.union(newDf)
-                  .groupBy($"h").agg(sum($"df").as("df")).localCheckpoint(),
-                docs0.union(newDocs).localCheckpoint())
+              (ck(fp0.union(newFp)),
+                ck(df0.union(newDf).groupBy($"h").agg(sum($"df").as("df"))),
+                ck(docs0.union(newDocs)))
             }
             phased("write") {
               SegStore.writeBucketedAll(ss, storeDir,
                 Seq("fp" -> fpAll, "df" -> dfAll, "docs" -> docsAll), batchId)
             }
-            graft.operators.Relational.releaseCkpt(fpAll, dfAll, docsAll)
           } else {
             // delta path: the segment write only touches the
             // uncommitted _seg=batchId partitions — start it, overlap
@@ -177,14 +168,13 @@ object WinnowStream {
             try {
               writeFlags()
               phased("write") { join() }
-            } catch { case e: Throwable => SegStore.quiesce(join); throw e }
+            } catch { case e: Throwable => SegStore.quiesce(ss, join); throw e }
           }
           phased("commit") {
             SegStore.commit(ss, storeDir, batchId, base, runId)
           }
-          graft.operators.Relational.releaseCkpt(newFp)
-          } catch { case e: Throwable => dropProbe(); throw e }
-          finally graft.operators.Relational.releaseCkpt(bfp)
+          } catch { case e: Throwable => SegStore.dropQuiet(fOlds); throw e }
+          finally ck.releaseAll()
         }
         ()
       }

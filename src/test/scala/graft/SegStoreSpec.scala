@@ -213,6 +213,45 @@ class SegStoreSpec extends AnyFunSuite {
       Seq(1L).toDF("k")).count() == 0L)
   }
 
+  test("quiesce bounds a wedged write: cancels its job group and returns instead of hanging") {
+    // Round-15 ADVICE #4 / VERDICT #3: the error-path quiesce used to
+    // Await Duration.Inf, so a wedged INSERT hung stop() forever and
+    // masked the batch's primary failure. Wedge a write (tasks sleep
+    // 10 min), shrink the bound, and assert quiesce returns quickly:
+    // timeout -> job-group cancel (interruptOnCancel) -> the write
+    // dies -> the NonFatal failure is swallowed.
+    import org.apache.spark.sql.functions.{col, udf}
+    val sc = spark.sparkContext
+    val oldWait = SegStore.quiesceWait
+    val oldGrace = SegStore.quiesceGrace
+    SegStore.quiesceWait = scala.concurrent.duration.Duration(
+      2, java.util.concurrent.TimeUnit.SECONDS)
+    SegStore.quiesceGrace = scala.concurrent.duration.Duration(
+      30, java.util.concurrent.TimeUnit.SECONDS)
+    try {
+      sc.setJobGroup("graft-quiesce-wedge", "wedged write",
+        interruptOnCancel = true)
+      val sleeper = udf((x: Long) => { Thread.sleep(600000L); x })
+      // the aggregate CONSUMES the UDF column — under count() the
+      // optimizer prunes the projection and the wedge never engages
+      val join: () => Unit = () => {
+        spark.range(4).select(sleeper(col("id")).as("s"))
+          .agg(org.apache.spark.sql.functions.sum(col("s"))).collect()
+        ()
+      }
+      val t0 = System.nanoTime()
+      SegStore.quiesce(spark, join) // must NOT hang for the 10 minutes
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 25, f"quiesce not bounded: took $secs%.1f s")
+      assert(secs >= 2, f"quiesce returned before the bound: $secs%.1f s" +
+        " - the wedge never engaged")
+    } finally {
+      SegStore.quiesceWait = oldWait
+      SegStore.quiesceGrace = oldGrace
+      sc.clearJobGroup()
+    }
+  }
+
   test("gate compaction: WinnowStream folds into a base segment and the index is unchanged") {
     import org.apache.spark.sql.functions._
     import graft.streaming.WinnowStream
