@@ -89,6 +89,18 @@ class QuerySuiteSpec extends AnyFunSuite {
       assert(math.abs(and - nd).toDouble / nd <= 0.15, s"$k distinct: $and vs $nd")
       assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
     }
+    // EXACT-value pins (round-15 VERDICT #5, the ANN-recall-equality
+    // pattern): HLL++ register merge is commutative and the quantile
+    // summary is a deterministic function of the data, so at this
+    // fixture the estimates are exact numbers — an estimator
+    // regression inside the error bounds now fails loudly too.
+    val pinned = Map(
+      "1-URGENT" -> (133L, 237264.23),
+      "2-HIGH" -> (123L, 227353.48),
+      "3-MEDIUM" -> (130L, 274940.06),
+      "4-NOT SPECIFIED" -> (126L, 248648.08),
+      "5-LOW" -> (137L, 276574.31))
+    assert(sk == pinned, s"q61 sketch values drifted: $sk (pinned $pinned)")
   }
 
   test("q146 sketch-mode card tracks the exact card (the 100 TB percentile path)") {
@@ -401,6 +413,15 @@ class QuerySuiteSpec extends AnyFunSuite {
       assert(math.abs(merged(k) - nd).toDouble / nd <= 0.05,
         s"$k: sketch ${merged(k)} vs exact $nd")
     }
+    // EXACT-value pin (round-15 VERDICT #5): the DataSketches HLL
+    // estimate is deterministic — on this fixture every type's 15
+    // distinct users resolve exactly (sparse mode is exact at this
+    // cardinality). Estimator drift now fails loudly, not just a
+    // >5% excursion.
+    val pinnedUsers = Map("click" -> 15L, "error" -> 15L,
+      "purchase" -> 15L, "signup" -> 15L, "view" -> 15L)
+    assert(merged == pinnedUsers,
+      s"q70 merged estimates drifted: $merged (pinned $pinnedUsers)")
   }
 
   test("q23 fuzzy matches recover every corrupted nation name") {
