@@ -357,7 +357,8 @@ object EventsStream {
             val folded = ck(readCdcStore(ss, storeDir).toDF()
               .join(broadcast(bKeys), Seq("key"), "left_anti")
               .unionByName(up.toDF()))
-            SegStore.writeBucketed(ss, storeDir, "kv", folded, batchId)
+            SegStore.writeBucketed(ss, storeDir, "kv", folded, batchId,
+              base = true)
           } else SegStore.writeBucketed(ss, storeDir, "kv", up.toDF(), batchId)
           Seq(agg1).toDS().write.mode("overwrite").parquet(s"$seg/agg")
           SegStore.writeSnapshot(ss, aggDir, Seq(agg1).toDS().toDF(), batchId)

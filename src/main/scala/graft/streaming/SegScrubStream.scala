@@ -248,7 +248,8 @@ object SegScrubStream {
             val srcAll = ck(srcGrainPartial(merged))
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("occ" -> occAll, "sdf" -> sdfAll, "docs" -> docsAll,
-                "docstat" -> merged, "srcstat" -> srcAll), batchId)
+                "docstat" -> merged, "srcstat" -> srcAll), batchId,
+              base = true)
             SegStore.writeSnapshot(ss, outDir,
               srcAll.orderBy($"source"), batchId)
           } else {

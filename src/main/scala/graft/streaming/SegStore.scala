@@ -315,75 +315,258 @@ object SegStore {
 
   private val SpecFile = "_GRAFT_SPEC"
 
-  /** Canonical text of a bucketed sub-table's physical spec — what the
-    * data on disk was actually written with. Persisted under the
-    * table location at first create and VERIFIED on every later
-    * declare: the bucket count/keys live only in the catalog entry,
-    * so a fresh session re-declaring an existing store with different
-    * caller arguments would silently claim the wrong physical layout
-    * over old files, and every "exchange-free because bucketed"
-    * groupBy downstream would emit split/duplicate key groups
-    * (round-13 ADVICE #1). Whitespace/case-normalized so formatting
-    * drift in a DDL string is not a false mismatch.
+  /** Parsed physical spec of a bucketed sub-table: the bucket count
+    * the active data was written with, the key/schema tail, and an
+    * optional PENDING bucket-count transition `(newCount, baseBatchId)`
+    * — written by [[escalateForBase]] BEFORE a base compaction's
+    * INSERTs and taking effect atomically with that base's commit
+    * marker (see [[effectiveBuckets]]).
     */
-  private def specText(colsDdl: String, keyCols: Seq[String], buckets: Int): String = {
+  private final case class SubSpec(buckets: Int, tail: String,
+      next: Option[(Int, Long)]) {
+    def text: String =
+      s"buckets=$buckets;$tail" +
+        next.map { case (n, id) => s";next=$n@$id" }.getOrElse("")
+    def keyCols: Seq[String] = tail.split(";").head.stripPrefix("keys=")
+      .split(",").toSeq
+    def colsDdl: String = tail.split(";", 2)(1).stripPrefix("cols=")
+  }
+
+  /** The key/schema half of the spec — what a caller must always match
+    * exactly. Whitespace/case-normalized so formatting drift in a DDL
+    * string is not a false mismatch.
+    */
+  private def specTail(colsDdl: String, keyCols: Seq[String]): String = {
     val cols = colsDdl.toLowerCase.split(',').map(_.trim.split("\\s+").mkString(" "))
       .mkString(", ")
-    s"buckets=$buckets;keys=${keyCols.map(_.toLowerCase).mkString(",")};cols=$cols"
+    s"keys=${keyCols.map(_.toLowerCase).mkString(",")};cols=$cols"
+  }
+
+  private def parseSpec(loc: String, txt: String): SubSpec =
+    try {
+      val toks = txt.trim.split(";").toIndexedSeq
+      val b = toks.head.stripPrefix("buckets=").toInt
+      val (tailToks, next) =
+        if (toks.last.startsWith("next=")) {
+          val Array(n, id) = toks.last.stripPrefix("next=").split("@")
+          (toks.tail.dropRight(1), Some((n.toInt, id.toLong)))
+        } else (toks.tail, None)
+      SubSpec(b, tailToks.mkString(";"), next)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"graft.SegStore: corrupt physical-spec file under $loc: [$txt]", e)
+    }
+
+  /** Read the recorded spec. A crash between the rewrite's delete and
+    * rename leaves the new content complete under `<spec>.new` — finish
+    * the rename here, so the store never degrades to the legacy
+    * stamp-the-caller's-arguments path after an interrupted rewrite.
+    */
+  private def readSpec(ss: SparkSession, root: String, sub: String): Option[SubSpec] = {
+    val loc = bucketedLoc(root, sub)
+    val fs = fsOf(ss, root)
+    val p = new Path(loc, SpecFile)
+    val pn = new Path(loc, SpecFile + ".new")
+    if (!fs.exists(p) && fs.exists(pn)) fs.rename(pn, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(parseSpec(loc, txt))
+    }
+  }
+
+  /** Crash-safe spec rewrite: the new content lands COMPLETE under
+    * `<spec>.new` first, then old-delete + rename. A torn `.new` write
+    * leaves the old spec in place; a crash after the delete is
+    * recovered by [[readSpec]]'s rename. (Plain create-overwrite could
+    * tear the file itself, bricking the store until manual repair.)
+    */
+  private def writeSpec(ss: SparkSession, root: String, sub: String,
+      sp: SubSpec): Unit = {
+    val loc = bucketedLoc(root, sub)
+    val fs = fsOf(ss, root)
+    val p = new Path(loc, SpecFile)
+    val pn = new Path(loc, SpecFile + ".new")
+    val out = fs.create(pn, true)
+    try out.write(sp.text.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(pn, p)
+    ()
+  }
+
+  /** The bucket count the ACTIVE data is physically written with. A
+    * pending transition `next=N@id` takes effect iff base `id` has
+    * COMMITTED — the flip rides the base marker's atomicity: before
+    * the marker every active partition predates the escalation (old
+    * count); after it, the active rule admits only the N-bucketed base
+    * and later deltas (all written through an N-declared catalog).
+    * The id comparison is EXACT (`==`, not `>=`): an uncommitted
+    * transition must never be activated by a later unrelated base,
+    * whose partitions were written at the OLD count. The transition is
+    * compacted into the base count at the next [[ensureBucketed]]
+    * (every gate batch declares first), always before a future base's
+    * GC could drop the committed marker dir the rule consults.
+    */
+  private def effectiveBuckets(ss: SparkSession, root: String, sp: SubSpec): Int =
+    sp.next match {
+      case Some((n, id)) if committed(ss, root).exists(s => s.base && s.id == id) => n
+      case _ => sp.buckets
+    }
+
+  private def declareTable(ss: SparkSession, name: String, loc: String,
+      colsDdl: String, keyCols: Seq[String], buckets: Int, recover: Boolean): Unit = {
+    val keys = keyCols.map(k => s"`$k`").mkString(", ")
+    ss.sql(s"""CREATE TABLE `$name` ($colsDdl)
+      USING parquet
+      PARTITIONED BY (_seg BIGINT)
+      CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
+      LOCATION '$loc'""")
+    if (recover) ss.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    ()
   }
 
   /** Idempotently declare the bucketed sub-table `sub` (columns
     * `colsDdl`, e.g. "doc_id BIGINT, h BIGINT", NOT including `_seg`)
-    * clustered+sorted by `keyCols` into `buckets` buckets. If the
-    * catalog of the CURRENT SparkSession has not seen it (fresh
-    * session over an existing store), the table is re-declared over
-    * the on-disk layout and its partitions recovered — the store, not
-    * the session catalog, is the source of truth. The physical spec
-    * (bucket count, key cols, schema) is persisted in `_GRAFT_SPEC`
+    * clustered+sorted by `keyCols`. If the catalog of the CURRENT
+    * SparkSession has not seen it (fresh session over an existing
+    * store), the table is re-declared over the on-disk layout and its
+    * partitions recovered — the store, not the session catalog, is the
+    * source of truth. The physical spec is persisted in `_GRAFT_SPEC`
     * under the location at first create and verified on every call:
-    * re-declaring an existing store with DIFFERENT arguments fails
-    * loudly instead of silently mis-declaring the on-disk layout
+    * re-declaring an existing store with DIFFERENT key cols or schema
+    * fails loudly instead of silently mis-declaring the on-disk layout
     * (round-13 ADVICE #1). A legacy store without the file is stamped
     * with the live spec, making the check effective going forward.
+    *
+    * `buckets` is the CREATION default only: once the store exists,
+    * the recorded (possibly [[escalateForBase]]-escalated) count is
+    * authoritative and the caller's value is ignored — the bucket
+    * count is store-owned state, not a per-call argument (round-15
+    * VERDICT: a long-lived store outgrows its creation-time count).
+    * A catalog entry whose declared count disagrees with the recorded
+    * effective count (an in-session replay raced a crashed escalation)
+    * is dropped and re-declared from the spec file.
     */
   def ensureBucketed(ss: SparkSession, root: String, sub: String,
       colsDdl: String, keyCols: Seq[String], buckets: Int): String = {
     val name = bucketedName(root, sub)
     val loc = bucketedLoc(root, sub)
     val fs = fsOf(ss, root)
-    val specPath = new Path(loc, SpecFile)
-    val live = specText(colsDdl, keyCols, buckets)
-    if (fs.exists(specPath)) {
-      val in = fs.open(specPath)
-      val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      if (recorded != live)
+    val liveTail = specTail(colsDdl, keyCols)
+    val recorded = readSpec(ss, root, sub)
+    recorded.foreach { sp =>
+      if (sp.tail != liveTail)
         throw new IllegalStateException(
           s"graft.SegStore: bucketed sub-table $sub of $root was written " +
-            s"with physical spec [$recorded] but is being re-declared as " +
-            s"[$live] - declaring a different bucket count/keys/schema " +
-            "over existing files would silently corrupt every " +
-            "bucket-aware plan; fix the caller's arguments (they must " +
-            "match what the store was created with).")
+            s"with physical spec [${sp.tail}] but is being re-declared " +
+            s"as [$liveTail] - declaring different keys/schema over " +
+            "existing files would silently corrupt every bucket-aware " +
+            "plan; fix the caller's arguments (they must match what the " +
+            "store was created with).")
     }
-    if (!ss.catalog.tableExists(name)) {
+    val eff = recorded.map { sp =>
+      val e = effectiveBuckets(ss, root, sp)
+      // housekeeping: fold a COMMITTED transition into the base count
+      // now, while the base marker dir the ==-rule consults still
+      // exists (a future base's GC drops it)
+      if (sp.next.isDefined && e != sp.buckets)
+        writeSpec(ss, root, sub, SubSpec(e, sp.tail, None))
+      e
+    }.getOrElse(buckets)
+    if (ss.catalog.tableExists(name)) {
+      // an in-session entry can be stale after a crashed escalation
+      // attempt (spec rewritten, batch failed before its base
+      // committed): the effective count reverted but the catalog still
+      // claims the escalated one (or vice versa) — re-declare from the
+      // spec, never trust a mismatched entry
+      if (!org.apache.spark.sql.GraftBridge.numBuckets(ss, name).contains(eff)) {
+        ss.sql(s"DROP TABLE IF EXISTS `$name`")
+        declareTable(ss, name, loc, colsDdl, keyCols, eff, recover = true)
+      }
+    } else {
       val existed = fs.exists(new Path(loc))
       if (!existed) fs.mkdirs(new Path(loc))
-      val keys = keyCols.map(k => s"`$k`").mkString(", ")
-      ss.sql(s"""CREATE TABLE `$name` ($colsDdl)
-        USING parquet
-        PARTITIONED BY (_seg BIGINT)
-        CLUSTERED BY ($keys) SORTED BY ($keys) INTO $buckets BUCKETS
-        LOCATION '$loc'""")
-      if (existed) ss.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+      declareTable(ss, name, loc, colsDdl, keyCols, eff, recover = existed)
     }
-    if (!fs.exists(specPath)) {
+    if (recorded.isEmpty) {
       // first create, or a legacy store: record the live spec (an
       // underscore-prefixed file — invisible to Spark's file listing)
-      val out = fs.create(specPath, true)
-      try out.write(live.getBytes("UTF-8")) finally out.close()
+      writeSpec(ss, root, sub, SubSpec(eff, liveTail, None))
     }
     name
+  }
+
+  /** Bytes per bucket above which a base compaction escalates a
+    * sub-table's bucket count (doubled until under the threshold) —
+    * the policy knob for [[escalateForBase]]. Sized so a bucket's
+    * parquet file stays a healthy scan unit at 100 TB; specs and
+    * GateProbe shrink it to force escalations on test-sized stores.
+    */
+  @volatile var escalateBytesPerBucket: Long = 512L << 20
+
+  /** Bucket-count escalation at BASE-compaction time (round-15 VERDICT
+    * task: a long-lived store keeps its creation-time bucket count
+    * forever, and the 8x probe row showed per-file row-group metadata
+    * growing with store size). Called by the base path of
+    * [[writeBucketedAll]]/[[writeBucketed]] BEFORE the INSERTs, when
+    * the gate's folds are already localCheckpointed (nothing re-reads
+    * the catalog table this batch): if the sub-table's active bytes
+    * per bucket exceed [[escalateBytesPerBucket]], record a pending
+    * transition `next=N@batchId` in the spec file and re-declare the
+    * catalog table at N, so the base partition is WRITTEN N-bucketed.
+    * The transition takes effect atomically with the base's commit
+    * marker ([[effectiveBuckets]]); until then every reader resolves
+    * the old count over the old partitions, and a crashed attempt is
+    * healed by [[ensureBucketed]]'s catalog-vs-spec check on replay.
+    * The claimed count therefore always equals the physical count of
+    * every ACTIVE partition — required, because gates bucket-join the
+    * store scan against shuffled deltas (e.g. the scrub gates'
+    * mergedDocstat), where a claim/physical mismatch silently drops
+    * join matches.
+    */
+  private def escalateForBase(ss: SparkSession, root: String, sub: String,
+      batchId: Long): Unit =
+    readSpec(ss, root, sub).foreach { sp =>
+      val cur = effectiveBuckets(ss, root, sp)
+      val bytes = activeSubBytes(ss, root, sub)
+      var n = cur
+      while (bytes / n > escalateBytesPerBucket && n < (1 << 20)) n *= 2
+      if (n > cur) {
+        // base stays `cur` (the count every pre-base active partition
+        // was written with); a stale UNCOMMITTED transition from a
+        // superseded attempt is replaced — it never took effect
+        writeSpec(ss, root, sub, SubSpec(cur, sp.tail, Some((n, batchId))))
+        val name = bucketedName(root, sub)
+        ss.sql(s"DROP TABLE IF EXISTS `$name`")
+        declareTable(ss, name, bucketedLoc(root, sub), sp.colsDdl, sp.keyCols,
+          n, recover = true)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"graft.SegStore: escalating bucket count of $sub at $root " +
+            s"from $cur to $n at base batch $batchId " +
+            s"(active bytes=$bytes, threshold=$escalateBytesPerBucket/bucket)")
+      }
+    }
+
+  /** On-disk bytes of the ACTIVE segments' partitions of `sub` — the
+    * escalation policy's size signal (driver-side FS listing, paid on
+    * base batches only).
+    */
+  private def activeSubBytes(ss: SparkSession, root: String, sub: String): Long = {
+    val fs = fsOf(ss, root)
+    val dir = new Path(bucketedLoc(root, sub))
+    if (!fs.exists(dir)) 0L
+    else {
+      val onDisk = fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      active(ss, root).map(_.id)
+        .filter(id => onDisk.contains(s"_seg=$id"))
+        .map(id => fs.getContentSummary(
+          new Path(dir, s"_seg=$id")).getLength)
+        .sum
+    }
   }
 
   private val insSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -414,7 +597,8 @@ object SegStore {
     * its own query is reading.
     */
   def writeBucketed(ss: SparkSession, root: String, sub: String,
-      df: DataFrame, batchId: Long): Unit = {
+      df: DataFrame, batchId: Long, base: Boolean = false): Unit = {
+    if (base) escalateForBase(ss, root, sub, batchId)
     // the temp view and the INSERT must run on the SAME session: inside
     // foreachBatch the batch frame belongs to a CLONED session whose
     // temp-view catalog the outer session cannot see (the catalog
@@ -442,9 +626,18 @@ object SegStore {
   /** Like [[readBucketed]] but keeps `_seg` — for keyed latest-wins
     * stores, `_seg` IS the version column (`max_by(v, _seg)` per key,
     * exchange-free over the bucketed scan).
+    *
+    * `includeIds`: extra segment ids to admit beyond the active rule —
+    * the overlay device for a gate that has WRITTEN (but not yet
+    * committed) its batch's partition and wants the post-batch view as
+    * ONE bucketed scan (latest-wins resolves the uncommitted rows on
+    * top, exchange-free) instead of a bucketing-breaking union with an
+    * in-memory delta. Only ever pass the live batch's own id: its
+    * partition is replay-overwritten, never torn-visible to others.
     */
-  def readBucketedTagged(ss: SparkSession, root: String, sub: String): Option[DataFrame] = {
-    val ids = active(ss, root).map(_.id)
+  def readBucketedTagged(ss: SparkSession, root: String, sub: String,
+      includeIds: Seq[Long] = Nil): Option[DataFrame] = {
+    val ids = (active(ss, root).map(_.id) ++ includeIds).distinct
     if (ids.isEmpty) None
     else {
       val name = bucketedName(root, sub)
@@ -516,8 +709,9 @@ object SegStore {
     * their folds — same rule as [[writeBucketed]]).
     */
   def writeBucketedAll(ss: SparkSession, root: String,
-      subs: Seq[(String, DataFrame)], batchId: Long): Unit =
-    writeBucketedAllAsync(ss, root, subs, batchId)()
+      subs: Seq[(String, DataFrame)], batchId: Long,
+      base: Boolean = false): Unit =
+    writeBucketedAllAsync(ss, root, subs, batchId, base)()
 
   /** [[writeBucketedAll]] started immediately but awaited LATER: the
     * returned thunk blocks until every INSERT lands and rethrows the
@@ -527,9 +721,18 @@ object SegStore {
     * of the committed store can see.
     */
   def writeBucketedAllAsync(ss: SparkSession, root: String,
-      subs: Seq[(String, DataFrame)], batchId: Long): () => Unit = {
+      subs: Seq[(String, DataFrame)], batchId: Long,
+      base: Boolean = false): () => Unit = {
     import scala.concurrent.Await
     import scala.concurrent.duration.Duration
+    // base compaction is the store's bucket-count escalation point:
+    // the (synchronous, driver-side) policy check + catalog re-declare
+    // runs BEFORE any INSERT starts, so a base decided to escalate is
+    // written at the new count (callers' folds are checkpointed — no
+    // concurrent catalog read can race the re-declare)
+    if (base) subs.foreach { case (sub, _) =>
+      escalateForBase(ss, root, sub, batchId)
+    }
     // A dedicated pool, NOT ExecutionContext.Implicits.global: each
     // task blocks on a Spark INSERT action, and several gates writing
     // concurrently in one JVM would pin every thread of the shared

@@ -161,7 +161,8 @@ object WinnowScrubStream {
             val srcAll = ck(srcGrainPartial(merged))
             SegStore.writeBucketedAll(ss, storeDir,
               Seq("sel" -> selAll, "fdf" -> fdfAll, "docs" -> docsAll,
-                "docstat" -> merged, "srcstat" -> srcAll), batchId)
+                "docstat" -> merged, "srcstat" -> srcAll), batchId,
+              base = true)
             SegStore.writeSnapshot(ss, outDir, readoutOf(srcAll), batchId)
           } else {
             // sd-independent segment writes overlap srcDelta's

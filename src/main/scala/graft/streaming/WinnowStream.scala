@@ -155,7 +155,8 @@ object WinnowStream {
             }
             phased("write") {
               SegStore.writeBucketedAll(ss, storeDir,
-                Seq("fp" -> fpAll, "df" -> dfAll, "docs" -> docsAll), batchId)
+                Seq("fp" -> fpAll, "df" -> dfAll, "docs" -> docsAll), batchId,
+                base = true)
             }
           } else {
             // delta path: the segment write only touches the

@@ -17,4 +17,16 @@ object GraftBridge {
 
   def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** The catalog-declared bucket count of `table` (None when the table
+    * is not bucketed). Used by the segment store to verify that an
+    * existing catalog entry still matches the store's recorded physical
+    * spec after a bucket-count escalation (a stale in-session entry is
+    * re-declared from the spec file, the on-disk source of truth).
+    */
+  def numBuckets(spark: SparkSession, table: String): Option[Int] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val id = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.getTableMetadata(id).bucketSpec.map(_.numBuckets)
+  }
 }

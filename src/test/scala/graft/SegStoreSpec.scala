@@ -103,24 +103,30 @@ class SegStoreSpec extends AnyFunSuite {
     assert(latest == Map(1L -> 10L, 2L -> 99L))
   }
 
-  test("ensureBucketed verifies the persisted physical spec: mismatched re-declare fails loudly") {
+  test("ensureBucketed verifies the persisted physical spec: keys/schema drift fails, bucket count is store-owned") {
     val root = Files.createTempDirectory("segstore_spec").toString + "/s"
     SegStore.ensureBucketed(spark, root, "kv",
       "k BIGINT, v BIGINT", Seq("k"), 4)
     // same spec, formatting drift: no error (normalized comparison)
     SegStore.ensureBucketed(spark, root, "kv",
       "k  bigint,   v BIGINT", Seq("K"), 4)
-    // a different bucket count over the same on-disk store would
-    // silently corrupt every bucket-aware plan — must throw
+    // the bucket count is STORE-owned (escalation can change it), so a
+    // caller passing a different creation default is ignored — the
+    // recorded count stays authoritative
+    val name = SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 8)
+    assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, name)
+      .contains(4), "caller's bucket count overrode the recorded spec")
+    // different key cols: a physical mismatch — must throw
     val e = intercept[IllegalStateException] {
       SegStore.ensureBucketed(spark, root, "kv",
-        "k BIGINT, v BIGINT", Seq("k"), 8)
+        "k BIGINT, v BIGINT", Seq("v"), 4)
     }
     assert(e.getMessage.contains("physical spec"))
-    // different key cols: also a physical mismatch
+    // different schema: also a mismatch
     intercept[IllegalStateException] {
       SegStore.ensureBucketed(spark, root, "kv",
-        "k BIGINT, v BIGINT", Seq("v"), 4)
+        "k BIGINT, v BIGINT, w BIGINT", Seq("k"), 4)
     }
     // legacy store (no spec file): stamped with the live spec on the
     // next declare, so the check becomes effective going forward
@@ -134,8 +140,120 @@ class SegStoreSpec extends AnyFunSuite {
     assert(fs.exists(specPath), "legacy store not stamped with live spec")
     intercept[IllegalStateException] {
       SegStore.ensureBucketed(spark, root, "kv",
-        "k BIGINT, v BIGINT", Seq("k"), 16)
+        "k BIGINT, v BIGINT", Seq("other"), 4)
     }
+  }
+
+  test("bucket-count escalation: a base compaction re-buckets when bytes/bucket exceed the threshold, atomically with the base marker") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("segstore_escal").toString + "/s"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def specText(): String = {
+      val p = new org.apache.hadoop.fs.Path(
+        SegStore.bucketedLoc(root, "kv"), "_GRAFT_SPEC")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    def declare(): String = SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 2)
+    def buckets(): Int =
+      org.apache.spark.sql.GraftBridge.numBuckets(spark, declare()).get
+    val name = declare()
+    val rows = (0L until 5000L).map(i => (i, i * 10)).toDF("k", "v")
+    SegStore.writeBucketed(spark, root, "kv", rows, 0L)
+    SegStore.commit(spark, root, 0L, base = false)
+    val oldThresh = SegStore.escalateBytesPerBucket
+    try {
+      // tiny threshold: the base fold at batch 1 must escalate 2 -> a
+      // power-of-2 large enough that bytes/bucket <= 1 KB... capped by
+      // the doubling ladder; just assert it GREW and the store is intact
+      SegStore.escalateBytesPerBucket = 8L << 10 // 8 KB per bucket
+      val folded = spark.table(name).drop("_seg").localCheckpoint()
+      SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
+        base = true)
+      // transition recorded but NOT yet effective: the base has not
+      // committed — a fresh declare must still resolve the OLD count
+      assert(specText().contains(";next="), s"no pending transition: ${specText()}")
+      // (simulate the in-session replay-after-crash: the catalog
+      // currently claims the escalated count; ensureBucketed must heal
+      // it back to the still-effective old count)
+      assert(buckets() == 2,
+        "uncommitted transition leaked into the effective bucket count")
+      // re-run the 'batch': escalate + insert again (replay semantics),
+      // then commit — the flip rides the marker
+      SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
+        base = true)
+      SegStore.commit(spark, root, 1L, base = true)
+      val n = buckets()
+      assert(n > 2, s"base compaction did not escalate (still $n buckets)")
+      // the declare above also compacted the committed transition
+      assert(!specText().contains(";next="),
+        s"committed transition not folded into the spec: ${specText()}")
+      assert(specText().startsWith(s"buckets=$n;"))
+      // physical layout: the base partition's files carry > 2 distinct
+      // bucket ids (real re-bucketing, not just a catalog claim)
+      val segDir = new java.io.File(
+        SegStore.bucketedPartPath(root, "kv", 1L))
+      val ids = segDir.listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+        .flatMap("_(\\d{5})".r.findFirstMatchIn(_).map(_.group(1).toInt))
+        .toSet
+      assert(ids.size > 2, s"base partition files carry bucket ids $ids")
+      // content unchanged through the escalation
+      val got = spark.table(name).drop("_seg")
+      assert(got.count() == 5000L)
+      assert(got.except(rows).isEmpty && rows.except(got).isEmpty,
+        "store content changed across the escalation")
+      // probes still correct over the re-bucketed store
+      val pr = SegStore.prunedScan(spark, root, "kv", "k",
+        Seq(7L, 4999L, 999999L).toDF("k"))
+      assert(pr.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 4999L))
+      // and key-grain folds stay exchange-free over the escalated scan
+      val fold = spark.table(name).drop("_seg")
+        .groupBy($"k").agg(sum($"v").as("v"))
+      assert(!fold.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "escalated store lost its exchange-free fold")
+      // a later delta lands at the escalated count and reads fold in
+      SegStore.writeBucketed(spark, root, "kv",
+        Seq((990000L, 1L)).toDF("k", "v"), 2L)
+      SegStore.commit(spark, root, 2L, base = false)
+      assert(spark.table(name).count() == 5001L)
+    } finally SegStore.escalateBytesPerBucket = oldThresh
+  }
+
+  test("crashed escalation attempt: spec rewritten but base never committed - replay heals the catalog and a later unrelated base never activates the stale transition") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("segstore_escal_crash").toString + "/s"
+    def declare(): String = SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 2)
+    val name = declare()
+    val rows = (0L until 2000L).map(i => (i, i)).toDF("k", "v")
+    SegStore.writeBucketed(spark, root, "kv", rows, 0L)
+    SegStore.commit(spark, root, 0L, base = false)
+    val oldThresh = SegStore.escalateBytesPerBucket
+    try {
+      SegStore.escalateBytesPerBucket = 1L << 10
+      val folded = spark.table(name).drop("_seg").localCheckpoint()
+      // batch 1 escalates + inserts, then 'crashes' (no commit)
+      SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
+        base = true)
+      // a later base (different id) commits WITHOUT escalating — the
+      // stale next=N@1 must not flip on (it is bound to id 1 exactly)
+      SegStore.escalateBytesPerBucket = oldThresh // no new escalation
+      assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, declare())
+        .contains(2), "stale transition activated before its base committed")
+      SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 3L,
+        base = true)
+      SegStore.commit(spark, root, 3L, base = true)
+      assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, declare())
+        .contains(2),
+        "an unrelated base activated a stale uncommitted transition")
+      assert(spark.table(name).drop("_seg").count() == 2000L)
+    } finally SegStore.escalateBytesPerBucket = oldThresh
   }
 
   test("legacy identity-less markers are stamped on first checked replay") {
