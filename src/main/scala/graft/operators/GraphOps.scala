@@ -335,10 +335,23 @@ object GraphOps {
     * degree stores incrementally and refreshes this snapshot per
     * micro-batch.
     */
+  /** `nSOverride`: run the push over a SUBGRAPH (a union of connected
+    * components) while keeping the GLOBAL seed count's initial mass
+    * Total/nS — the component-exact refresh device
+    * ([[graft.streaming.GraphStream]]): components exchange no mass and
+    * the push/hold threshold is node-local, so the subgraph run's state
+    * after round k equals the full run's restriction to it, and a
+    * subgraph whose push set empties is frozen in the full run too
+    * (the fixed-point note below) — bit-identical output, including
+    * under earlyExit. An empty LOCAL seed set under an override is a
+    * legitimate seedless component (empty output, no warning), not the
+    * damaged-graph condition the nS == 0 branch guards.
+    */
   private[graft] def forwardPush(spark: org.apache.spark.sql.SparkSession,
       cs: org.apache.spark.sql.DataFrame, deg: org.apache.spark.sql.DataFrame,
       earlyExit: Boolean, strictSeeds: Boolean = false,
-      maxRounds: Int = 6): org.apache.spark.sql.DataFrame = {
+      maxRounds: Int = 6,
+      nSOverride: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val Total = PprTotal
     val Eps = PprEps // push while res > degree x 1e6, i.e. 1e-6 of the walk mass
@@ -351,7 +364,7 @@ object GraphOps {
     val seeds = deg.select($"src".as("node"))
       .where(BipartiteGraph.isPprSeed($"node"))
       .persist()
-    val nS = seeds.count()
+    val nS = nSOverride.getOrElse(seeds.count())
     if (nS == 0) {
       seeds.unpersist(blocking = false)
       edges.unpersist(blocking = false)

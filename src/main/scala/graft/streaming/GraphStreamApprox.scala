@@ -161,12 +161,15 @@ object GraphStreamApprox {
               val pairsAll = ck(p0.union(newPairs))
               val degAll = ck(d0.union(newDeg)
                 .groupBy($"src").agg(sum($"degree").as("degree")))
-              val state = ck(GraphOps.forwardPush(ss, pairsAll, degAll,
+              // forwardPush returns an already-checkpointed frame:
+              // register it (ck() would re-checkpoint and orphan the
+              // inner blocks)
+              val state = ck.add(GraphOps.forwardPush(ss, pairsAll, degAll,
                 earlyExit = true, maxRounds = maxPushRounds))
               SegStore.writeBucketedAll(ss, storeDir, Seq(
                 "pairs" -> pairsAll,
                 "edges" -> BipartiteGraph.edgesOf(pairsAll),
-                "degree" -> degAll, "pr" -> state), batchId)
+                "degree" -> degAll, "pr" -> state), batchId, base = true)
               SegStore.commit(ss, storeDir, batchId, base = true, runId)
             }
             if (SegStore.active(ss, storeDir).isEmpty || newSeed) fullPush()
@@ -206,7 +209,7 @@ object GraphStreamApprox {
                   SegStore.writeBucketedAll(ss, storeDir, Seq(
                     "pairs" -> pairsAll,
                     "edges" -> BipartiteGraph.edgesOf(pairsAll),
-                    "degree" -> degAll, "pr" -> prAll), batchId)
+                    "degree" -> degAll, "pr" -> prAll), batchId, base = true)
                   SegStore.commit(ss, storeDir, batchId, base = true, runId)
                 } else {
                   j2 = SegStore.writeBucketedAllAsync(ss, storeDir,

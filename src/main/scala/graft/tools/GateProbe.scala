@@ -28,6 +28,7 @@ object GateProbe {
     val sections =
       if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
       else Set("winnow", "xover", "scrub", "wscrub")
+    // escal: opt-in (runMain ... escal) — it rebuilds multi-x corpora
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -236,6 +237,211 @@ object GateProbe {
               f"run1=$t1%.2f run2=$t2%.2f")
           }
         }
+      }
+    }
+
+    // ---- composed three-gate overlap (round-15 VERDICT task #6) ---------
+    // The q642-style composed pipeline proves correctness; this row
+    // measures whether three gates sharing one JVM (and the shared
+    // SegStore insert pool) SERIALIZE on their delta batches. Protocol:
+    // per corpus scale, build three independent stores (winnow near-dup,
+    // segment scrub, winnow scrub) from the same documents, then ship a
+    // 200-doc delta to each and (a) run the three delta batches
+    // back-to-back (solo sum), vs (b) run them CONCURRENTLY (three
+    // streams started together). Composed ≈ max(solo) means full
+    // overlap; composed ≈ sum(solo) means the shared pool serializes.
+    if (sections("composed")) {
+      val docs3 = graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      def corpus3Of(mult: Int) = (0 until mult).map { c =>
+        docs3.select(($"doc_id" + lit(c.toLong * 10000000L)).as("doc_id"),
+          concat($"source", lit(s"_$c")).as("source"),
+          concat_ws(" ", transform(split($"text", " "),
+            w => concat(w, lit(s"_$c")))).as("text"))
+      }.reduce(_ unionByName _)
+      for (mult <- Seq(1, 8)) {
+        val w = s"$work/composed_${mult}x"
+        FsUtil.rm(w)
+        val corpus = corpus3Of(mult)
+        corpus.select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(s"$w/win_in")
+        corpus.write.mode("overwrite").parquet(s"$w/scrub_in")
+        corpus.write.mode("overwrite").parquet(s"$w/wscrub_in")
+        def gateRuns(): Seq[() => org.apache.spark.sql.streaming.StreamingQuery] = Seq(
+          () => graft.streaming.WinnowStream.nearDupGateStream(
+            spark.readStream.schema("doc_id LONG, text STRING")
+              .parquet(s"$w/win_in"),
+            s"$w/win_store", s"$w/win_out", s"$w/win_ckpt",
+            compactEvery = 100),
+          () => graft.streaming.SegScrubStream.scrubStream(
+            spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+              .parquet(s"$w/scrub_in"),
+            s"$w/scrub_store", s"$w/scrub_out", s"$w/scrub_ckpt",
+            compactEvery = 100),
+          () => graft.streaming.WinnowScrubStream.winnowScrubStream(
+            spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+              .parquet(s"$w/wscrub_in"),
+            s"$w/wscrub_store", s"$w/wscrub_out", s"$w/wscrub_ckpt",
+            compactEvery = 100))
+        // corpus batches (store build — serial, not the measurement)
+        gateRuns().foreach(start => start().awaitTermination())
+        // ship the SAME 200-doc delta to all three gates
+        val d3 = docs3.orderBy($"doc_id").limit(200)
+          .select(($"doc_id" + lit(900000000L)).as("doc_id"), $"source",
+            $"text").localCheckpoint()
+        d3.select($"doc_id", $"text")
+          .write.mode("append").parquet(s"$w/win_in")
+        d3.write.mode("append").parquet(s"$w/scrub_in")
+        d3.write.mode("append").parquet(s"$w/wscrub_in")
+        // (a) solo: three delta batches back-to-back — but each gate
+        // only sees ITS OWN pending delta, so run them in sequence
+        // ... we need per-gate deltas twice (solo then composed): ship
+        // a SECOND delta after the solo run for the composed pass
+        val solo = gateRuns().map { start =>
+          time(start().awaitTermination())._1
+        }
+        val d3b = docs3.orderBy($"doc_id").limit(200)
+          .select(($"doc_id" + lit(910000000L)).as("doc_id"), $"source",
+            $"text").localCheckpoint()
+        d3b.select($"doc_id", $"text")
+          .write.mode("append").parquet(s"$w/win_in")
+        d3b.write.mode("append").parquet(s"$w/scrub_in")
+        d3b.write.mode("append").parquet(s"$w/wscrub_in")
+        // (b) composed: start all three, then await all
+        val (composedWall, _) = time {
+          val qs = gateRuns().map(start => start())
+          qs.foreach(_.awaitTermination())
+        }
+        println(f"[gate-probe] composed ${mult}x: solo=" +
+          solo.map(s => f"$s%.2f").mkString("+") +
+          f"=${solo.sum}%.2f s composed=$composedWall%.2f s " +
+          f"overlap_ratio=${solo.sum / composedWall}%.2f " +
+          "(1.0 = fully serialized, 3.0 = perfect overlap)")
+        graft.operators.Relational.releaseCkpt(d3, d3b)
+      }
+    }
+
+    // ---- component-exact PPR refresh (round-15 VERDICT task #4) ---------
+    // The exact graph gate used to full-push every changed batch; with
+    // incrementally-maintained CC labels a no-new-seed delta re-pushes
+    // only the touched components. Fixture: 8 node-shifted copies of
+    // the sf pair graph (shift ≡ 0 mod 20 preserves parity and the
+    // seed pattern) — a delta rewiring pairs INSIDE copy 0 touches
+    // 1/8th of the graph, so the component batch should cost a
+    // fraction of the new-seed (full re-push) batch on the same store.
+    if (sections("ppr")) {
+      import graft.operators.BipartiteGraph
+      val w = s"$work/ppr"
+      FsUtil.rm(w)
+      val basePairs = BipartiteGraph.pairs(spark, dir).localCheckpoint()
+      val copies = (0 until 8).map { cpy =>
+        basePairs.select(($"c" + lit(cpy * 20000000L)).as("c"),
+          ($"s" + lit(cpy * 20000000L)).as("s"))
+      }.reduce(_ unionByName _)
+      copies.write.mode("overwrite").parquet(s"$w/in")
+      def runPpr(): Double = time {
+        graft.streaming.GraphStream.pprPushStream(
+          spark.readStream.schema("c LONG, s LONG").parquet(s"$w/in"),
+          s"$w/store", s"$w/out", s"$w/ckpt", compactEvery = 100)
+          .awaitTermination()
+      }._1
+      jobs.set(0)
+      report("ppr_bootstrap_8copies", runPpr())
+      // no-new-seed delta: 200 rewired pairs among EXISTING copy-0
+      // nodes (customer i paired with neighbor i+1's supplier), minus
+      // any that already exist — the component path's common case
+      val neigh = basePairs.orderBy($"c", $"s").limit(401).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val rewired = neigh.sliding(2).collect {
+        case Array((c1, _), (_, s2)) => (c1, s2)
+      }.toSeq.distinct.toDF("c", "s")
+        .except(basePairs).limit(200).localCheckpoint()
+      println(s"[gate-probe] ppr component delta pairs: ${rewired.count()}")
+      rewired.write.mode("append").parquet(s"$w/in")
+      jobs.set(0)
+      report("ppr_component_delta", runPpr())
+      // new-seed delta on the same store: one never-seen seed-pattern
+      // customer (20e9 % 20 == 0) — Total/nS moves, full re-push
+      Seq((20000000000L, neigh.head._2)).toDF("c", "s")
+        .write.mode("append").parquet(s"$w/in")
+      jobs.set(0)
+      report("ppr_full_delta", runPpr())
+      graft.operators.Relational.releaseCkpt(basePairs, rewired)
+    }
+
+    // ---- bucket-count escalation (round-15 VERDICT task #2) -------------
+    // The measured residual: a store that outgrows its creation-time
+    // bucket count pays growing probe-scan cost (per-file row-group /
+    // footer metadata tracks rows-per-bucket). Protocol: the same
+    // winnow store built from a 1x corpus (8 buckets, right-sized) vs
+    // an 8x corpus at the SAME 8 buckets (control — 8x bytes/bucket)
+    // vs the 8x corpus with base-compaction escalation engaged
+    // (bytes/bucket back at the 1x point). Probe = the production
+    // prunedScan (InSet pushdown) of a 200-doc delta's fingerprint set
+    // against fp + df, plan+run1+run2 each.
+    if (sections("escal")) {
+      import graft.streaming.SegStore
+      val docsBase = graft.Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"text")
+      def corpusOf(mult: Int) = (0 until mult).map { c =>
+        docsBase.select(($"doc_id" + lit(c.toLong * 10000000L)).as("doc_id"),
+          concat_ws(" ",
+            transform(split($"text", " "),
+              w => concat(w, lit(s"_$c")))).as("text"))
+      }.reduce(_ unionByName _)
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      for ((label, mult, escalate) <- Seq(
+          ("1x_ctrl", 1, false), ("8x_ctrl", 8, false), ("8x_escal", 8, true))) {
+        val w = s"$work/escal_$label"
+        FsUtil.rm(w)
+        corpusOf(mult).write.mode("overwrite").parquet(s"$w/in")
+        val oldThresh = SegStore.escalateBytesPerBucket
+        def drive(): Unit =
+          graft.streaming.WinnowStream.nearDupGateStream(
+            spark.readStream.schema("doc_id LONG, text STRING")
+              .parquet(s"$w/in"),
+            s"$w/store", s"$w/out", s"$w/ckpt", compactEvery = 1)
+            .awaitTermination()
+        try {
+          SegStore.escalateBytesPerBucket = Long.MaxValue
+          drive() // batch 0: the corpus (delta segment, 8 buckets)
+          if (escalate) {
+            // threshold sized so the base escalates to ~8*mult buckets
+            val fpBytes = du(new java.io.File(
+              SegStore.bucketedLoc(s"$w/store", "fp")))
+            SegStore.escalateBytesPerBucket = math.max(1L, fpBytes / (8L * mult))
+          }
+          // batch 1: a 200-doc delta; compactEvery=1 makes it the BASE
+          // fold — the escalation decision point
+          delta.write.mode("append").parquet(s"$w/in")
+          val (tBase, _) = time(drive())
+          val fpPart = new java.io.File(
+            SegStore.bucketedPartPath(s"$w/store", "fp", 1L))
+          val bucketIds = Option(fpPart.listFiles()).getOrElse(Array.empty)
+            .map(_.getName).filter(_.endsWith(".parquet"))
+            .flatMap("_(\\d{5})".r.findFirstMatchIn(_).map(_.group(1).toInt))
+            .toSet
+          // the probe: a FRESH delta's fingerprint hash set against the
+          // compacted store, production path (prunedScan InSet)
+          val dfp = graft.operators.Dedup.winnowFp(
+            delta.withColumn("doc_id", $"doc_id" + lit(50000000L)))
+          val hs = dfp.select($"h").distinct().localCheckpoint()
+          def probe(sub: String): (Double, Double, Long) = {
+            val p = SegStore.prunedScan(spark, s"$w/store", sub, "h", hs)
+            val (t1, n) = time(p.count())
+            val (t2, _) = time(p.count())
+            (t1, t2, n)
+          }
+          val (f1, f2, fn) = probe("fp")
+          val (d1, d2, dn) = probe("df")
+          println(f"[gate-probe] escal $label%-9s base_wall=$tBase%.2f s " +
+            f"buckets=${bucketIds.size}%3d store_bytes=${du(new java.io.File(s"$w/store"))}%12d | " +
+            f"probe_fp run1=$f1%.2f run2=$f2%.2f rows=$fn | " +
+            f"probe_df run1=$d1%.2f run2=$d2%.2f rows=$dn")
+          graft.operators.Relational.releaseCkpt(hs)
+        } finally SegStore.escalateBytesPerBucket = oldThresh
       }
     }
 

@@ -1684,4 +1684,185 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(snap == batch, "compacted-store PPR snapshot != batch q163")
   }
+
+  test("component-exact PPR refresh: no-new-seed deltas re-push only the touched components, merges and new seeds stay exact") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{GatePhase, GraphStream, SegStore}
+    import spark.implicits._
+    // Synthetic multi-component bipartite graph with controlled seeds:
+    // customers are even nodes 2k (seed iff k % 10 == 0), suppliers odd.
+    // Component i: customers k in {100i+10 (seed), 100i+11, 100i+12},
+    // suppliers j in {100i+50, 100i+51} — disjoint ranges per i.
+    def c(k: Long) = 2 * k
+    def s_(j: Long) = 2 * j + 1
+    def comp(i: Long): Seq[(Long, Long)] = Seq(
+      (c(100 * i + 10), s_(100 * i + 50)),
+      (c(100 * i + 11), s_(100 * i + 50)),
+      (c(100 * i + 11), s_(100 * i + 51)),
+      (c(100 * i + 12), s_(100 * i + 51)))
+    val work = Files.createTempDirectory("graft_ppr_comp_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      rows.toDF("c", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val stream = spark.readStream.schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[String]
+    GatePhase.hook = (n, _) => phases.synchronized { phases += n; () }
+    def runOnce(): Unit = GraphStream.pprPushStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt").awaitTermination()
+    def pathsTaken(): Seq[String] = phases.synchronized {
+      val v = phases.toVector.filter(_.startsWith("ppr-")); phases.clear(); v
+    }
+    def snapshot(): Set[(Long, Long, Long)] =
+      SegStore.readSnapshot(spark, s"$work/out").get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def oracle(all: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val p = all.distinct.toDF("c", "s")
+      graft.operators.GraphOps.forwardPush(spark, p,
+        graft.operators.BipartiteGraph.degreesOf(p), earlyExit = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def labels(): Map[Long, Long] = {
+      val t = SegStore.readBucketedTagged(spark, s"$work/store", "cc").get
+      t.groupBy($"node").agg(expr("max_by(comp, _seg)").as("comp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      // batch 0: four disjoint components — bootstrap takes the FULL path
+      val base0 = (0L until 4L).flatMap(comp)
+      shipFile(base0, "0_bootstrap")
+      runOnce()
+      assert(pathsTaken() == Seq("ppr-full"), "bootstrap did not run the full path")
+      assert(snapshot() == oracle(base0), "bootstrap snapshot != batch push")
+      // batch 1: NO new seed — a new pair between existing nodes of
+      // component 0 plus a new non-seed customer attaching to it:
+      // the COMPONENT path must run, touch only component 0, and the
+      // result must still equal the full batch push
+      val d1 = Seq((c(12), s_(50)), (c(13), s_(51)))
+      shipFile(d1, "1_delta")
+      runOnce()
+      assert(pathsTaken() == Seq("ppr-component"),
+        "no-new-seed delta did not take the component path")
+      assert(snapshot() == oracle(base0 ++ d1),
+        "component-refresh snapshot != batch push over the merged graph")
+      // component-sized maintenance: the batch's prc partition holds
+      // exactly component 0's member set (6 old + 1 new nodes), not
+      // the 20-node corpus
+      val prc1 = spark.read.parquet(
+        SegStore.bucketedPartPath(s"$work/store", "prc", 1L))
+      assert(prc1.count() == 6L,
+        s"prc delta not component-sized: ${prc1.count()} rows")
+      // batch 2: MERGE — an existing non-seed customer of component 1
+      // pairs with a supplier of component 2; both components re-push
+      // together and the labels fold to the min node id
+      val d2 = Seq((c(111), s_(250)))
+      shipFile(d2, "2_merge")
+      runOnce()
+      assert(pathsTaken() == Seq("ppr-component"),
+        "merge delta did not take the component path")
+      assert(snapshot() == oracle(base0 ++ d1 ++ d2),
+        "merge-refresh snapshot != batch push over the merged graph")
+      val lbl = labels()
+      val mergedNodes = (comp(1) ++ comp(2) ++ d2).flatMap(p => Seq(p._1, p._2))
+      val want = mergedNodes.min
+      assert(mergedNodes.forall(n => lbl(n) == want),
+        s"merged component not labeled by its min node id: " +
+          mergedNodes.map(n => n -> lbl(n)).toMap.toString)
+      // untouched components keep their labels
+      assert(comp(0).flatMap(p => Seq(p._1, p._2)).forall(n =>
+        lbl(n) == comp(0).flatMap(p => Seq(p._1, p._2)).min),
+        "untouched component relabeled")
+      // batch 3: a NEW SEED (customer k = 510, k % 10 == 0) attaches to
+      // component 3 — Total/nS changes, the FULL path must run, and
+      // every component's rows move exactly
+      val d3 = Seq((c(510), s_(350)))
+      shipFile(d3, "3_new_seed")
+      runOnce()
+      assert(pathsTaken() == Seq("ppr-full"),
+        "new-seed delta did not fall back to the full path")
+      assert(snapshot() == oracle(base0 ++ d1 ++ d2 ++ d3),
+        "new-seed snapshot != batch push over the merged graph")
+      // batch 4: all-replay — snapshot pointer untouched, no push at all
+      val ptrBefore = new java.io.File(s"$work/out").listFiles()
+        .map(_.getName).filter(_.startsWith("_PTR_")).toSet
+      shipFile(d2, "4_replay")
+      runOnce()
+      assert(pathsTaken().isEmpty, "all-replay batch ran a push path")
+      assert(new java.io.File(s"$work/out").listFiles()
+        .map(_.getName).filter(_.startsWith("_PTR_")).toSet == ptrBefore,
+        "all-replay batch republished the snapshot")
+    } finally GatePhase.hook = (_, _) => ()
+  }
+
+  test("component-exact PPR refresh survives a crash-kill inside the delta batch") {
+    import graft.streaming.{GraphStream, SegStore}
+    import spark.implicits._
+    def c(k: Long) = 2 * k
+    def s_(j: Long) = 2 * j + 1
+    def comp(i: Long): Seq[(Long, Long)] = Seq(
+      (c(100 * i + 10), s_(100 * i + 50)),
+      (c(100 * i + 11), s_(100 * i + 50)),
+      (c(100 * i + 12), s_(100 * i + 51)))
+    val work = Files.createTempDirectory("graft_ppr_comp_crash_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      rows.toDF("c", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val stream = spark.readStream.schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val base0 = (0L until 3L).flatMap(comp)
+    shipFile(base0, "0_bootstrap")
+    GraphStream.pprPushStream(stream, s"$work/store", s"$work/out",
+      s"$work/ckpt").awaitTermination()
+    // the merge delta (component path), crash-killed after the batch's
+    // segment is WRITTEN but before it commits: wipe the marker of the
+    // would-be segment by replaying from a copied checkpoint — here we
+    // simulate the torn state directly by deleting the commit marker
+    // after a successful run, then re-running the same batch
+    val d1 = Seq((c(111), s_(250)), (c(13), s_(51)))
+    shipFile(d1, "1_merge")
+    GraphStream.pprPushStream(stream, s"$work/store", s"$work/out",
+      s"$work/ckpt").awaitTermination()
+    val snapGood = SegStore.readSnapshot(spark, s"$work/out").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // simulate the crash-before-marker: drop batch 1's marker and its
+    // checkpoint commit record, then restart — Structured Streaming
+    // replays batch 1 against the batch-0-only committed view and the
+    // gate must overwrite the torn partitions and converge
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SegStore.segPath(s"$work/store", 1L, base = false), "_GRAFT_COMMITTED"),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/ckpt/commits/1"), false)
+    GraphStream.pprPushStream(stream, s"$work/store", s"$work/out",
+      s"$work/ckpt").awaitTermination()
+    assert(SegStore.isApplied(spark, s"$work/store", 1L),
+      "replayed batch did not commit")
+    val snapReplay = SegStore.readSnapshot(spark, s"$work/out").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snapReplay == snapGood, "replayed snapshot diverged")
+    val all = (base0 ++ d1).distinct.toDF("c", "s")
+    val batch = graft.operators.GraphOps.forwardPush(spark, all,
+      graft.operators.BipartiteGraph.degreesOf(all), earlyExit = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snapReplay == batch, "replayed snapshot != batch push")
+    // the store itself converged too: pairs are the distinct union
+    val (p, _) = GraphStream.readGraph(spark, s"$work/store")
+    assert(p.count() == (base0 ++ d1).distinct.size.toLong,
+      "replayed pair store diverged")
+  }
 }
