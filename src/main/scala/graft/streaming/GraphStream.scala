@@ -279,6 +279,15 @@ object GraphStream {
       outDir: String, batchId: Long, base: Boolean, runId: String, ck: Ckpts,
       newPairs: DataFrame, newDeg: DataFrame, nS: Long): Unit = {
     import ss.implicits._
+    // delta layout: the pair/degree INSERTs depend on nothing below —
+    // start them NOW and overlap the whole refresh (they land in the
+    // uncommitted _seg=batchId partitions, invisible to every
+    // committed-store probe); quiesced before the marker on all paths
+    val join1 =
+      if (base) () => ()
+      else SegStore.writeBucketedAllAsync(ss, storeDir,
+        Seq("pairs" -> newPairs, "degree" -> newDeg), batchId)
+    try {
     // 1. batch endpoints and their committed labels (pruned cc scan,
     //    latest-wins among the delta-bounded pruned rows only)
     val endpoints = ck(newPairs.select($"c".as("node"))
@@ -312,6 +321,13 @@ object GraphStream {
         Seq("node"), "left_outer")
       .select($"node", coalesce($"nc", $"node").as("comp"))
     val allMembers = ck(membersRelab.unionByName(newNodes).distinct())
+    // the label INSERTs are ready before the push — overlap them too
+    val join2 =
+      if (base) () => ()
+      else SegStore.writeBucketedAllAsync(ss, storeDir,
+        Seq("cc" -> allMembers, "ccn" -> allMembers.select($"comp", $"node")),
+        batchId)
+    try {
     // 4. the subgraph: committed pairs/degree partials of the member
     //    set (pruned scans — the corpus is never shuffled to be
     //    probed) plus this batch's delta; components are edge-closed,
@@ -343,22 +359,24 @@ object GraphStream {
       SegStore.writeSnapshot(ss, outDir, snap, batchId)
       SegStore.commit(ss, storeDir, batchId, base = true, runId)
     } else {
-      val join = SegStore.writeBucketedAllAsync(ss, storeDir,
-        Seq("pairs" -> newPairs, "degree" -> newDeg,
-          "cc" -> allMembers, "ccn" -> allMembers.select($"comp", $"node"),
-          "prc" -> prcDelta), batchId)
+      val join3 = SegStore.writeBucketedAllAsync(ss, storeDir,
+        Seq("prc" -> prcDelta), batchId)
       try {
-        // the snapshot needs the post-batch prc view: await the writes,
-        // then fold ONE bucketed scan with the live batch's partition
-        // overlaid (includeIds) — latest-wins, exchange-free, no
-        // bucketing-breaking union with the in-memory delta
-        join()
+        // the snapshot needs the post-batch prc view: await the prc
+        // write, then fold ONE bucketed scan with the live batch's
+        // partition overlaid (includeIds) — latest-wins, exchange-free,
+        // no bucketing-breaking union with the in-memory delta
+        join3()
         val snap = resolvePrc(ss, storeDir, Seq(batchId))
           .where($"touched").select($"node", $"est", $"res")
         SegStore.writeSnapshot(ss, outDir, snap, batchId)
-      } catch { case e: Throwable => SegStore.quiesce(ss, join); throw e }
+        // every overlapped INSERT must land before the marker
+        join2(); join1()
+      } catch { case e: Throwable => SegStore.quiesce(ss, join3); throw e }
       SegStore.commit(ss, storeDir, batchId, base = false, runId)
     }
+    } catch { case e: Throwable => SegStore.quiesce(ss, join2); throw e }
+    } catch { case e: Throwable => SegStore.quiesce(ss, join1); throw e }
   }
 
   // ---- folds and readers -------------------------------------------------

@@ -331,6 +331,9 @@ object GateProbe {
     // fraction of the new-seed (full re-push) batch on the same store.
     if (sections("ppr")) {
       import graft.operators.BipartiteGraph
+      // drop phases accumulated by earlier sections (they don't report
+      // through `report`, so the buffer may hold their batch bodies)
+      phases.synchronized { phases.clear() }
       val w = s"$work/ppr"
       FsUtil.rm(w)
       val basePairs = BipartiteGraph.pairs(spark, dir).localCheckpoint()
