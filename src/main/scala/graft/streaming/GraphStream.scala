@@ -27,10 +27,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * maintains, besides `pairs`/`degree`:
   *
   *  - `cc` (node, comp): incrementally-maintained connected-component
-  *    labels (comp = min node id — the same canonical labels
-  *    [[graft.operators.Training.connectedComponents]] assigns, so the
-  *    incremental merge rule min(old labels ∪ new ids) agrees with a
-  *    full relabel by induction), latest-wins per node on `_seg`;
+  *    labels (comp = min node id — the canonical labels
+  *    [[graft.operators.Training.connectedComponentsTwoPhase]]
+  *    assigns, so the incremental merge rule min(old labels ∪ new
+  *    ids) agrees with a full relabel by induction), latest-wins per
+  *    node on `_seg`;
   *  - `ccn` (comp, node): the member listing, probed BY CURRENT label
   *    — every refresh rewrites all members of its merged components
   *    under the final label, so a current-label probe returns exactly
@@ -52,9 +53,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Per CHANGED no-new-seed batch the work is component-sized: batch
   * endpoints' labels from a pruned `cc` scan, label merges via
-  * hash-min over the CONTRACTED batch graph (old labels + new node
-  * ids — batch-sized, distributed, no driver union-find), members from
-  * a pruned `ccn` scan, the subgraph from pruned `pairs`/`degree`
+  * two-phase star contraction over the CONTRACTED batch graph (old
+  * labels + new node ids — batch-sized, distributed, no driver
+  * union-find, O(log n) alternations at any delta diameter), members
+  * from a pruned `ccn` scan, the subgraph from pruned `pairs`/`degree`
   * scans keyed by the member set, then the push over that subgraph.
   * A batch introducing a new seed-pattern node changes Total/nS for
   * every component — full re-push, full relabel, full `prc` rewrite
@@ -239,10 +241,15 @@ object GraphStream {
       .where(graft.operators.BipartiteGraph.isPprSeed($"src")).count()
     // both helpers return already-checkpointed frames — register, don't
     // re-checkpoint (a second localCheckpoint would orphan the first's
-    // blocks; releaseAll walks the registered plan and finds them)
+    // blocks; releaseAll walks the registered plan and finds them).
+    // CC by two-phase star contraction: O(log n) alternations
+    // regardless of diameter — the full graph at 100 TB can carry
+    // arbitrarily deep chains the hash-min kernel's diameter-bounded
+    // rounds cannot afford; labels (min node id) are kernel-identical
     val state = ck.add(graft.operators.GraphOps.forwardPush(ss, pairsAll,
       degAll, earlyExit = true, nSOverride = Some(nS)))
-    val cc = ck.add(graft.operators.Training.connectedComponents(pairsAll)
+    val cc = ck.add(graft.operators.Training
+      .connectedComponentsTwoPhase(pairsAll)
       .select($"id".as("node"), $"component".as("comp")))
     val prcRows = ck(cc
       .join(state.withColumn("t", lit(true)), Seq("node"), "left_outer")
@@ -295,17 +302,24 @@ object GraphStream {
     val lbl = ck(SegStore.prunedScanTagged(ss, storeDir, "cc", "node", endpoints)
       .map(_.groupBy($"node").agg(expr("max_by(comp, _seg)").as("comp")))
       .getOrElse(Seq.empty[(Long, Long)].toDF("node", "comp")))
-    // 2. label merges via hash-min over the CONTRACTED batch graph:
-    //    nodes are old component labels (or the new node's own id) —
-    //    batch-sized, so the loop is a few tiny shuffles, and the
-    //    min-label rule keeps the canonical min-node-id labeling the
-    //    full relabel would assign (they agree by induction)
+    // 2. label merges over the CONTRACTED batch graph: nodes are old
+    //    component labels (or the new node's own id) — batch-sized, so
+    //    the loop is a few tiny shuffles, and the min-label rule keeps
+    //    the canonical min-node-id labeling the full relabel would
+    //    assign (they agree by induction)
     val contracted = newPairs
       .join(lbl.select($"node".as("c"), $"comp".as("compC")), Seq("c"), "left_outer")
       .join(lbl.select($"node".as("s"), $"comp".as("compS")), Seq("s"), "left_outer")
       .select(coalesce($"compC", $"c").as("a"), coalesce($"compS", $"s").as("b"))
+    // two-phase star contraction here too: the contracted graph is
+    // batch-sized but its DIAMETER is adversary-controlled (a
+    // chain-shaped delta would hit hash-min's round cap and crash-loop
+    // the replay); O(log n) alternations are immune. Self-loop edges
+    // (both endpoints in one existing component) drop out of the
+    // contraction — the coalesce fallbacks below keep such labels
+    // unchanged, which is exactly right. Returns a checkpointed frame.
     val merged = ck.add(graft.operators.Training
-      .connectedComponents(contracted)) // returns a checkpointed frame
+      .connectedComponentsTwoPhase(contracted))
     // 3. the member set of the merged components: committed members
     //    from a pruned ccn scan BY the old current labels (exact — see
     //    the class doc invariant), plus the batch's brand-new nodes;

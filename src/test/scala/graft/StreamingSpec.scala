@@ -1801,6 +1801,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally GatePhase.hook = (_, _) => ()
   }
 
+  test("component-exact PPR refresh handles a chain-shaped delta (adversarial diameter) and a seedless new component") {
+    import graft.streaming.{GatePhase, GraphStream, SegStore}
+    import spark.implicits._
+    def c(k: Long) = 2 * k
+    def s_(j: Long) = 2 * j + 1
+    val work = Files.createTempDirectory("graft_ppr_chain_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      rows.toDF("c", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val stream = spark.readStream.schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[String]
+    GatePhase.hook = (n, _) => phases.synchronized { phases += n; () }
+    try {
+      // batch 0: one small seeded component (customer k=10 is a seed)
+      val base0 = Seq((c(10), s_(50)), (c(11), s_(50)))
+      shipFile(base0, "0_bootstrap")
+      GraphStream.pprPushStream(stream, s"$work/store", s"$work/out",
+        s"$work/ckpt").awaitTermination()
+      // batch 1: a 151-customer CHAIN of brand-new non-seed nodes
+      // (k = 10i+3 is never a seed and never collides with the
+      // bootstrap's k=10/11) — an isolated new component whose
+      // CONTRACTED graph has diameter ~300; a diameter-bounded
+      // hash-min merge would blow its round cap and crash-loop the
+      // replay, the two-phase contraction converges in O(log n)
+      val chain = (0 until 150).flatMap { i =>
+        Seq((c(10L * i + 3), s_(1000L + i)), (c(10L * (i + 1) + 3), s_(1000L + i)))
+      }
+      shipFile(chain, "1_chain")
+      GraphStream.pprPushStream(stream, s"$work/store", s"$work/out",
+        s"$work/ckpt").awaitTermination()
+      val taken = phases.synchronized(phases.toVector.filter(_.startsWith("ppr-")))
+      assert(taken == Seq("ppr-full", "ppr-component"),
+        s"unexpected paths: $taken")
+      // the seedless chain component contributes NOTHING to the PPR
+      // snapshot — the full-run equality must hold over the merged graph
+      val all = (base0 ++ chain).distinct.toDF("c", "s")
+      val batch = graft.operators.GraphOps.forwardPush(spark, all,
+        graft.operators.BipartiteGraph.degreesOf(all), earlyExit = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val snap = SegStore.readSnapshot(spark, s"$work/out").get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(snap == batch, "chain-delta snapshot != batch push")
+      // and the chain component is labeled by its min node id with a
+      // prc filler row (touched = false) per member
+      val lbl = SegStore.readBucketedTagged(spark, s"$work/store", "cc").get
+        .groupBy($"node")
+        .agg(org.apache.spark.sql.functions.expr("max_by(comp, _seg)").as("comp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val chainNodes = chain.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(chainNodes.forall(n => lbl(n) == chainNodes.min),
+        "chain component not labeled by its min node id")
+      val prc1 = spark.read.parquet(
+        SegStore.bucketedPartPath(s"$work/store", "prc", 1L))
+      assert(prc1.count() == chainNodes.size.toLong,
+        s"prc delta rows ${prc1.count()} != chain members ${chainNodes.size}")
+      assert(prc1.where("touched").count() == 0L,
+        "seedless component produced touched PPR rows")
+    } finally GatePhase.hook = (_, _) => ()
+  }
+
   test("component-exact PPR refresh survives a crash-kill inside the delta batch") {
     import graft.streaming.{GraphStream, SegStore}
     import spark.implicits._
