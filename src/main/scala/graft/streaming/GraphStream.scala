@@ -102,8 +102,17 @@ object GraphStream {
     * PPR snapshot (node, est, res) is published atomically under
     * `outDir`.
     */
+  /** `maxComponentMembers`: past this many member nodes the component
+    * path falls back to a full refresh — the member set drives
+    * broadcast-semi pruned scans, and a giant merged component (the
+    * one-giant-component regime of real graphs) would broadcast a
+    * corpus-sized key set; at that size the component IS most of the
+    * graph, so the full path costs the same and never broadcasts
+    * member keys. Mirrors the approximate gate's maxLocalNodes cap.
+    */
   def pprPushStream(pairs: DataFrame, storeDir: String, outDir: String,
-      ckptDir: String, compactEvery: Int = 8, buckets: Int = 8): StreamingQuery =
+      ckptDir: String, compactEvery: Int = 8, buckets: Int = 8,
+      maxComponentMembers: Long = 4000000L): StreamingQuery =
     pairs.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -162,10 +171,8 @@ object GraphStream {
                     newPairs, newDeg)
                 }
               else
-                phased("ppr-component") {
-                  componentRefresh(ss, storeDir, outDir, batchId, base, runId,
-                    ck, newPairs, newDeg, nS0.get)
-                }
+                componentRefresh(ss, storeDir, outDir, batchId, base, runId,
+                  ck, newPairs, newDeg, nS0.get, maxComponentMembers)
             }
           } finally ck.releaseAll()
         }
@@ -284,7 +291,8 @@ object GraphStream {
     */
   private def componentRefresh(ss: SparkSession, storeDir: String,
       outDir: String, batchId: Long, base: Boolean, runId: String, ck: Ckpts,
-      newPairs: DataFrame, newDeg: DataFrame, nS: Long): Unit = {
+      newPairs: DataFrame, newDeg: DataFrame, nS: Long,
+      maxComponentMembers: Long): Unit = {
     import ss.implicits._
     // delta layout: the pair/degree INSERTs depend on nothing below —
     // start them NOW and overlap the whole refresh (they land in the
@@ -342,6 +350,26 @@ object GraphStream {
         Seq("cc" -> allMembers, "ccn" -> allMembers.select($"comp", $"node")),
         batchId)
     try {
+    // size gate: the member set drives broadcast-semi pruned scans
+    // below, so a giant merged component would broadcast a
+    // corpus-sized key set — at that size the components ARE most of
+    // the graph and the full path costs the same without any member
+    // broadcast. Await the overlapped deltas first (the full path
+    // INSERT OVERWRITEs the same partitions — an orphan write must
+    // never interleave with the overwrite).
+    if (allMembers.count() > maxComponentMembers) {
+      System.err.println(
+        "WARN graft.GraphStream: merged components hold more than " +
+          s"maxComponentMembers=$maxComponentMembers nodes - falling " +
+          "back to a full refresh for this batch")
+      join2(); join1()
+      phased("ppr-full") {
+        fullRefresh(ss, storeDir, outDir, batchId, base, runId, ck,
+          newPairs, newDeg)
+      }
+      return
+    }
+    phased("ppr-component") {
     // 4. the subgraph: committed pairs/degree partials of the member
     //    set (pruned scans — the corpus is never shuffled to be
     //    probed) plus this batch's delta; components are edge-closed,
@@ -389,6 +417,7 @@ object GraphStream {
       } catch { case e: Throwable => SegStore.quiesce(ss, join3); throw e }
       SegStore.commit(ss, storeDir, batchId, base = false, runId)
     }
+    } // phased("ppr-component")
     } catch { case e: Throwable => SegStore.quiesce(ss, join2); throw e }
     } catch { case e: Throwable => SegStore.quiesce(ss, join1); throw e }
   }

@@ -240,6 +240,38 @@ object GateProbe {
       }
     }
 
+    // ---- probe-cost vs rows-per-bucket curve (escalation crossover) -----
+    // The escal section measured the MANY-SMALL-FILES side of the
+    // trade; this section walks bucket count over a FIXED large store
+    // (32M rows, sorted by key) to locate where per-file row-group /
+    // footer overhead starts charging the probe — the regime the
+    // bytes-per-bucket escalation threshold exists for. Same probe
+    // shape as the gates: pruned InSet scan of a 12k key set.
+    if (sections("escurve")) {
+      import graft.streaming.SegStore
+      val R = 32000000L
+      val keys = spark.range(12000)
+        .select(($"id" * 2663L % R).as("h")).localCheckpoint()
+      for (b <- Seq(2, 8, 32, 128)) {
+        val root = s"$work/escurve_b$b/s"
+        SegStore.ensureBucketed(spark, root, "df",
+          "h BIGINT, df BIGINT", Seq("h"), b)
+        val (tW, _) = time {
+          SegStore.writeBucketed(spark, root, "df",
+            spark.range(R).select($"id".as("h"), ($"id" % 17L).as("df")), 0L)
+          SegStore.commit(spark, root, 0L, base = false)
+        }
+        val p = SegStore.prunedScan(spark, root, "df", "h", keys)
+        val (t1, n) = time(p.count())
+        val (t2, _) = time(p.count())
+        val dir = new java.io.File(SegStore.bucketedPartPath(root, "df", 0L))
+        val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        println(f"[gate-probe] escurve B=$b%4d write=$tW%5.1f s " +
+          f"files=${files.length}%4d avg_mb=${files.map(_.length).sum.toDouble / files.length / 1e6}%7.1f | " +
+          f"probe run1=$t1%.2f run2=$t2%.2f rows=$n")
+      }
+    }
+
     // ---- composed three-gate overlap (round-15 VERDICT task #6) ---------
     // The q642-style composed pipeline proves correctness; this row
     // measures whether three gates sharing one JVM (and the shared

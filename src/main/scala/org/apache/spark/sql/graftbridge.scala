@@ -24,9 +24,18 @@ object GraftBridge {
     * spec after a bucket-count escalation (a stale in-session entry is
     * re-declared from the spec file, the on-disk source of truth).
     */
-  def numBuckets(spark: SparkSession, table: String): Option[Int] = {
+  def numBuckets(spark: SparkSession, table: String): Option[Int] =
+    bucketSpecOf(spark, table).map(_._1)
+
+  /** (numBuckets, bucketColumnNames) of a catalog table — the write
+    * side uses it to pre-partition an INSERT by the bucket function,
+    * collapsing per-partition file counts from (write tasks x buckets)
+    * to <= buckets.
+    */
+  def bucketSpecOf(spark: SparkSession, table: String): Option[(Int, Seq[String])] = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val id = cs.sessionState.sqlParser.parseTableIdentifier(table)
-    cs.sessionState.catalog.getTableMetadata(id).bucketSpec.map(_.numBuckets)
+    cs.sessionState.catalog.getTableMetadata(id).bucketSpec
+      .map(b => (b.numBuckets, b.bucketColumnNames))
   }
 }

@@ -225,6 +225,30 @@ class SegStoreSpec extends AnyFunSuite {
     } finally SegStore.escalateBytesPerBucket = oldThresh
   }
 
+  test("bucketed writes are pre-partitioned by the bucket function: <= buckets files per partition") {
+    import spark.implicits._
+    // without the alignment a bucketed INSERT emits one file per
+    // (write task x bucket) — probe scans pay per-file open/footer
+    // cost, so file counts are a first-order probe-latency term
+    // (GateProbe escurve: 64 files 1.3 s -> 4096 files 9.1 s)
+    val root = Files.createTempDirectory("segstore_align").toString + "/s"
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 4)
+    val rows = (0L until 4000L).map(i => (i, i)).toDF("k", "v")
+      .repartition(8) // more write tasks than buckets
+    SegStore.writeBucketed(spark, root, "kv", rows, 0L)
+    SegStore.commit(spark, root, 0L, base = false)
+    val files = new java.io.File(SegStore.bucketedPartPath(root, "kv", 0L))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 4,
+      s"bucketed write not aligned: ${files.length} files for 4 buckets")
+    // and every key still lands in exactly one file (bucket function
+    // preserved across the repartition)
+    val got = spark.table(SegStore.bucketedName(root, "kv")).drop("_seg")
+    assert(got.count() == 4000L)
+    assert(got.except(rows).isEmpty && rows.except(got).isEmpty)
+  }
+
   test("crashed escalation attempt: spec rewritten but base never committed - replay heals the catalog and a later unrelated base never activates the stale transition") {
     import spark.implicits._
     val root = Files.createTempDirectory("segstore_escal_crash").toString + "/s"
