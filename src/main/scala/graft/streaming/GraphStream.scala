@@ -192,12 +192,19 @@ object GraphStream {
       newPairs: DataFrame, newDeg: DataFrame): Unit = {
     import ss.implicits._
     if (base) {
+      // publish BEFORE the base write: publishFallback folds catalog
+      // tables, and the base write's escalation re-declares them at the
+      // new bucket count while the active partitions are still
+      // old-count-bucketed — a pure aggregate stays correct in that
+      // window (all rows of a key share one physical file), but
+      // nothing downstream should ever read a catalog whose claim and
+      // physical layout disagree (review finding, round 16)
+      if (SegStore.readSnapshot(ss, outDir).isEmpty)
+        publishFallback(ss, storeDir, outDir, batchId, ck)
       // checkpoint every fold: the INSERTs overwrite tables they read
       val folds = foldAll(ss, storeDir, None).map { case (k, v) => k -> ck(v) }
       val subs = foldSubs(ss, folds)
       SegStore.writeBucketedAll(ss, storeDir, subs, batchId, base = true)
-      if (SegStore.readSnapshot(ss, outDir).isEmpty)
-        publishFallback(ss, storeDir, outDir, batchId, ck)
       SegStore.commit(ss, storeDir, batchId, base = true, runId)
     } else {
       val join = SegStore.writeBucketedAllAsync(ss, storeDir,
@@ -343,6 +350,28 @@ object GraphStream {
         Seq("node"), "left_outer")
       .select($"node", coalesce($"nc", $"node").as("comp"))
     val allMembers = ck(membersRelab.unionByName(newNodes).distinct())
+    // size gate BEFORE the label INSERTs start: the member set drives
+    // broadcast-semi pruned scans below, so a giant merged component
+    // would broadcast a corpus-sized key set — at that size the
+    // components ARE most of the graph and the full path costs the
+    // same without any member broadcast (and without first writing a
+    // corpus-scale cc/ccn delta the fallback would only overwrite).
+    // allMembers is checkpointed, so the count is one cheap job. The
+    // already-started pair/degree deltas are awaited first — the full
+    // path INSERT OVERWRITEs the same partitions, and an orphan write
+    // must never interleave with the overwrite.
+    if (allMembers.count() > maxComponentMembers) {
+      System.err.println(
+        "WARN graft.GraphStream: merged components hold more than " +
+          s"maxComponentMembers=$maxComponentMembers nodes - falling " +
+          "back to a full refresh for this batch")
+      join1()
+      phased("ppr-full") {
+        fullRefresh(ss, storeDir, outDir, batchId, base, runId, ck,
+          newPairs, newDeg)
+      }
+      return
+    }
     // the label INSERTs are ready before the push — overlap them too
     val join2 =
       if (base) () => ()
@@ -350,25 +379,6 @@ object GraphStream {
         Seq("cc" -> allMembers, "ccn" -> allMembers.select($"comp", $"node")),
         batchId)
     try {
-    // size gate: the member set drives broadcast-semi pruned scans
-    // below, so a giant merged component would broadcast a
-    // corpus-sized key set — at that size the components ARE most of
-    // the graph and the full path costs the same without any member
-    // broadcast. Await the overlapped deltas first (the full path
-    // INSERT OVERWRITEs the same partitions — an orphan write must
-    // never interleave with the overwrite).
-    if (allMembers.count() > maxComponentMembers) {
-      System.err.println(
-        "WARN graft.GraphStream: merged components hold more than " +
-          s"maxComponentMembers=$maxComponentMembers nodes - falling " +
-          "back to a full refresh for this batch")
-      join2(); join1()
-      phased("ppr-full") {
-        fullRefresh(ss, storeDir, outDir, batchId, base, runId, ck,
-          newPairs, newDeg)
-      }
-      return
-    }
     phased("ppr-component") {
     // 4. the subgraph: committed pairs/degree partials of the member
     //    set (pruned scans — the corpus is never shuffled to be

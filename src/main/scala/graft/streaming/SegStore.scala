@@ -368,7 +368,14 @@ object SegStore {
     val fs = fsOf(ss, root)
     val p = new Path(loc, SpecFile)
     val pn = new Path(loc, SpecFile + ".new")
-    if (!fs.exists(p) && fs.exists(pn)) fs.rename(pn, p)
+    if (!fs.exists(p) && fs.exists(pn) && !fs.rename(pn, p))
+      // a silently-failed rename (HDFS/object stores return false
+      // without throwing) must NOT fall through to the legacy
+      // stamp-the-caller's-arguments path: that would persist a wrong
+      // bucket count over escalated files (review finding, round 16)
+      throw new IllegalStateException(
+        s"graft.SegStore: failed to recover the interrupted spec " +
+          s"rewrite of $sub at $root (rename $pn -> $p returned false)")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -393,7 +400,11 @@ object SegStore {
     val out = fs.create(pn, true)
     try out.write(sp.text.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(pn, p)
+    if (!fs.rename(pn, p))
+      throw new IllegalStateException(
+        s"graft.SegStore: spec rewrite rename $pn -> $p returned false " +
+          "(the complete new content remains under .new and is " +
+          "recovered by the next read)")
     ()
   }
 
@@ -532,8 +543,14 @@ object SegStore {
     readSpec(ss, root, sub).foreach { sp =>
       val cur = effectiveBuckets(ss, root, sp)
       val bytes = activeSubBytes(ss, root, sub)
-      var n = cur
-      while (bytes / n > escalateBytesPerBucket && n < (1 << 20)) n *= 2
+      // ONE doubling per compaction, never a ladder: the size signal
+      // sums ACTIVE segments, which over-counts latest-wins sub-tables
+      // (k full rewrites active = k x the folded base this write will
+      // actually produce — review finding, round 16). A single step is
+      // self-correcting: the next compaction re-measures mostly the
+      // folded base and doubles again only if genuinely still over.
+      val n = if (bytes / cur > escalateBytesPerBucket && cur < (1 << 20))
+        cur * 2 else cur
       if (n > cur) {
         // base stays `cur` (the count every pre-base active partition
         // was written with); a stale UNCOMMITTED transition from a

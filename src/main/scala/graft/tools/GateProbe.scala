@@ -443,7 +443,8 @@ object GateProbe {
           SegStore.escalateBytesPerBucket = Long.MaxValue
           drive() // batch 0: the corpus (delta segment, 8 buckets)
           if (escalate) {
-            // threshold sized so the base escalates to ~8*mult buckets
+            // threshold below the store's bytes/bucket so the base
+            // escalates (one doubling per compaction by policy)
             val fpBytes = du(new java.io.File(
               SegStore.bucketedLoc(s"$w/store", "fp")))
             SegStore.escalateBytesPerBucket = math.max(1L, fpBytes / (8L * mult))

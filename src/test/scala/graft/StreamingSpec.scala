@@ -1753,7 +1753,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(snapshot() == oracle(base0 ++ d1),
         "component-refresh snapshot != batch push over the merged graph")
       // component-sized maintenance: the batch's prc partition holds
-      // exactly component 0's member set (6 old + 1 new nodes), not
+      // exactly component 0's member set (5 old + 1 new nodes), not
       // the 20-node corpus
       val prc1 = spark.read.parquet(
         SegStore.bucketedPartPath(s"$work/store", "prc", 1L))
