@@ -394,6 +394,56 @@ class SegStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("gate compaction under bucket escalation: the fold re-buckets and the index is unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.WinnowStream
+    val sf = "/root/testdata/sf0.001"
+    val work = Files.createTempDirectory("graft_winnow_escal_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 60)
+    def shipFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    shipFile(docs.where(col("doc_id") % 3 === 0), "0")
+    shipFile(docs.where(col("doc_id") % 3 === 1), "1")
+    shipFile(docs.where(col("doc_id") % 3 === 2), "2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val oldThresh = SegStore.escalateBytesPerBucket
+    try {
+      // 1-byte threshold: EVERY base compaction escalates (one
+      // doubling per base by policy). compactEvery=2 -> batch 2 folds
+      // and re-buckets mid-stream; batch 2's delta must land at the
+      // escalated count and the resulting index must equal the batch
+      // fingerprint set exactly.
+      SegStore.escalateBytesPerBucket = 1L
+      val q = WinnowStream.nearDupGateStream(stream,
+        s"$work/store", s"$work/out", s"$work/ckpt", compactEvery = 2,
+        buckets = 2)
+      q.awaitTermination()
+      val name = SegStore.ensureBucketed(spark, s"$work/store", "fp",
+        "doc_id BIGINT, h BIGINT", Seq("h"), 2)
+      assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, name)
+        .exists(_ > 2), "base compaction under a 1-byte threshold did not escalate")
+      val (fp, dfStore) = WinnowStream.readIndex(spark, s"$work/store")
+      val full = graft.operators.Dedup.winnowFp(docs)
+      assert(fp.except(full).isEmpty && full.except(fp).isEmpty,
+        "escalated fp index != full fingerprint set")
+      val dfDerived = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      assert(dfStore.except(dfDerived).isEmpty && dfDerived.except(dfStore).isEmpty,
+        "escalated df inconsistent with fp")
+    } finally SegStore.escalateBytesPerBucket = oldThresh
+  }
+
   test("gate compaction: WinnowStream folds into a base segment and the index is unchanged") {
     import org.apache.spark.sql.functions._
     import graft.streaming.WinnowStream
