@@ -1869,6 +1869,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally GatePhase.hook = (_, _) => ()
   }
 
+  test("graph gate: seeded random batch splits converge to the batch push (component/full paths interleaved)") {
+    import graft.streaming.{GraphStream, SegStore}
+    import spark.implicits._
+    // The component-exact refresh must be order-independent: any split
+    // of the same pair set into micro-batches — merges, new seeds and
+    // replays landing in arbitrary order — must end at the exact batch
+    // push over the full graph (the scrub gates' fuzz device, applied
+    // to the graph gate's two refresh paths).
+    def c(k: Long) = 2 * k
+    def s_(j: Long) = 2 * j + 1
+    // 6 seeded components + cross links that merge some of them,
+    // delivered in random order; duplicates injected as replays
+    val pairs: Seq[(Long, Long)] = (0L until 6L).flatMap { i =>
+      Seq((c(100 * i + 10), s_(100 * i + 50)),
+        (c(100 * i + 11), s_(100 * i + 50)),
+        (c(100 * i + 11), s_(100 * i + 51)),
+        (c(100 * i + 12), s_(100 * i + 51)))
+    } ++ Seq(
+      (c(111), s_(250)),  // merges components 1 and 2
+      (c(412), s_(550)),  // merges components 4 and 5
+      (c(13), s_(51)),    // new non-seed customer into component 0
+      (c(311), s_(1000))) // new supplier into component 3
+    val all = pairs.distinct.toDF("c", "s")
+    val oracle = graft.operators.GraphOps.forwardPush(spark, all,
+      graft.operators.BipartiteGraph.degreesOf(all), earlyExit = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (seed <- Seq(7, 23)) {
+      val rng = new scala.util.Random(seed)
+      val nBatches = 4
+      // random assignment + injected re-deliveries (at-least-once)
+      val batches = Array.fill(nBatches)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+      pairs.foreach { p =>
+        batches(rng.nextInt(nBatches)) += p
+        if (rng.nextDouble() < 0.3) batches(rng.nextInt(nBatches)) += p
+      }
+      val work = Files.createTempDirectory(s"graft_ppr_fuzz_$seed").toString
+      val src = s"$work/in"
+      new java.io.File(src).mkdirs()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val rows = if (b.isEmpty) Seq((c(10), s_(50))) else b.toSeq
+        val tmp = s"$work/tmp_$i"
+        rows.toDF("c", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$src/$i.parquet"))
+      }
+      GraphStream.pprPushStream(
+        spark.readStream.schema("c LONG, s LONG")
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        s"$work/store", s"$work/out", s"$work/ckpt", compactEvery = 3)
+        .awaitTermination()
+      val snap = SegStore.readSnapshot(spark, s"$work/out").get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(snap == oracle,
+        s"seed $seed: fuzzed-split snapshot != batch push " +
+          s"(missing ${(oracle diff snap).take(3)}, extra ${(snap diff oracle).take(3)})")
+      val (p, d) = GraphStream.readGraph(spark, s"$work/store")
+      assert(p.count() == all.count() &&
+        p.except(all).isEmpty && all.except(p).isEmpty,
+        s"seed $seed: fuzzed-split pair store != distinct pair set")
+      val degDerived = graft.operators.BipartiteGraph.degreesOf(p)
+      assert(d.except(degDerived).isEmpty && degDerived.except(d).isEmpty,
+        s"seed $seed: degree store inconsistent with pairs")
+    }
+  }
+
   test("component-exact PPR refresh survives a crash-kill inside the delta batch") {
     import graft.streaming.{GraphStream, SegStore}
     import spark.implicits._
