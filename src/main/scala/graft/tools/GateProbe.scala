@@ -385,11 +385,11 @@ object GateProbe {
       // no-new-seed delta: 200 rewired pairs among EXISTING copy-0
       // nodes (customer i paired with neighbor i+1's supplier), minus
       // any that already exist — the component path's common case
-      val neigh = basePairs.orderBy($"c", $"s").limit(401).collect()
+      val neigh = basePairs.orderBy($"c", $"s").limit(4001).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      val rewired = neigh.sliding(2).collect {
-        case Array((c1, _), (_, s2)) => (c1, s2)
-      }.toSeq.distinct.toDF("c", "s")
+      val rewired = neigh.indices.dropRight(7).map { i =>
+        (neigh(i)._1, neigh(i + 7)._2) // pair c_i with a FAR supplier
+      }.distinct.toDF("c", "s")
         .except(basePairs).limit(200).localCheckpoint()
       println(s"[gate-probe] ppr component delta pairs: ${rewired.count()}")
       rewired.write.mode("append").parquet(s"$w/in")
