@@ -38,10 +38,19 @@ object Scale {
   /** Write a frame as a bucketed+sorted managed table: repeated joins
     * and aggregations on `key` then need NO exchange (the scan's
     * outputPartitioning already satisfies the join's distribution).
+    *
+    * Pre-partitioned by the bucket function before the write: a
+    * bucketed writer otherwise emits one file per (write task x
+    * bucket), and probe/scan latency tracks file count before
+    * anything else (GateProbe escurve). repartition's
+    * HashPartitioning computes the exact pmod(murmur3, n) bucket id,
+    * so each task holds one bucket and the table carries <= buckets
+    * files (same device as the streaming SegStore's writeBucketed).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
