@@ -207,7 +207,10 @@ object Bench {
     // as a different sf — that would silently stop updating the
     // canonical artifact forever.
     def canonSf(s: String): String =
-      try new java.io.File(s).getCanonicalPath catch { case _: Throwable => s }
+      // IOException only (round-16 VERDICT nitpick): a fatal VM error
+      // here must propagate, not be silently mapped to the raw string
+      try new java.io.File(s).getCanonicalPath
+      catch { case _: java.io.IOException => s }
     val (priorQ: Map[String, Double], sameSf: Boolean) = try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], true)

@@ -43,8 +43,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    member of its components — push rows with `touched = true`,
   *    explicit fillers otherwise — so a node the new push no longer
   *    reaches (denominator degrees grew) is superseded, not leaked.
-  *    The published snapshot is the touched rows of the latest-wins
-  *    fold (exchange-free over the node-bucketed scan).
+  *    Publication is component-sized too (round-16 VERDICT #1): a
+  *    component batch publishes its prc delta as an OVERLAY of the
+  *    last full snapshot ([[SegStore.writeSnapshotDelta]] — the
+  *    filler rows double as per-node tombstones), so the batch
+  *    writes O(component) bytes end to end; full refreshes and base
+  *    batches publish full and reset the overlay chain, which bounds
+  *    the reader-side fold at `compactEvery` overlays.
   *  - `meta` (k, ns): the global seed count the component pushes
   *    reuse; written by full refreshes only (nS changes only when a
   *    never-seen seed-pattern node arrives — exactly the full-path
@@ -65,11 +70,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Store access per batch is scan-only (round-12 VERDICT "what's
   * wrong" #1 — the store is never shuffled or sorted to be probed):
   * every probe is a [[SegStore.prunedScan]] (IN pushdown / broadcast
-  * semi), and the snapshot fold is a latest-wins aggregate directly
-  * over the bucketed `prc` scan. The overlay of the live batch's
-  * (written, uncommitted) `prc` partition uses
-  * [[SegStore.readBucketedTagged]]'s `includeIds` — one scan, no
-  * bucketing-breaking union.
+  * semi), and the full-path snapshot fold is a latest-wins aggregate
+  * directly over the bucketed `prc` scan. The rare no-base fallback
+  * that must fold the live batch's (written, uncommitted) `prc`
+  * partition in uses [[SegStore.readBucketedTagged]]'s `includeIds`
+  * — one scan, no bucketing-breaking union.
   *
   * Exactness: the merged store after batch N is the distinct pair
   * union of batches 1..N (order-independent — each delta segment
@@ -242,10 +247,16 @@ object GraphStream {
     * legacy upgrade. Writes the full `cc`/`ccn`/`prc`/`meta` rows
     * (latest-wins supersedes everything older); `pairs`/`degree` stay
     * delta-sized except on a compaction batch, which folds them too.
+    *
+    * `graphDeltaWritten`: the component path's size-gate fallback has
+    * already landed (and awaited) this batch's `pairs`/`degree`
+    * partitions — skip re-INSERTing them (the overwrite was a harmless
+    * idempotent double-write; round-16 ADVICE #3).
     */
   private def fullRefresh(ss: SparkSession, storeDir: String, outDir: String,
       batchId: Long, base: Boolean, runId: String, ck: Ckpts,
-      newPairs: DataFrame, newDeg: DataFrame): Unit = {
+      newPairs: DataFrame, newDeg: DataFrame,
+      graphDeltaWritten: Boolean = false): Unit = {
     import ss.implicits._
     val (p0, d0) = readGraph(ss, storeDir)
     val pairsAll = ck(p0.union(newPairs))
@@ -262,9 +273,22 @@ object GraphStream {
     // rounds cannot afford; labels (min node id) are kernel-identical
     val state = ck.add(graft.operators.GraphOps.forwardPush(ss, pairsAll,
       degAll, earlyExit = true, nSOverride = Some(nS)))
-    val cc = ck.add(graft.operators.Training
+    val ccEdges = ck.add(graft.operators.Training
       .connectedComponentsTwoPhase(pairsAll)
       .select($"id".as("node"), $"component".as("comp")))
+    // label the FULL node universe, not just endpoints of a =!= b
+    // edges: the contraction drops self-pair edges (c == s), so a node
+    // whose only pairs are self-pairs has no ccEdges row — left as-is
+    // it would also have no `prc` row and every prc-derived snapshot
+    // (publishFallback, the component path's fold) would silently drop
+    // its push state (round-16 ADVICE #1). Such a node is its own
+    // component: label it by its own id, which IS the min node id of
+    // that component — the canonical rule the incremental merge
+    // agrees with. degAll.src is exactly the node universe (degreesOf
+    // unions both endpoints).
+    val cc = ck(degAll.select($"src".as("node"))
+      .join(ccEdges, Seq("node"), "left_outer")
+      .select($"node", coalesce($"comp", $"node").as("comp")))
     val prcRows = ck(cc
       .join(state.withColumn("t", lit(true)), Seq("node"), "left_outer")
       .select($"node", $"comp", coalesce($"est", lit(0L)).as("est"),
@@ -275,9 +299,10 @@ object GraphStream {
       if (base) Seq("pairs" -> pairsAll, "degree" -> degAll,
         "cc" -> cc, "ccn" -> cc.select($"comp", $"node"),
         "prc" -> prcRows, "meta" -> metaRow)
-      else Seq("pairs" -> newPairs, "degree" -> newDeg,
-        "cc" -> cc, "ccn" -> cc.select($"comp", $"node"),
-        "prc" -> prcRows, "meta" -> metaRow)
+      else (if (graphDeltaWritten) Seq.empty
+        else Seq("pairs" -> newPairs, "degree" -> newDeg)) ++
+        Seq("cc" -> cc, "ccn" -> cc.select($"comp", $"node"),
+          "prc" -> prcRows, "meta" -> metaRow)
     // the segment INSERTs land in uncommitted _seg=batchId partitions,
     // invisible to every committed-store read — overlap them with the
     // snapshot publish and quiesce before the marker
@@ -367,8 +392,10 @@ object GraphStream {
           "back to a full refresh for this batch")
       join1()
       phased("ppr-full") {
+        // the pair/degree deltas just awaited are final — tell the
+        // full path not to re-INSERT them (round-16 ADVICE #3)
         fullRefresh(ss, storeDir, outDir, batchId, base, runId, ck,
-          newPairs, newDeg)
+          newPairs, newDeg, graphDeltaWritten = !base)
       }
       return
     }
@@ -414,16 +441,29 @@ object GraphStream {
       val join3 = SegStore.writeBucketedAllAsync(ss, storeDir,
         Seq("prc" -> prcDelta), batchId)
       try {
-        // the snapshot needs the post-batch prc view: await the prc
-        // write, then fold ONE bucketed scan with the live batch's
-        // partition overlaid (includeIds) — latest-wins, exchange-free,
-        // no bucketing-breaking union with the in-memory delta
-        join3()
-        val snap = resolvePrc(ss, storeDir, Seq(batchId))
-          .where($"touched").select($"node", $"est", $"res")
-        SegStore.writeSnapshot(ss, outDir, snap, batchId)
+        // COMPONENT-SIZED publication (round-16 VERDICT #1): the
+        // published snapshot is the last FULL snapshot plus per-batch
+        // touched-rows overlays — prcDelta covers every member of the
+        // touched components (touched = false rows tombstone nodes the
+        // new push no longer reaches), so the overlay IS the exact
+        // per-key update the old corpus-sized prc fold+rewrite
+        // computed, at O(component) write volume. readSnapshot folds
+        // the chain; every base batch publishes full and resets it.
+        // The rare no-base edge (outDir wiped under a live store, or a
+        // pre-overlay outDir whose last publish predates the feature)
+        // falls back to one full publication from the prc fold.
+        if (SegStore.hasFullSnapshot(ss, outDir, batchId))
+          SegStore.writeSnapshotDelta(ss, outDir,
+            prcDelta.select($"node", $"est", $"res", $"touched"), batchId,
+            Seq("node"), "touched")
+        else {
+          join3() // the fold below reads the just-written prc partition
+          val snap = resolvePrc(ss, storeDir, Seq(batchId))
+            .where($"touched").select($"node", $"est", $"res")
+          SegStore.writeSnapshot(ss, outDir, snap, batchId)
+        }
         // every overlapped INSERT must land before the marker
-        join2(); join1()
+        join3(); join2(); join1()
       } catch { case e: Throwable => SegStore.quiesce(ss, join3); throw e }
       SegStore.commit(ss, storeDir, batchId, base = false, runId)
     }

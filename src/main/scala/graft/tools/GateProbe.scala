@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * body phases is the streaming machinery itself (query start/stop,
   * source listing, checkpoint/offset-log writes).
   *
-  * Usage: runMain graft.tools.GateProbe [sfDir] [workDir]
+  * Usage: runMain graft.tools.GateProbe [sfDir] [workDir] [sections] [master]
   */
 object GateProbe {
   def main(args: Array[String]): Unit = {
@@ -29,8 +29,12 @@ object GateProbe {
       if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
       else Set("winnow", "xover", "scrub", "wscrub")
     // escal: opt-in (runMain ... escal) — it rebuilds multi-x corpora
+    // optional args(3): Spark master — e.g. local[8] for the composed
+    // saturation row (a bounded pool distinguishes CPU saturation
+    // from pool serialization: solo walls must rise proportionally)
+    val master = if (args.length > 3) args(3) else "local[32]"
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -432,23 +436,26 @@ object GateProbe {
         val w = s"$work/escal_$label"
         FsUtil.rm(w)
         corpusOf(mult).write.mode("overwrite").parquet(s"$w/in")
-        val oldThresh = SegStore.escalateBytesPerBucket
         def drive(): Unit =
           graft.streaming.WinnowStream.nearDupGateStream(
             spark.readStream.schema("doc_id LONG, text STRING")
               .parquet(s"$w/in"),
             s"$w/store", s"$w/out", s"$w/ckpt", compactEvery = 1)
             .awaitTermination()
-        try {
-          SegStore.escalateBytesPerBucket = Long.MaxValue
+        locally {
           drive() // batch 0: the corpus (delta segment, 8 buckets)
-          if (escalate) {
-            // threshold below the store's bytes/bucket so the base
-            // escalates (one doubling per compaction by policy)
-            val fpBytes = du(new java.io.File(
-              SegStore.bucketedLoc(s"$w/store", "fp")))
-            SegStore.escalateBytesPerBucket = math.max(1L, fpBytes / (8L * mult))
-          }
+          // per-STORE threshold, recorded in each sub-table's spec
+          // (the round-17 move off the old JVM-global knob): MaxValue
+          // pins the ctrl rows un-escalated; the escal row sets it
+          // below the store's bytes/bucket so the base escalates
+          // (one doubling per compaction by policy)
+          val thresh =
+            if (escalate) {
+              val fpBytes = du(new java.io.File(
+                SegStore.bucketedLoc(s"$w/store", "fp")))
+              math.max(1L, fpBytes / (8L * mult))
+            } else Long.MaxValue
+          SegStore.setEscalateThreshold(spark, s"$w/store", thresh)
           // batch 1: a 200-doc delta; compactEvery=1 makes it the BASE
           // fold — the escalation decision point
           delta.write.mode("append").parquet(s"$w/in")
@@ -477,7 +484,7 @@ object GateProbe {
             f"probe_fp run1=$f1%.2f run2=$f2%.2f rows=$fn | " +
             f"probe_df run1=$d1%.2f run2=$d2%.2f rows=$dn")
           graft.operators.Relational.releaseCkpt(hs)
-        } finally SegStore.escalateBytesPerBucket = oldThresh
+        }
       }
     }
 

@@ -165,12 +165,16 @@ class SegStoreSpec extends AnyFunSuite {
     val rows = (0L until 5000L).map(i => (i, i * 10)).toDF("k", "v")
     SegStore.writeBucketed(spark, root, "kv", rows, 0L)
     SegStore.commit(spark, root, 0L, base = false)
-    val oldThresh = SegStore.escalateBytesPerBucket
-    try {
-      // tiny threshold: the base fold at batch 1 must escalate 2 -> a
-      // power-of-2 large enough that bytes/bucket <= 1 KB... capped by
-      // the doubling ladder; just assert it GREW and the store is intact
-      SegStore.escalateBytesPerBucket = 8L << 10 // 8 KB per bucket
+    locally {
+      // tiny PER-STORE threshold (recorded in the spec via the
+      // ensureBucketed policy param — no JVM-global knob): the base
+      // fold at batch 1 must escalate 2 -> a power-of-2; just assert
+      // it GREW and the store is intact
+      SegStore.ensureBucketed(spark, root, "kv",
+        "k BIGINT, v BIGINT", Seq("k"), 2,
+        escalateBytesPerBucket = Some(8L << 10)) // 8 KB per bucket
+      assert(specText().contains(";esc=8192"),
+        s"per-store threshold not recorded: ${specText()}")
       val folded = spark.table(name).drop("_seg").localCheckpoint()
       SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
         base = true)
@@ -222,7 +226,88 @@ class SegStoreSpec extends AnyFunSuite {
         Seq((990000L, 1L)).toDF("k", "v"), 2L)
       SegStore.commit(spark, root, 2L, base = false)
       assert(spark.table(name).count() == 5001L)
-    } finally SegStore.escalateBytesPerBucket = oldThresh
+    }
+  }
+
+  test("per-store escalation thresholds: two stores in one session tune independently") {
+    import spark.implicits._
+    // the round-16 nitpick: the old JVM-global threshold meant two
+    // stores with different media in one session could not be tuned
+    // separately; now the threshold lives in each store's spec
+    val rootA = Files.createTempDirectory("segstore_esc_a").toString + "/s"
+    val rootB = Files.createTempDirectory("segstore_esc_b").toString + "/s"
+    val rows = (0L until 5000L).map(i => (i, i)).toDF("k", "v")
+    for ((root, esc) <- Seq((rootA, Some(1L)), (rootB, Some(Long.MaxValue)))) {
+      SegStore.ensureBucketed(spark, root, "kv",
+        "k BIGINT, v BIGINT", Seq("k"), 2, escalateBytesPerBucket = esc)
+      SegStore.writeBucketed(spark, root, "kv", rows, 0L)
+      SegStore.commit(spark, root, 0L, base = false)
+      val folded = spark.table(SegStore.bucketedName(root, "kv"))
+        .drop("_seg").localCheckpoint()
+      SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
+        base = true)
+      SegStore.commit(spark, root, 1L, base = true)
+    }
+    def bucketsOf(root: String): Int =
+      org.apache.spark.sql.GraftBridge.numBuckets(spark,
+        SegStore.ensureBucketed(spark, root, "kv",
+          "k BIGINT, v BIGINT", Seq("k"), 2)).get
+    assert(bucketsOf(rootA) > 2,
+      "store A (1-byte threshold) did not escalate at its base")
+    assert(bucketsOf(rootB) == 2,
+      "store B (MaxValue threshold) escalated despite its own policy")
+    // both store contents intact
+    for (root <- Seq(rootA, rootB)) {
+      val got = spark.table(SegStore.bucketedName(root, "kv")).drop("_seg")
+      assert(got.count() == 5000L)
+      assert(got.except(rows).isEmpty && rows.except(got).isEmpty)
+    }
+  }
+
+  test("commit() folds a committed bucket transition even without an intervening ensureBucketed") {
+    import spark.implicits._
+    // round-16 ADVICE #2: a direct-driven store that commits two bases
+    // without re-declaring in between must not have a later base's GC
+    // drop the marker dir the pending transition's == rule consults —
+    // commit() itself folds the transition the moment it activates
+    val root = Files.createTempDirectory("segstore_esc_fold").toString + "/s"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def specText(): String = {
+      val p = new org.apache.hadoop.fs.Path(
+        SegStore.bucketedLoc(root, "kv"), "_GRAFT_SPEC")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    SegStore.ensureBucketed(spark, root, "kv",
+      "k BIGINT, v BIGINT", Seq("k"), 2, escalateBytesPerBucket = Some(1L))
+    val rows = (0L until 5000L).map(i => (i, i)).toDF("k", "v")
+    SegStore.writeBucketed(spark, root, "kv", rows, 0L)
+    SegStore.commit(spark, root, 0L, base = false)
+    val folded = spark.table(SegStore.bucketedName(root, "kv"))
+      .drop("_seg").localCheckpoint()
+    SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
+      base = true)
+    assert(specText().contains(";next="), "escalation did not record a transition")
+    SegStore.commit(spark, root, 1L, base = true)
+    // folded AT COMMIT — no ensureBucketed ran since the writeSpec
+    assert(!specText().contains(";next="),
+      s"commit did not fold the committed transition: ${specText()}")
+    assert(specText().startsWith("buckets=4;"),
+      s"folded spec carries the wrong count: ${specText()}")
+    // a second base straight after (still no ensureBucketed) reads the
+    // escalated count — the old hazard was reverting to 2 buckets here
+    val folded2 = spark.table(SegStore.bucketedName(root, "kv"))
+      .drop("_seg").localCheckpoint()
+    SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded2), 2L,
+      base = true)
+    SegStore.commit(spark, root, 2L, base = true)
+    assert(specText().startsWith("buckets=8;") && !specText().contains(";next="),
+      s"second direct base lost the escalated count: ${specText()}")
+    val got = spark.table(SegStore.bucketedName(root, "kv")).drop("_seg")
+    assert(got.count() == 5000L)
+    assert(got.except(rows).isEmpty && rows.except(got).isEmpty)
   }
 
   test("bucketed writes are pre-partitioned by the bucket function: <= buckets files per partition") {
@@ -258,16 +343,15 @@ class SegStoreSpec extends AnyFunSuite {
     val rows = (0L until 2000L).map(i => (i, i)).toDF("k", "v")
     SegStore.writeBucketed(spark, root, "kv", rows, 0L)
     SegStore.commit(spark, root, 0L, base = false)
-    val oldThresh = SegStore.escalateBytesPerBucket
-    try {
-      SegStore.escalateBytesPerBucket = 1L << 10
+    locally {
+      SegStore.setEscalateThreshold(spark, root, 1L << 10)
       val folded = spark.table(name).drop("_seg").localCheckpoint()
       // batch 1 escalates + inserts, then 'crashes' (no commit)
       SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 1L,
         base = true)
       // a later base (different id) commits WITHOUT escalating — the
       // stale next=N@1 must not flip on (it is bound to id 1 exactly)
-      SegStore.escalateBytesPerBucket = oldThresh // no new escalation
+      SegStore.setEscalateThreshold(spark, root, Long.MaxValue) // no new escalation
       assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, declare())
         .contains(2), "stale transition activated before its base committed")
       SegStore.writeBucketedAll(spark, root, Seq("kv" -> folded), 3L,
@@ -277,7 +361,7 @@ class SegStoreSpec extends AnyFunSuite {
         .contains(2),
         "an unrelated base activated a stale uncommitted transition")
       assert(spark.table(name).drop("_seg").count() == 2000L)
-    } finally SegStore.escalateBytesPerBucket = oldThresh
+    }
   }
 
   test("legacy identity-less markers are stamped on first checked replay") {
@@ -411,37 +495,36 @@ class SegStoreSpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$src/$name.parquet"))
     }
-    shipFile(docs.where(col("doc_id") % 3 === 0), "0")
-    shipFile(docs.where(col("doc_id") % 3 === 1), "1")
-    shipFile(docs.where(col("doc_id") % 3 === 2), "2")
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    val oldThresh = SegStore.escalateBytesPerBucket
-    try {
-      // 1-byte threshold: EVERY base compaction escalates (one
-      // doubling per base by policy). compactEvery=2 -> batch 2 folds
-      // and re-buckets mid-stream; batch 2's delta must land at the
-      // escalated count and the resulting index must equal the batch
-      // fingerprint set exactly.
-      SegStore.escalateBytesPerBucket = 1L
-      val q = WinnowStream.nearDupGateStream(stream,
-        s"$work/store", s"$work/out", s"$work/ckpt", compactEvery = 2,
-        buckets = 2)
-      q.awaitTermination()
-      val name = SegStore.ensureBucketed(spark, s"$work/store", "fp",
-        "doc_id BIGINT, h BIGINT", Seq("h"), 2)
-      assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, name)
-        .exists(_ > 2), "base compaction under a 1-byte threshold did not escalate")
-      val (fp, dfStore) = WinnowStream.readIndex(spark, s"$work/store")
-      val full = graft.operators.Dedup.winnowFp(docs)
-      assert(fp.except(full).isEmpty && full.except(fp).isEmpty,
-        "escalated fp index != full fingerprint set")
-      val dfDerived = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      assert(dfStore.except(dfDerived).isEmpty && dfDerived.except(dfStore).isEmpty,
-        "escalated df inconsistent with fp")
-    } finally SegStore.escalateBytesPerBucket = oldThresh
+    def runGate(): Unit = WinnowStream.nearDupGateStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt", compactEvery = 2,
+      buckets = 2).awaitTermination()
+    // batch 0 creates the store; then record a 1-byte PER-STORE
+    // threshold: EVERY later base compaction escalates (one doubling
+    // per base by policy). compactEvery=2 -> batch 2 folds and
+    // re-buckets mid-stream; batch 2's delta must land at the
+    // escalated count and the resulting index must equal the batch
+    // fingerprint set exactly.
+    shipFile(docs.where(col("doc_id") % 3 === 0), "0")
+    runGate()
+    SegStore.setEscalateThreshold(spark, s"$work/store", 1L)
+    shipFile(docs.where(col("doc_id") % 3 === 1), "1")
+    shipFile(docs.where(col("doc_id") % 3 === 2), "2")
+    runGate()
+    val name = SegStore.ensureBucketed(spark, s"$work/store", "fp",
+      "doc_id BIGINT, h BIGINT", Seq("h"), 2)
+    assert(org.apache.spark.sql.GraftBridge.numBuckets(spark, name)
+      .exists(_ > 2), "base compaction under a 1-byte threshold did not escalate")
+    val (fp, dfStore) = WinnowStream.readIndex(spark, s"$work/store")
+    val full = graft.operators.Dedup.winnowFp(docs)
+    assert(fp.except(full).isEmpty && full.except(fp).isEmpty,
+      "escalated fp index != full fingerprint set")
+    val dfDerived = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    assert(dfStore.except(dfDerived).isEmpty && dfDerived.except(dfStore).isEmpty,
+      "escalated df inconsistent with fp")
   }
 
   test("gate compaction: WinnowStream folds into a base segment and the index is unchanged") {

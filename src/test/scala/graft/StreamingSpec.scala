@@ -1582,6 +1582,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(SegStore.readSnapshot(spark, out).get.count() == 3)
   }
 
+  test("snapshot overlays: latest-wins fold with tombstones, chain retention, full publish resets") {
+    import graft.streaming.SegStore
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_snapd_").toString + "/out"
+    def read(): Set[(Long, Long)] = SegStore.readSnapshot(spark, out).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def left(): Set[String] = new java.io.File(out).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    // an overlay without a base full snapshot must refuse loudly
+    intercept[IllegalStateException] {
+      SegStore.writeSnapshotDelta(spark, out,
+        Seq((1L, 10L, true)).toDF("k", "v", "keep"), 0L, Seq("k"), "keep")
+    }
+    SegStore.writeSnapshot(spark, out,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 0L)
+    // overlay 1: update k=2, add k=3, TOMBSTONE k=1 (keep = false)
+    SegStore.writeSnapshotDelta(spark, out,
+      Seq((1L, 0L, false), (2L, 21L, true), (3L, 30L, true))
+        .toDF("k", "v", "keep"), 1L, Seq("k"), "keep")
+    val s1 = SegStore.readSnapshot(spark, out).get
+    assert(s1.columns.toSeq == Seq("k", "v"),
+      s"overlay fold changed the published schema: ${s1.columns.toSeq}")
+    assert(read() == Set((2L, 21L), (3L, 30L)))
+    // overlay 2: k=1 returns — latest publish wins over the tombstone
+    SegStore.writeSnapshotDelta(spark, out,
+      Seq((1L, 11L, true)).toDF("k", "v", "keep"), 2L, Seq("k"), "keep")
+    assert(read() == Set((1L, 11L), (2L, 21L), (3L, 30L)))
+    // the whole chain is load-bearing: nothing GC'd while overlays
+    // extend the base
+    assert(Set("snap_0", "_PTR_0", "snapd_1", "_PTRD_1", "snapd_2",
+      "_PTRD_2").subsetOf(left()), s"chain member GC'd early: ${left()}")
+    // a FULL publish resets the chain; the N-1 generation (the whole
+    // prior chain) survives one more publish for in-flight readers
+    SegStore.writeSnapshot(spark, out, Seq((9L, 90L)).toDF("k", "v"), 3L)
+    assert(read() == Set((9L, 90L)))
+    assert(Set("snap_0", "snapd_1", "snapd_2").subsetOf(left()),
+      s"prior chain GC'd while still the N-1 generation: ${left()}")
+    SegStore.writeSnapshot(spark, out, Seq((9L, 91L)).toDF("k", "v"), 4L)
+    assert(read() == Set((9L, 91L)))
+    assert(left() == Set("snap_3", "_PTR_3", "snap_4", "_PTR_4", "_SNAP_SPEC"),
+      s"old chain not GC'd after two full publishes: ${left()}")
+    // torn overlay (parquet without its pointer) and orphan pointer
+    // (no data dir): both skipped, the last good publish still reads
+    Seq((5L, 50L, true)).toDF("k", "v", "keep")
+      .write.parquet(s"$out/snapd_5")
+    new java.io.File(s"$out/_PTRD_6").createNewFile()
+    assert(read() == Set((9L, 91L)))
+    // a conflicting fold spec is rejected
+    intercept[IllegalStateException] {
+      SegStore.writeSnapshotDelta(spark, out,
+        Seq((1L, 1L, true)).toDF("k", "v", "other"), 7L, Seq("k"), "other")
+    }
+  }
+
   test("scrub gates under aggressive compaction (compactEvery=1): readouts unchanged, base-only layout") {
     import org.apache.spark.sql.functions._
     import graft.streaming.{SegScrubStream, SegStore, WinnowScrubStream}
@@ -1866,6 +1920,74 @@ class StreamingSpec extends AnyFunSuite {
         s"prc delta rows ${prc1.count()} != chain members ${chainNodes.size}")
       assert(prc1.where("touched").count() == 0L,
         "seedless component produced touched PPR rows")
+    } finally GatePhase.hook = (_, _) => ()
+  }
+
+  test("graph gate: self-pair-only nodes keep their push state in prc-derived snapshots") {
+    import graft.streaming.{GatePhase, GraphStream, SegStore}
+    import spark.implicits._
+    // round-16 ADVICE #1: the a =!= b contraction never sees a node
+    // whose ONLY pairs are self-pairs (c == s), so building cc from
+    // edge endpoints alone left it without a label — and without a
+    // `prc` row, every prc-derived snapshot (the component path's
+    // fold, publishFallback) silently dropped its push state. The
+    // ingest accepts arbitrary (c, s) longs; such a node must be its
+    // own component, labeled by its own id.
+    def c(k: Long) = 2 * k
+    def s_(j: Long) = 2 * j + 1
+    val work = Files.createTempDirectory("graft_ppr_selfpair_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      rows.toDF("c", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val stream = spark.readStream.schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[String]
+    GatePhase.hook = (n, _) => phases.synchronized { phases += n; () }
+    def runOnce(): Unit = GraphStream.pprPushStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt").awaitTermination()
+    def snapshot(): Set[(Long, Long, Long)] =
+      SegStore.readSnapshot(spark, s"$work/out").get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def oracle(all: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val p = all.distinct.toDF("c", "s")
+      graft.operators.GraphOps.forwardPush(spark, p,
+        graft.operators.BipartiteGraph.degreesOf(p), earlyExit = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    try {
+      // batch 0: one seeded component plus a SEED-pattern self-pair
+      // node (c(20) = 40, 40 % 20 == 0) with no other edges — its push
+      // state is non-empty, so dropping its prc row is observable
+      val base0 = Seq((c(10), s_(50)), (c(11), s_(50)), (c(20), c(20)))
+      shipFile(base0, "0_bootstrap")
+      runOnce()
+      assert(snapshot() == oracle(base0),
+        "bootstrap snapshot != batch push over a graph with a self-pair node")
+      // batch 1: a no-new-seed delta touching the normal component only
+      // — the component path publishes a prc-DERIVED snapshot, which
+      // must still carry the untouched self-pair node's rows
+      val d1 = Seq((c(12), s_(50)))
+      shipFile(d1, "1_delta")
+      runOnce()
+      val taken = phases.synchronized(phases.toVector.filter(_.startsWith("ppr-")))
+      assert(taken == Seq("ppr-full", "ppr-component"),
+        s"unexpected refresh paths: $taken")
+      assert(snapshot() == oracle(base0 ++ d1),
+        "prc-derived snapshot dropped the self-pair node's push state")
+      // and the node is labeled in cc by its own id (its own component)
+      val lbl = SegStore.readBucketedTagged(spark, s"$work/store", "cc").get
+        .groupBy($"node")
+        .agg(org.apache.spark.sql.functions.expr("max_by(comp, _seg)").as("comp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl.get(c(20)).contains(c(20)),
+        s"self-pair node not labeled by its own id: ${lbl.get(c(20))}")
     } finally GatePhase.hook = (_, _) => ()
   }
 
