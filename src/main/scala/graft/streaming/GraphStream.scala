@@ -203,8 +203,17 @@ object GraphStream {
       // old-count-bucketed — a pure aggregate stays correct in that
       // window (all rows of a key share one physical file), but
       // nothing downstream should ever read a catalog whose claim and
-      // physical layout disagree (review finding, round 16)
-      if (SegStore.readSnapshot(ss, outDir).isEmpty)
+      // physical layout disagree (review finding, round 16).
+      // Publish not only when NOTHING exists (restart edge) but also
+      // when the newest publication is an OVERLAY: the compactEvery
+      // bound on the overlay chain relies on every base batch
+      // resetting it, and an all-replay base would otherwise leave the
+      // chain growing across compaction cycles (review finding,
+      // round 17). snapshotState is one listStatus — the old
+      // readSnapshot-isEmpty probe built the whole fold plan just to
+      // test emptiness.
+      val (hasSnap, overlayTop) = SegStore.snapshotState(ss, outDir)
+      if (!hasSnap || overlayTop)
         publishFallback(ss, storeDir, outDir, batchId, ck)
       // checkpoint every fold: the INSERTs overwrite tables they read
       val folds = foldAll(ss, storeDir, None).map { case (k, v) => k -> ck(v) }
@@ -215,7 +224,7 @@ object GraphStream {
       val join = SegStore.writeBucketedAllAsync(ss, storeDir,
         Seq("pairs" -> newPairs, "degree" -> newDeg), batchId)
       try {
-        if (SegStore.readSnapshot(ss, outDir).isEmpty)
+        if (!SegStore.snapshotState(ss, outDir)._1)
           publishFallback(ss, storeDir, outDir, batchId, ck)
         join()
       } catch { case e: Throwable => SegStore.quiesce(ss, join); throw e }

@@ -261,17 +261,7 @@ object SegStore {
       // without an intervening ensureBucketed would otherwise have the
       // spec silently revert to the old count over escalated files
       // (round-16 ADVICE #2).
-      fs.listStatus(new Path(root)).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("_tbl_")) {
-          val sub = n.stripPrefix("_tbl_")
-          readSpec(ss, root, sub).foreach { sp =>
-            val eff = effectiveBuckets(ss, root, sp)
-            if (sp.next.isDefined && eff != sp.buckets)
-              writeSpec(ss, root, sub, SubSpec(eff, sp.tail, sp.escBytes, None))
-          }
-        }
-      }
+      foreachSubSpec(ss, root)(foldCommittedTransition(ss, root, _, _))
       val keep = s"base_$batchId"
       fs.listStatus(new Path(root)).foreach { st =>
         val n = st.getPath.getName
@@ -496,22 +486,11 @@ object SegStore {
     val loc = bucketedLoc(root, sub)
     val fs = fsOf(ss, root)
     val liveTail = specTail(colsDdl, keyCols)
-    // per-store escalation POLICY (round-16 VERDICT #2): recorded in
-    // the spec next to the bucket count, so two stores on different
-    // media in one JVM tune independently. Unlike the bucket count
-    // (physical state — recorded wins forever), the threshold is pure
-    // policy: an explicit caller value UPDATES the record; None keeps
-    // whatever is recorded (gates pass None — tooling/specs tune).
-    val recorded = readSpec(ss, root, sub).map { sp =>
-      escalateBytesPerBucket match {
-        case Some(esc) if !sp.escBytes.contains(esc) =>
-          val sp2 = sp.copy(escBytes = Some(esc))
-          writeSpec(ss, root, sub, sp2)
-          sp2
-        case _ => sp
-      }
-    }
-    recorded.foreach { sp =>
+    val recorded0 = readSpec(ss, root, sub)
+    // validate the physical tail BEFORE any spec mutation: a rejected
+    // re-declare must not leave the caller's policy value behind on a
+    // store it was refused access to (review finding, round 17)
+    recorded0.foreach { sp =>
       if (sp.tail != liveTail)
         throw new IllegalStateException(
           s"graft.SegStore: bucketed sub-table $sub of $root was written " +
@@ -521,14 +500,26 @@ object SegStore {
             "plan; fix the caller's arguments (they must match what the " +
             "store was created with).")
     }
+    // per-store escalation POLICY (round-16 VERDICT #2): recorded in
+    // the spec next to the bucket count, so two stores on different
+    // media in one JVM tune independently. Unlike the bucket count
+    // (physical state — recorded wins forever), the threshold is pure
+    // policy: an explicit caller value UPDATES the record; None keeps
+    // whatever is recorded (gates pass None — tooling/specs tune).
+    val recorded = recorded0.map { sp =>
+      escalateBytesPerBucket match {
+        case Some(esc) if !sp.escBytes.contains(esc) =>
+          val sp2 = sp.copy(escBytes = Some(esc))
+          writeSpec(ss, root, sub, sp2)
+          sp2
+        case _ => sp
+      }
+    }
     val eff = recorded.map { sp =>
-      val e = effectiveBuckets(ss, root, sp)
       // housekeeping: fold a COMMITTED transition into the base count
       // now, while the base marker dir the ==-rule consults still
       // exists (a future base's GC drops it)
-      if (sp.next.isDefined && e != sp.buckets)
-        writeSpec(ss, root, sub, SubSpec(e, sp.tail, sp.escBytes, None))
-      e
+      foldCommittedTransition(ss, root, sub, sp).buckets
     }.getOrElse(buckets)
     if (ss.catalog.tableExists(name)) {
       // an in-session entry can be stale after a crashed escalation
@@ -571,19 +562,40 @@ object SegStore {
     * schema. Policy only: safe at any time, takes effect at the next
     * base compaction.
     */
-  def setEscalateThreshold(ss: SparkSession, root: String, bytes: Long): Unit = {
+  def setEscalateThreshold(ss: SparkSession, root: String, bytes: Long): Unit =
+    foreachSubSpec(ss, root) { (sub, sp) =>
+      if (!sp.escBytes.contains(bytes))
+        writeSpec(ss, root, sub, sp.copy(escBytes = Some(bytes)))
+    }
+
+  /** Apply `f` to every existing bucketed sub-table's recorded spec. */
+  private def foreachSubSpec(ss: SparkSession, root: String)(
+      f: (String, SubSpec) => Unit): Unit = {
     val fs = fsOf(ss, root)
     val rootPath = new Path(root)
     if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("_tbl_")) {
         val sub = n.stripPrefix("_tbl_")
-        readSpec(ss, root, sub).foreach { sp =>
-          if (!sp.escBytes.contains(bytes))
-            writeSpec(ss, root, sub, sp.copy(escBytes = Some(bytes)))
-        }
+        readSpec(ss, root, sub).foreach(sp => f(sub, sp))
       }
     }
+  }
+
+  /** Fold a COMMITTED bucket-count transition into the base count
+    * (no-op otherwise); returns the spec whose `buckets` is the
+    * effective count either way. One definition shared by
+    * [[ensureBucketed]] and [[commit]] so a future spec field cannot
+    * be dropped by one of the sites.
+    */
+  private def foldCommittedTransition(ss: SparkSession, root: String,
+      sub: String, sp: SubSpec): SubSpec = {
+    val eff = effectiveBuckets(ss, root, sp)
+    if (sp.next.isDefined && eff != sp.buckets) {
+      val sp2 = SubSpec(eff, sp.tail, sp.escBytes, None)
+      writeSpec(ss, root, sub, sp2)
+      sp2
+    } else sp
   }
 
   /** Bucket-count escalation at BASE-compaction time (round-15 VERDICT
@@ -679,8 +691,13 @@ object SegStore {
     * VERDICT #3: the escalation size signal should come from sizes the
     * write already knows, not a recursive getContentSummary walk per
     * active segment on every base batch). A base write prunes entries
-    * its commit's GC is about to drop. Best-effort plain overwrite —
-    * a torn file degrades to the FS-walk fallback, never corrupts.
+    * its commit's GC is about to drop. Written complete-then-rename
+    * (a plain overwrite could tear MID-VALUE — "5=123456789" truncated
+    * to "5=12" still parses and silently understates the signal; with
+    * the rename, a crash leaves either the old complete file, no file,
+    * or the new complete file — the missing-entry cases degrade to the
+    * FS-walk fallback). Advisory data: a failed rename just drops the
+    * update.
     */
   private def recordSize(ss: SparkSession, root: String, sub: String,
       batchId: Long, base: Boolean): Unit = {
@@ -693,10 +710,15 @@ object SegStore {
       if (base) readSizes(ss, root, sub).filter(_._1 > batchId)
       else readSizes(ss, root, sub)
     val all = (kept + (batchId -> bytes)).toSeq.sortBy(_._1)
-    val out = fs.create(new Path(bucketedLoc(root, sub), SizesFile), true)
+    val p = new Path(bucketedLoc(root, sub), SizesFile)
+    val pn = new Path(bucketedLoc(root, sub), SizesFile + ".new")
+    val out = fs.create(pn, true)
     try out.write(all.map { case (k, v) => s"$k=$v" }.mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(pn, p)) fs.delete(pn, false)
+    ()
   }
 
   /** On-disk bytes of the ACTIVE segments' partitions of `sub` — the
@@ -1185,6 +1207,18 @@ object SegStore {
     */
   def hasFullSnapshot(ss: SparkSession, outDir: String, batchId: Long): Boolean =
     snapPointers(ss, outDir)._1.exists(_ < batchId)
+
+  /** Cheap publication state of `outDir`: (anything published?, is
+    * the newest publication an overlay?). One listStatus — the
+    * existence/chain-state probe for gates that must NOT pay
+    * [[readSnapshot]]'s plan construction just to test emptiness
+    * (review finding, round 17).
+    */
+  def snapshotState(ss: SparkSession, outDir: String): (Boolean, Boolean) = {
+    val (fulls, deltas) = snapPointers(ss, outDir)
+    val newest = (fulls ++ deltas).maxOption
+    (newest.isDefined, newest.exists(deltas.contains))
+  }
 
   /** Published pointer ids under `outDir` whose data directory exists:
     * (full ids, overlay ids).

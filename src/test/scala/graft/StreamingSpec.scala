@@ -2059,6 +2059,76 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-replay base batch resets the snapshot overlay chain") {
+    import graft.streaming.{GraphStream, SegStore}
+    import spark.implicits._
+    // review finding (round 17): the compactEvery bound on the overlay
+    // chain relies on EVERY base batch publishing full — including an
+    // all-replay base, which used to publish nothing and let the chain
+    // grow across compaction cycles
+    def c(k: Long) = 2 * k
+    def s_(j: Long) = 2 * j + 1
+    def comp(i: Long): Seq[(Long, Long)] = Seq(
+      (c(100 * i + 10), s_(100 * i + 50)),
+      (c(100 * i + 11), s_(100 * i + 50)),
+      (c(100 * i + 12), s_(100 * i + 51)))
+    val work = Files.createTempDirectory("graft_ppr_chainreset_").toString
+    val src = s"$work/in"
+    new java.io.File(src).mkdirs()
+    def shipFile(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      rows.toDF("c", "s").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val stream = spark.readStream.schema("c LONG, s LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    def runOnce(): Unit = GraphStream.pprPushStream(stream,
+      s"$work/store", s"$work/out", s"$work/ckpt", compactEvery = 2)
+      .awaitTermination()
+    def ptrs(): Set[String] = new java.io.File(s"$work/out").listFiles()
+      .map(_.getName).filter(n => n.startsWith("_PTR_") || n.startsWith("_PTRD_"))
+      .toSet
+    def snapshot(): Set[(Long, Long, Long)] =
+      SegStore.readSnapshot(spark, s"$work/out").get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def oracle(all: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val p = all.distinct.toDF("c", "s")
+      graft.operators.GraphOps.forwardPush(spark, p,
+        graft.operators.BipartiteGraph.degreesOf(p), earlyExit = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val base0 = (0L until 3L).flatMap(comp)
+    shipFile(base0, "0_bootstrap")
+    runOnce()
+    val d1 = Seq((c(13), s_(51))) // no-new-seed: component path, overlay
+    shipFile(d1, "1_delta")
+    runOnce()
+    assert(ptrs().contains("_PTRD_1"),
+      s"component delta did not publish an overlay: ${ptrs()}")
+    // batch 2 re-delivers d1 verbatim: all-replay AND a compaction
+    // batch (two active deltas, compactEvery = 2) — the base must
+    // publish a FULL snapshot, resetting the chain
+    shipFile(d1, "2_replay_base")
+    runOnce()
+    assert(ptrs().contains("_PTR_2"),
+      s"all-replay base did not reset the overlay chain: ${ptrs()}")
+    assert(SegStore.active(spark, s"$work/store").map(_.base) == Seq(true),
+      "compaction batch did not fold to a base-only layout")
+    assert(snapshot() == oracle(base0 ++ d1),
+      "post-reset snapshot != batch push")
+    // overlays keep working over the new base
+    val d3 = Seq((c(12), s_(50)))
+    shipFile(d3, "3_delta")
+    runOnce()
+    assert(ptrs().contains("_PTRD_3"),
+      s"post-reset component delta did not publish an overlay: ${ptrs()}")
+    assert(snapshot() == oracle(base0 ++ d1 ++ d3),
+      "post-reset overlay snapshot != batch push")
+  }
+
   test("component-exact PPR refresh survives a crash-kill inside the delta batch") {
     import graft.streaming.{GraphStream, SegStore}
     import spark.implicits._
