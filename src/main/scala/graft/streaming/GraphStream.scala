@@ -452,20 +452,36 @@ object GraphStream {
       try {
         // COMPONENT-SIZED publication (round-16 VERDICT #1): the
         // published snapshot is the last FULL snapshot plus per-batch
-        // touched-rows overlays — prcDelta covers every member of the
-        // touched components (touched = false rows tombstone nodes the
-        // new push no longer reaches), so the overlay IS the exact
-        // per-key update the old corpus-sized prc fold+rewrite
-        // computed, at O(component) write volume. readSnapshot folds
-        // the chain; every base batch publishes full and resets it.
+        // overlays; readSnapshot folds the chain, every base batch
+        // publishes full and resets it. The overlay carries rows ONLY
+        // for nodes whose PUBLISHED view changes: the new push rows,
+        // plus tombstones for member nodes the prior view contained
+        // (latest-wins committed `prc` row touched — the published
+        // view's exact membership by the exactness invariant) that
+        // the new push no longer reaches. Never-touched members stay
+        // absent on both sides — publishing prcDelta's fillers for
+        // them would make the overlay MEMBER-set-sized (measured 90%
+        // of the full snapshot on the 8-copy probe fixture, since
+        // push rows are a small fraction of a component's members)
+        // instead of churn-sized. The prc STORE still receives every
+        // member row; the pruned scan below reads committed segments
+        // only, so the overlapped prc INSERT cannot race it.
         // The rare no-base edge (outDir wiped under a live store, or a
         // pre-overlay outDir whose last publish predates the feature)
         // falls back to one full publication from the prc fold.
-        if (SegStore.hasFullSnapshot(ss, outDir, batchId))
-          SegStore.writeSnapshotDelta(ss, outDir,
-            prcDelta.select($"node", $"est", $"res", $"touched"), batchId,
+        if (SegStore.hasFullSnapshot(ss, outDir, batchId)) {
+          val priorTouched = SegStore.prunedScanTagged(ss, storeDir, "prc",
+            "node", allMembers.select($"node"))
+            .map(_.groupBy($"node").agg(expr("max_by(touched, _seg)").as("t"))
+              .where($"t").select($"node"))
+            .getOrElse(Seq.empty[Long].toDF("node"))
+          val snapDelta = prcDelta.where($"touched")
+            .unionByName(prcDelta.where(!$"touched")
+              .join(priorTouched, Seq("node"), "left_semi"))
+            .select($"node", $"est", $"res", $"touched")
+          SegStore.writeSnapshotDelta(ss, outDir, snapDelta, batchId,
             Seq("node"), "touched")
-        else {
+        } else {
           join3() // the fold below reads the just-written prc partition
           val snap = resolvePrc(ss, storeDir, Seq(batchId))
             .where($"touched").select($"node", $"est", $"res")

@@ -398,8 +398,23 @@ object GateProbe {
           s"$w/store", s"$w/out", s"$w/ckpt", compactEvery = 100)
           .awaitTermination()
       }._1
+      // per-publication on-disk bytes: the O(component)-write claim of
+      // the overlay publication, measured (snapd_N should be a small
+      // fraction of the full snap_0 it extends)
+      def snapSizes(): String = {
+        def du(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+        Option(new java.io.File(s"$w/out").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            (f.getName.startsWith("snap_") || f.getName.startsWith("snapd_")))
+          .sortBy(_.getName)
+          .map(f => s"${f.getName}=${du(f)}B").mkString(" ")
+      }
       jobs.set(0)
       report("ppr_bootstrap_8copies", runPpr())
+      println(s"[gate-probe] ppr snapshots after bootstrap: ${snapSizes()}")
       // no-new-seed delta: 200 rewired pairs among EXISTING copy-0
       // nodes (customer i paired with neighbor i+1's supplier), minus
       // any that already exist — the component path's common case
@@ -413,6 +428,16 @@ object GateProbe {
       rewired.write.mode("append").parquet(s"$w/in")
       jobs.set(0)
       report("ppr_component_delta", runPpr())
+      println(s"[gate-probe] ppr snapshots after component delta: ${snapSizes()}")
+      // reader-side cost of the overlay fold (base + 1 overlay) vs the
+      // plain read a full pointer gets — the price readers pay for the
+      // O(component) publication, bounded by compactEvery overlays
+      locally {
+        val r = graft.streaming.SegStore.readSnapshot(spark, s"$w/out").get
+        val (t1, n) = time(r.count())
+        val (t2, _) = time(r.count())
+        println(f"[gate-probe] ppr overlay-fold read: rows=$n run1=$t1%.2f s run2=$t2%.2f s")
+      }
       // new-seed delta on the same store: one never-seen seed-pattern
       // customer (20e9 % 20 == 0) — Total/nS moves, full re-push
       Seq((20000000000L, neigh.head._2)).toDF("c", "s")
