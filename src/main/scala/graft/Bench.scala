@@ -128,7 +128,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -164,7 +164,19 @@ object Bench {
       .config("spark.ui.retainedTasks", "2000")
       .config("spark.sql.ui.retainedExecutions", "20")
       .withExtensions(new GraftExtensions) // the production install path
-      .getOrCreate()
+    // Dev-only A/B hook: semicolon-separated `key=value` Spark confs
+    // (e.g. SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false")
+    // so config experiments run under the EXACT bench protocol
+    // (min-of-N, session resets, tmpfs local dir) instead of a
+    // different harness. Unset in the driver's environment, so the
+    // official bench is untouched by this hook.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: bench only the named queries (iteration aid)
     val selected =

@@ -80,6 +80,10 @@ object GraftExtensions {
     "jaccard_grams" -> (xs =>
       JaccardGramsExpr(xs.head, xs(1), intArg(xs, 2, 3, "jaccard_grams"))),
     "cosine_sim" -> (xs => CosineSimExpr(xs.head, xs(1))),
+    "dot_i64" -> (xs => DotI64Expr(xs.head, xs(1))),
+    "poly31_bucket" -> (xs => Poly31BucketExpr(xs.head,
+      intArg(xs, 1, 1000003, "poly31_bucket").toLong,
+      intArg(xs, 2, 256, "poly31_bucket"))),
     "lsh_buckets" -> (xs => LshBucketsExpr(xs.head,
       intArg(xs, 1, 6, "lsh_buckets"), intArg(xs, 2, 12, "lsh_buckets"))),
     "cdc_chunks" -> (xs => CdcChunksExpr(xs.head,

@@ -760,4 +760,66 @@ object TextKernels {
     if (na == 0.0 || nb == 0.0) 0.0
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Exact BIGINT dot product of two long arrays — bit-identical to
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, d) -> acc + d)`
+    * (same per-index products, same left-to-right wrap-around Long
+    * adds over min(|a|, |b|) elements — zip_with pads the shorter side
+    * with null, and the HOF aggregate's `acc + null` would null the
+    * sum, so equal-length inputs are the contract here exactly as they
+    * were for the HOF pair), but whole-stage-codegen-friendly where
+    * the HOF pair is a CodegenFallback that allocates a zipped array
+    * per row (guide §4: no interpreted expressions in the per-pair
+    * hot path — this runs once per CANDIDATE PAIR in q148).
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Exact BIGINT squared L2 distance of a long-array column against a
+    * CONSTANT centroid — bit-identical to
+    * `aggregate(zip_with(q, array(c...), (x, y) -> (x-y)*(x-y)), 0L, acc+d)`
+    * under the same equal-length/no-overflow contract as [[dotLong]],
+    * but codegen-friendly and without materializing the centroid as a
+    * per-row array literal. One evaluation per (row, centroid) — the
+    * k·n term of the q132/q148 Lloyd assignment (guide §4).
+    */
+  def l2sqLong(a: ArrayData, cent: Array[Long]): Long = {
+    val n = math.min(a.numElements(), cent.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - cent(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The q187 DSIR feature-bucket hash, kernelized: bit-identical to
+    * the SQL fold
+    * `aggregate(sequence(1, length(f)), 0L,
+    *    (h, i) -> (h * 31 + ascii(substring(f, i, 1))) % mod) % buckets`
+    * — per character (code point, exactly `substring`'s unit), the
+    * accumulator takes Java's signed `%` like the SQL `%`, and
+    * `ascii(one-char-string)` is that character's Unicode CODE POINT
+    * (Spark's Ascii decodes the first character — pinned empirically:
+    * a lead-byte reading failed the equality spec on multi-byte
+    * input). Kernel equality against the SQL fold is pinned in
+    * KernelEqualitySpec over ASCII and multi-byte inputs. The SQL
+    * fold is a CodegenFallback chain that materializes a sequence
+    * array and a substring per character PER FEATURE ROW — the single
+    * hottest interpreted path in q187 (guide §4).
+    */
+  def poly31Bucket(s: UTF8String, mod: Long, buckets: Int): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h % buckets
+  }
 }

@@ -340,6 +340,57 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact BIGINT array dot product (see TextKernels.dotLong) — the
+  * codegen twin of `aggregate(zip_with(a, b, x*y), 0L, acc+d)`.
+  */
+case class DotI64Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.dotLong(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact BIGINT squared L2 distance against a constant centroid (see
+  * TextKernels.l2sqLong) — the codegen twin of the per-centroid
+  * `aggregate(zip_with(q, array(...), (x-y)*(x-y)), ...)` HOF fold.
+  */
+case class L2SqI64Expr(child: Expression, cent: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_i64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.l2sqLong(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cent", cent, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.l2sqLong($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The DSIR poly-31 feature-bucket hash (see TextKernels.poly31Bucket)
+  * — the codegen twin of the per-character SQL aggregate fold.
+  */
+case class Poly31BucketExpr(child: Expression, mod: Long, buckets: Int)
+    extends UnaryExpression {
+  require(mod > 0 && buckets > 0, "poly31_bucket: mod and buckets must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly31_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.poly31Bucket(v.asInstanceOf[UTF8String], mod, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.poly31Bucket($c, ${mod}L, $buckets)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Content-defined chunk splitter (see TextKernels.cdcChunks): one
   * O(n) rolling-hash pass per document, boundaries wherever the
   * trailing w-char window hash hits the divisor — shift-invariant, so
@@ -390,6 +441,10 @@ object GraftFunctions {
   def jaccard_grams(a: Column, b: Column, k: Int = 3): Column =
     c(JaccardGramsExpr(e(a), e(b), k))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
+  def dot_i64(a: Column, b: Column): Column = c(DotI64Expr(e(a), e(b)))
+  def l2sq_i64(a: Column, cent: Array[Long]): Column = c(L2SqI64Expr(e(a), cent))
+  def poly31_bucket(a: Column, mod: Long, buckets: Int): Column =
+    c(Poly31BucketExpr(e(a), mod, buckets))
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
   def cdc_chunks(a: Column, w: Int = 8, div: Int = 16): Column =

@@ -285,12 +285,52 @@ object Dedup {
     // earliest match — and every true pair's earliest match passes,
     // so the pruned join + distinct is still lossless (spec-pinned
     // against the brute force).
-    val cands = prefix.as("a").join(prefix.as("b"),
-        $"a.trank" === $"b.trank" && $"a.doc_id" < $"b.doc_id" &&
-          least($"a.t", $"b.t") * 10 >= greatest($"a.t", $"b.t") * 9 &&
-          (lit(1) + least($"a.t" - $"a.rn", $"b.t" - $"b.rn")) * 19 >=
-            ($"a.t" + $"b.t") * 9)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    // Round-17 (optimization): the candidate self-join is keyed on the
+    // prefix token alone, and the prefix-bucket histogram is SKEWED —
+    // at sf0.1 the top bucket holds 3,816 prefix rows (ScaleAudit,
+    // unchanged at 8x), so one join task owns that bucket's ~7M row
+    // pairs while the other keys spread over only ~17 hot tokens:
+    // StageProbe put the cands stage at 4.4 s of the query's 5.8 s
+    // with the suite's cores mostly idle. A single enormous key is
+    // exactly what AQE skew-join cannot split (guide §2.5), so the
+    // cure is the q67/q133 ADAPTIVE CHUNKED SELF-JOIN: rows of a
+    // bucket with d prefix rows are hashed into nc = ceil(d/256)
+    // chunks and the join keys on the COMPOUND (trank, chunk_a,
+    // chunk_b) — per-task work is bounded by ~256² whatever the
+    // bucket size, normal buckets keep nc = 1 (the key degenerates to
+    // (trank, 0, 0) — the plain join, zero replication). Every
+    // unordered pair meets exactly once: cross-chunk at its unique
+    // (ca < cb) key, same-chunk under da < db; all pair filters are
+    // SYMMETRIC in (t, rn), so losing the original a/b orientation
+    // changes nothing, and the output canonicalizes to
+    // (least, greatest) — the candidate SET is identical (the
+    // brute-force equivalence pin in the spec covers it). The bucket
+    // size rides a count-over-window ON the prefix stream (one trank
+    // exchange, no second aggregate-and-join pass), and px PERSISTS:
+    // the original self-join computed the window lineage once via
+    // ReuseExchange (identical subplans), which the asymmetric
+    // chunk explodes would otherwise break — without the cache the
+    // prefix lineage ran once per side and the chunking LOST ground
+    // (measured 6.0 -> 8.1 s before this cache; 6.0 -> 5.5 s with it,
+    // the residual wall being the genuine 3.3M-row candidate distinct
+    // + verify volume). Released on seal.
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy($"trank")
+    val px = prefix
+      .withColumn("d", count(lit(1)).over(wTok))
+      .withColumn("nc", expr("CAST((d + 255) DIV 256 AS INT)"))
+      .withColumn("ch", pmod(hash($"doc_id"), $"nc"))
+      .persist()
+    val aSide = px.select($"trank", $"doc_id".as("da"), $"t".as("ta"),
+      $"rn".as("ra"), $"ch".as("ca"), explode(expr("sequence(ch, nc - 1)")).as("cb"))
+    val bSide = px.select($"trank", $"doc_id".as("db"), $"t".as("tb"),
+      $"rn".as("rb"), explode(expr("sequence(0, ch)")).as("ca"), $"ch".as("cb"))
+    val cands = aSide.join(bSide, Seq("trank", "ca", "cb"))
+      .where(($"ca" < $"cb" || $"da" < $"db") &&
+        least($"ta", $"tb") * 10 >= greatest($"ta", $"tb") * 9 &&
+        (lit(1) + least($"ta" - $"ra", $"tb" - $"rb")) * 19 >=
+          ($"ta" + $"tb") * 9)
+      .select(least($"da", $"db").as("doc_a"),
+        greatest($"da", $"db").as("doc_b")).distinct()
     val arrs = dt.groupBy($"doc_id")
       .agg(sort_array(collect_list($"trank")).as("toks"), count(lit(1)).as("n"))
     // verify via ONE merge walk per candidate over the sorted rank
@@ -309,7 +349,7 @@ object Dedup {
         ($"na" + $"nb" - $"inter").as("uni"),
         expr("(CAST(inter AS BIGINT) * 1000) DIV (na + nb - inter)").as("jac_x1000"))
       .orderBy($"doc_a", $"doc_b")
-    if (seal) Relational.dropAfter(out, toks, ranked) else out
+    if (seal) Relational.dropAfter(out, toks, ranked, px) else out
   }
 
   /** q140: sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD'95)

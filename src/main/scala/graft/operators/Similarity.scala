@@ -439,10 +439,13 @@ object Similarity {
     * their previous centroid.
     */
   private def kmScored(v: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    // l2sq_i64: codegen kernel, bit-identical to the per-centroid
+    // aggregate(zip_with(...)) HOF fold it replaced (KernelEqualitySpec)
+    // — the fold was interpreted (CodegenFallback) and materialized the
+    // centroid as a 64-literal array per row per centroid (guide §4);
+    // this is the k·n hot loop of the q132/q148 Lloyd assignment.
     val dists = array(cents.map { c =>
-      aggregate(
-        zip_with(col("q"), array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+      graft.functions.GraftFunctions.l2sq_i64(col("q"), c)
     }: _*)
     v.select(col("vec_id"), col("q"), dists.as("dists"))
       .selectExpr("vec_id", "q",
@@ -535,10 +538,15 @@ object Similarity {
     val seeds = kmSeeds(v, k)
     require(seeds.length == k, s"q148: corpus under $dir has < $k vectors")
     val c1 = kmUpdate(v, seeds, k)
+    // dot_i64: the codegen dot kernel (bit-identical to the
+    // aggregate(zip_with(...)) HOF pair it replaces, which is a
+    // CodegenFallback allocating a zipped array per evaluation —
+    // guide §4). Here it runs once per vector; in `dups` below once
+    // per CANDIDATE PAIR, the (n/k)² term that is the query's hot
+    // loop at any scale.
     val assigned = kmScored(v, c1)
       .select($"vec_id", $"cluster".as("cl"), $"q",
-        aggregate(zip_with($"q", $"q", (x, y) => x * y),
-          lit(0L), (acc, d) => acc + d).as("n2"))
+        graft.functions.GraftFunctions.dot_i64($"q", $"q").as("n2"))
       .persist()
     val a = assigned
       .select($"cl", $"vec_id".as("va"), $"q".as("qa"), $"n2".as("na2"))
@@ -549,8 +557,7 @@ object Similarity {
     // magnitude bound documented at quantized() and pinned in
     // SimilaritySpec
     val dups = a.join(b, Seq("cl")).where($"va" < $"vb")
-      .withColumn("dot", aggregate(zip_with($"qa", $"qb", (x, y) => x * y),
-        lit(0L), (acc, d) => acc + d))
+      .withColumn("dot", graft.functions.GraftFunctions.dot_i64($"qa", $"qb"))
       .where($"dot" > 0 && expr(
         """400 * CAST(dot AS DECIMAL(20,0)) * CAST(dot AS DECIMAL(20,0)) >=
           |81 * CAST(na2 AS DECIMAL(20,0)) * CAST(nb2 AS DECIMAL(20,0))""".stripMargin

@@ -631,10 +631,16 @@ object Training {
         explode(expr("transform(sequence(1, size(ws) - 1), i ->" +
           " concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("f"))
       .select($"doc_id", $"source", $"lang",
-        // positional fold, not split(f, ''): Spark's split keeps a
-        // trailing empty string (ascii('') = 0 would corrupt the hash)
-        expr(s"aggregate(sequence(1, length(f)), 0L," +
-          s" (h, i) -> (h * 31 + ascii(substring(f, i, 1))) % 1000003) % $b")
+        // poly31_bucket: the codegen kernel twin of the SQL fold
+        // `aggregate(sequence(1, length(f)), 0L,
+        //    (h, i) -> (h * 31 + ascii(substring(f, i, 1))) % 1000003) % b`
+        // (bit-equality property-pinned in TextKernelsSpec). The fold
+        // was the query's hottest interpreted path — a CodegenFallback
+        // chain materializing a sequence array and a substring per
+        // CHARACTER per feature row (guide §4); the oracle's
+        // list_reduce twin is unchanged because the kernel reproduces
+        // the same recurrence bit-for-bit.
+        graft.functions.GraftFunctions.poly31_bucket($"f", 1000003L, b)
           .as("bkt"))
       .localCheckpoint()
     val hist = feats.groupBy($"bkt")
