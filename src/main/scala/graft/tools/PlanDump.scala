@@ -62,6 +62,37 @@ object PlanDump {
               |81 * CAST(na2 AS DECIMAL(20,0)) * CAST(nb2 AS DECIMAL(20,0))""".stripMargin
               .replace("\n", " ")))
           .select($"cl", $"vb".as("vec_id"))
+      case "q31_verify" =>
+        // the q31 verify tail as built at operators/Dedup.scala
+        // (q31_dedup_ngram): mode `hof` (misnomer here — "before")
+        // shows the round-16 shape, Sort DIRECTLY over the kernel
+        // projection (whose range sampling re-executes the kernel
+        // pass); `kern` ("after") shows the round-17 shape, the
+        // verify materialized and the Sort sampling a checkpoint scan.
+        import graft.functions.GraftFunctions.{gram_set, sorted_inter_atleast}
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+          .select($"doc_id", gram_set($"text", 3).as("grams"), $"source",
+            $"n_chars", floor(log2(greatest($"n_chars", lit(1)))).as("bkt"))
+        val a = docs.select($"doc_id".as("id_a"), $"grams".as("grams_a"),
+          $"source", $"n_chars".as("len_a"), $"bkt".as("bkt_a"))
+        val b = docs.select($"doc_id".as("id_b"), $"grams".as("grams_b"),
+          $"source", $"n_chars".as("len_b"), $"bkt".as("bkt_b"))
+          .withColumn("bkt_a", explode(array($"bkt_b", $"bkt_b" + 1)))
+        val verified = a.join(b, Seq("source", "bkt_a"))
+          .where(($"bkt_a" === $"bkt_b" && $"id_a" < $"id_b") ||
+            $"bkt_a" === $"bkt_b" + 1)
+          .where(greatest($"len_a", $"len_b") <= least($"len_a", $"len_b") * 2)
+          .select(least($"id_a", $"id_b").as("doc_a"),
+            greatest($"id_a", $"id_b").as("doc_b"),
+            sorted_inter_atleast($"grams_a", $"grams_b",
+              expr("CAST(GREATEST((3 * (size(grams_a) + size(grams_b)) + 12) DIV 13, 1) AS INT)"))
+              .as("inter"),
+            size($"grams_a").as("na"), size($"grams_b").as("nb"))
+        val base = if (mode == "hof") verified else verified.localCheckpoint()
+        base.where($"inter" >= 0)
+          .select($"doc_a", $"doc_b",
+            ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jac"))
+          .orderBy($"doc_a", $"doc_b")
       case "q187_feats" =>
         // the q187 feature stream as built at operators/Training.scala
         // (q187_dsir_weights) BEFORE its localCheckpoint: scan ->

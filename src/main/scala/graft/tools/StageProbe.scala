@@ -158,6 +158,54 @@ object StageProbe {
     probe("full178") {
       graft.SparkEntry.queries("q178_curate_card_diff")(spark, dir).count()
     }
+
+    // ---- q31 (round-17): split the wall between the gram_set scan,
+    // the block-join candidate volume (pre-kernel — count() prunes the
+    // later select, so the verify kernel does not run here), and the
+    // full query. Stages rebuilt line-for-line from Dedup.q31_dedup_ngram.
+    println("[stage] ==== q31_dedup_ngram ====")
+    import graft.functions.GraftFunctions.gram_set
+    val docs31 = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", gram_set($"text", 3).as("grams"), $"source",
+        $"n_chars", floor(log2(greatest($"n_chars", lit(1)))).as("bkt"))
+      .persist()
+    probe("docs31") { docs31.count() }
+    val a31 = docs31.select($"doc_id".as("id_a"), $"grams".as("grams_a"),
+      $"source", $"n_chars".as("len_a"), $"bkt".as("bkt_a"))
+    val b31 = docs31.select($"doc_id".as("id_b"), $"grams".as("grams_b"),
+      $"source", $"n_chars".as("len_b"), $"bkt".as("bkt_b"))
+      .withColumn("bkt_a", explode(array($"bkt_b", $"bkt_b" + 1)))
+    probe("cands31") {
+      a31.join(b31, Seq("source", "bkt_a"))
+        .where(($"bkt_a" === $"bkt_b" && $"id_a" < $"id_b") ||
+          $"bkt_a" === $"bkt_b" + 1)
+        .where(greatest($"len_a", $"len_b") <= least($"len_a", $"len_b") * 2)
+        .count()
+    }
+    probe("kernel31") {
+      // candidate stream + verify kernel + threshold filter, NO
+      // presentation sort: count() prunes the jac projection, so this
+      // times ONE kernel pass over the candidates — the gap to full31
+      // is the orderBy's range-sampling re-execution of this lineage
+      // plus any expression duplication
+      a31.join(b31, Seq("source", "bkt_a"))
+        .where(($"bkt_a" === $"bkt_b" && $"id_a" < $"id_b") ||
+          $"bkt_a" === $"bkt_b" + 1)
+        .where(greatest($"len_a", $"len_b") <= least($"len_a", $"len_b") * 2)
+        .select(least($"id_a", $"id_b").as("doc_a"),
+          greatest($"id_a", $"id_b").as("doc_b"),
+          graft.functions.GraftFunctions.sorted_inter_atleast(
+            $"grams_a", $"grams_b",
+            expr("CAST(GREATEST((3 * (size(grams_a) + size(grams_b)) + 12) DIV 13, 1) AS INT)"))
+            .as("inter"),
+          size($"grams_a").as("na"), size($"grams_b").as("nb"))
+        .where($"inter" >= 0)
+        .count()
+    }
+    docs31.unpersist(blocking = true)
+    probe("full31") {
+      graft.SparkEntry.queries("q31_dedup_ngram")(spark, dir).count()
+    }
     spark.stop()
   }
 }
