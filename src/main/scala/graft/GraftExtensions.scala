@@ -84,6 +84,9 @@ object GraftExtensions {
     "poly31_bucket" -> (xs => Poly31BucketExpr(xs.head,
       intArg(xs, 1, 1000003, "poly31_bucket").toLong,
       intArg(xs, 2, 256, "poly31_bucket"))),
+    "srp_code_i64" -> (xs => SrpCodeExpr(xs.head,
+      intArg(xs, 1, 16, "srp_code_i64"))),
+    "maxsim_i64" -> (xs => MaxSimExpr(xs.head, xs(1))),
     "lsh_buckets" -> (xs => LshBucketsExpr(xs.head,
       intArg(xs, 1, 6, "lsh_buckets"), intArg(xs, 2, 12, "lsh_buckets"))),
     "cdc_chunks" -> (xs => CdcChunksExpr(xs.head,

@@ -822,4 +822,69 @@ object TextKernels {
     }
     h % buckets
   }
+
+  /** The q136 SRP sketch code, kernelized: bit-identical to the
+    * `nbits` per-bit SQL folds
+    * `aggregate(sequence(1, size(sv)), 0L, (acc, i) -> acc + sv[i-1] *
+    *    (CASE WHEN ((b*2654435761 + i*40503) % 97) % 2 = 0
+    *          THEN 1 ELSE -1 END))`
+    * summed as `CASE WHEN proj_b > 0 THEN 1<<b ELSE 0 END` — all
+    * operands are positive, so SQL `%` and Java `%` agree, and the
+    * per-element accumulation order is the fold's. The SQL form is
+    * nbits interpreted CodegenFallback folds PER ROW, each
+    * materializing a sequence array (the single hottest path in q136
+    * — guide §4); contract: |sv[i]| <= ~1e6·dims keeps every
+    * accumulator far from Long overflow, like [[dotLong]].
+    */
+  def srpCode(sv: ArrayData, nbits: Int): Long = {
+    val n = sv.numElements()
+    var code = 0L
+    var b = 0
+    while (b < nbits) {
+      var acc = 0L
+      var i = 1
+      while (i <= n) {
+        val sign =
+          if (((b.toLong * 2654435761L + i.toLong * 40503L) % 97L) % 2L == 0L) 1L
+          else -1L
+        acc += sv.getLong(i - 1) * sign
+        i += 1
+      }
+      if (acc > 0L) code += 1L << b
+      b += 1
+    }
+    code
+  }
+
+  /** The q143 MaxSim late-interaction score, kernelized: bit-identical
+    * to the nested SQL fold
+    * `aggregate(sequence(0, 7), 0L, (acc, i) -> acc +
+    *    array_max(transform(sequence(0, 7), j ->
+    *      aggregate(sequence(0, 7), 0L, (a, t) -> a + qq[i*8+t]*dq[j*8+t]))))`
+    * over 64-element (8 sub-vectors x 8 dims) BIGINT arrays — the
+    * inner dots accumulate in index order, `array_max` over a
+    * non-empty list is a plain max. The SQL form is a triple-nested
+    * CodegenFallback evaluating 512 interpreted multiplies and
+    * allocating ~9 arrays PER PAIR (guide §4). Contract: both arrays
+    * hold >= 64 elements (the 64-dim embedding pin) at the 1e-6
+    * quantized scale, so no product chain approaches Long overflow.
+    */
+  def maxsimLong(qq: ArrayData, dq: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    while (i < 8) {
+      var best = Long.MinValue
+      var j = 0
+      while (j < 8) {
+        var s = 0L
+        var t = 0
+        while (t < 8) { s += qq.getLong(i * 8 + t) * dq.getLong(j * 8 + t); t += 1 }
+        if (s > best) best = s
+        j += 1
+      }
+      total += best
+      i += 1
+    }
+    total
+  }
 }

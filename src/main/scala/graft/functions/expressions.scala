@@ -420,6 +420,43 @@ case class CdcChunksExpr(child: Expression, w: Int, div: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The q136 SRP sketch code (see TextKernels.srpCode) — the codegen
+  * twin of the 16 interpreted per-bit `aggregate(sequence(...))` HOF
+  * folds (one evaluation per row replaces 16 folds + 16 sequence
+  * arrays).
+  */
+case class SrpCodeExpr(child: Expression, nbits: Int)
+    extends UnaryExpression {
+  require(nbits > 0 && nbits < 63, "srp_code_i64: nbits must be in [1, 62]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_code_i64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.srpCode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nbits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.srpCode($c, $nbits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The q143 MaxSim late-interaction score (see TextKernels.maxsimLong)
+  * — the codegen twin of the triple-nested
+  * `aggregate(... array_max(transform(... aggregate(...))))` HOF fold
+  * (512 interpreted multiplies and ~9 array allocations per pair).
+  */
+case class MaxSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "maxsim_i64"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.maxsimLong(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.maxsimLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   private def c(e: Expression): Column = GraftBridge.column(e)
@@ -445,6 +482,9 @@ object GraftFunctions {
   def l2sq_i64(a: Column, cent: Array[Long]): Column = c(L2SqI64Expr(e(a), cent))
   def poly31_bucket(a: Column, mod: Long, buckets: Int): Column =
     c(Poly31BucketExpr(e(a), mod, buckets))
+  def srp_code_i64(a: Column, nbits: Int = 16): Column =
+    c(SrpCodeExpr(e(a), nbits))
+  def maxsim_i64(a: Column, b: Column): Column = c(MaxSimExpr(e(a), e(b)))
   def lsh_buckets(a: Column, nBits: Int = 6, nTables: Int = 12): Column =
     c(LshBucketsExpr(e(a), nBits, nTables))
   def cdc_chunks(a: Column, w: Int = 8, div: Int = 16): Column =

@@ -162,8 +162,15 @@ object GraphOps {
     val edges = BipartiteGraph.edgesOf(cs).persist()
     val nodes = deg.select($"src".as("node"))
     val seeds = nodes.where($"node" <= 20 && $"node" % 2 === 0)
-    require(seeds.limit(1).count() > 0, s"q134: no seed nodes under $dir")
-    val init = seeds.select($"node", lit(0).as("hop")).localCheckpoint()
+    // ONE init job: the observe() metric rides the seed checkpoint's
+    // own materialization, so the non-empty guard costs no job of its
+    // own (the round-17 shape paid a limit(1) probe plus a separate
+    // eager checkpoint job)
+    val initObs = org.apache.spark.sql.Observation()
+    val init = seeds.select($"node", lit(0).as("hop"))
+      .observe(initObs, count(lit(1)).as("n")).localCheckpoint()
+    require(initObs.get("n").asInstanceOf[Long] > 0,
+      s"q134: no seed nodes under $dir")
     // frontier BFS: each round joins edges against only the nodes
     // REACHED LAST ROUND (not the full label set), and the anti-join
     // against settled labels keeps the frontier shrinking — on a
@@ -171,11 +178,17 @@ object GraphOps {
     // frontier empties once everything is reached. An EMPTY frontier
     // makes every remaining round a no-op (the edge join produces
     // nothing), so the loop exits there — identical labels to running
-    // all 4 rounds, pinned in AnalyticsSpec.
+    // all 4 rounds, pinned in AnalyticsSpec. The frontier-empty probe
+    // is FUSED into the round's one materializing action: an observe()
+    // metric counts this round's rows (hop = h — exactly the new
+    // frontier, since settled labels all carry smaller hops) DURING
+    // the union's eager checkpoint job, where the round-17 shape paid
+    // the checkpoint job plus a separate isEmpty probe per round.
     var labels = init
     var frontier = init
     var h = 0
-    while (h < 4 && (!earlyExit || !frontier.isEmpty)) {
+    var frontierEmpty = false
+    while (h < 4 && (!earlyExit || !frontierEmpty)) {
       h += 1
       val reached = edges
         .join(frontier.select($"node".as("src")), "src")
@@ -186,7 +199,11 @@ object GraphOps {
       val newFrontier = reached.join(labels, Seq("node"), "left_anti")
         .select($"node", lit(h).as("hop"))
         .persist()
-      val next = labels.union(newFrontier).localCheckpoint()
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.union(newFrontier)
+        .observe(obs, count(when($"hop" === h, lit(1))).as("nf"))
+        .localCheckpoint()
+      frontierEmpty = obs.get("nf").asInstanceOf[Long] == 0L
       // the eager checkpoint above just materialized newFrontier AND
       // re-stored the previous label set — the prior round's frontier
       // cache and labels checkpoint are both dead now (RDD-level
@@ -303,10 +320,15 @@ object GraphOps {
     * contribution are both empty, and `hold` re-aggregates to the
     * same residual values), so the loop exits early at that fixed
     * point — identical output to running all 6 rounds, which is what
-    * the unrolled 6-round oracle computes. ONE eager job per round:
-    * the (residual ⋈ degree) table checkpoints and the next residual
-    * stays lazy on top of it (the q77/q91 flat-plan discipline at
-    * half the job count); query-local caches dropped before return.
+    * the unrolled 6-round oracle computes. ONE driver-synchronous
+    * action per round: an `observe()` metric on the (residual ⋈
+    * degree) table counts the pushing rows DURING the table's eager
+    * checkpoint job, so the fixed-point probe costs no job of its own
+    * (the round-17 shape paid a second job per round for a separate
+    * isEmpty probe over the just-checkpointed frame), and the next
+    * residual stays lazy on top of the checkpoint (the q77/q91
+    * flat-plan discipline at half the job count); query-local caches
+    * dropped before return.
     */
   /** The integer walk-mass scale and push threshold shared by the
     * batch push, both streaming gates, and the approximate gate's
@@ -388,11 +410,14 @@ object GraphOps {
       return spark.range(0)
         .select($"id".as("node"), $"id".as("est"), $"id".as("res"))
     }
-    var r = seeds.select($"node", lit(Total / nS).as("res")).localCheckpoint()
+    // r0 is a cheap projection over the seeds cache — no materialization
+    // of its own; round 1's checkpoint job builds both
+    var r = seeds.select($"node", lit(Total / nS).as("res"))
     // per-round checkpoints released after the output seals — a local
     // checkpoint is a persist; without this the 6 rd frames per call
     // outlive the query (round-9 ADVICE #5)
-    val ckpts = scala.collection.mutable.ArrayBuffer(r)
+    val ckpts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
     val contribs = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     var round = 0
@@ -400,15 +425,24 @@ object GraphOps {
     while (round < maxRounds && !fixedPoint) {
       round += 1
       // node-sized; checkpointed ONCE so the push/hold split, the
-      // estimate contribution, the spread join, and the isEmpty probe
-      // all read the same cached rows instead of re-running the
-      // degree join per consumer
+      // estimate contribution, and the spread join all read the same
+      // cached rows instead of re-running the degree join per consumer.
+      // ONE action per round: the observe() metric rides the eager
+      // checkpoint's own materialization job, so the push-count probe
+      // costs no job of its own — the round-17 shape paid a second
+      // driver-synchronous job per round for a separate isEmpty probe
+      // over the just-checkpointed frame (guide §1.2: with node-sized
+      // rounds, the loop's JOB STRUCTURE is the cost; JobCount measured
+      // 45 jobs for the 6-round push, half of them probes).
+      val obs = org.apache.spark.sql.Observation()
       val rd = r.join(degN, "node")
         .withColumn("pushes", $"res" > $"degree" * Eps)
+        .observe(obs, count(when($"pushes", lit(1))).as("npush"))
         .localCheckpoint()
       ckpts += rd
+      val nPush = obs.get("npush").asInstanceOf[Long]
       val push = rd.where($"pushes").select($"node", $"res", $"degree")
-      if (earlyExit && push.isEmpty) fixedPoint = true
+      if (earlyExit && nPush == 0L) fixedPoint = true
       else {
         contribs += push.select($"node", expr("(15 * res) DIV 100").as("est"))
         val hold = rd.where(!$"pushes").select($"node", $"res")
@@ -473,29 +507,41 @@ object GraphOps {
     // labels are a deterministic function of the previous round's
     // labels, so an UNCHANGED label table is a fixed point and every
     // remaining round is a no-op — exit there (pinned equal to the
-    // always-run loop in AnalyticsSpec). The change probe is a
-    // node-keyed join of two checkpointed node-sized tables.
+    // always-run loop in AnalyticsSpec). ONE driver-synchronous action
+    // per round: the previous round's label rides the new label table
+    // as a `prev` column (a full join of two node-sized tables — the
+    // same join the round-17 probe ran as its own second job), and an
+    // `observe()` metric counts the changed/appeared/vanished labels
+    // DURING the table's eager checkpoint job (guide §1.2: with
+    // node-sized rounds the loop's job structure is the cost; JobCount
+    // measured 39 jobs for the 4-round loop, probes included).
     var labels = init
     var round = 0
     var fixedPoint = false
     while (round < 4 && !fixedPoint) {
       round += 1
-      val next = edges
+      val obs = org.apache.spark.sql.Observation()
+      val nextJ = edges
         .join(labels.withColumnRenamed("node", "src")
           .withColumnRenamed("lbl", "slbl"), "src")
         .groupBy($"dst", $"slbl").agg(count(lit(1)).as("c"))
         .groupBy($"dst")
         .agg(max_by($"slbl", struct($"c", -$"slbl")).as("lbl"))
         .select($"dst".as("node"), $"lbl")
-        .localCheckpoint()
-      // ONE probe job over two checkpointed node-sized tables: any
-      // changed, appeared, or vanished label breaks the fixed point
-      fixedPoint = earlyExit && round < 4 && next
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("node"), "full")
-        .where($"lbl".isNull || $"prev".isNull || $"lbl" =!= $"prev")
-        .isEmpty
-      // the probe above was the last reader of the previous round's
-      // checkpoint — RDD-level release (Dataset.unpersist ignores it)
+        .observe(obs, count(when(
+          $"lbl".isNull || $"prev".isNull || $"lbl" =!= $"prev",
+          lit(1))).as("nchanged"))
+        .localCheckpoint()
+      // the adopted labels are exactly the full join's non-null `lbl`
+      // rows (max_by over non-null neighbor labels is never null, so
+      // no adopted row is lost; prev-only rows are the vanished ones)
+      val next = nextJ.where($"lbl".isNotNull).select($"node", $"lbl")
+      fixedPoint = earlyExit && round < 4 &&
+        obs.get("nchanged").asInstanceOf[Long] == 0L
+      // the checkpoint above was the last reader of the previous
+      // round's checkpoint — RDD-level release (Dataset.unpersist
+      // ignores it)
       Relational.releaseCkpt(labels)
       labels = next
     }
@@ -618,15 +664,16 @@ object GraphOps {
     * makes the unrolled SQL oracle hash-exact): scores live as
     * parts-per-1e9 longs; each half-round is ONE equi-join on the
     * staged pair index + one map-side-combined aggregate, then the L1
-    * normalization divides by the 1-row total via a broadcast cross
-    * join (never a second shuffle). L2 — the paper's normalization —
-    * needs a square root, so the L1 variant is the deterministic
-    * fixture; the ranking it induces per side is identical at every
-    * round because normalization is a positive scalar either way.
+    * normalization divides by the total, collected to the driver in
+    * the same job that materializes the half-round's cache (never a
+    * second shuffle). L2 — the paper's normalization — needs a square
+    * root, so the L1 variant is the deterministic fixture; the
+    * ranking it induces per side is identical at every round because
+    * normalization is a positive scalar either way.
     *
     * At 100 TB: per round 2 joins keyed by the pair index's own keys,
-    * partial aggregation before each exchange, a 1-row broadcast for
-    * the total — the same shape as one PageRank iteration, and the
+    * partial aggregation before each exchange, a driver-collected
+    * 1-row total — the same shape as one PageRank iteration, and the
     * staged-parquet graph is shared with every other traversal query.
     */
   val q168_hits: Q = (spark, dir) => {
@@ -636,39 +683,45 @@ object GraphOps {
     // staged-parquet scan; at cluster scale persist it fanned-out —
     // at bench scale the re-scan is cheaper than a 32-wide cache
     val (cs, _) = stagedGraph(spark, dir)
-    def l1norm(raw: org.apache.spark.sql.DataFrame, key: String) =
-      raw.crossJoin(broadcast(raw.agg(sum($"raw").as("tot"))))
-        .select(col(key).as("node"),
-          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $S DIV CAST(tot AS DECIMAL(38,0)) AS BIGINT)")
-            .as("score"))
-    // per-step checkpoints (node-sized): l1norm references its input
-    // TWICE (once for the total, once per row) and each step feeds the
-    // next, so a fully lazy chain re-evaluates 2^steps times — the
-    // q77/q91 flat-plan discipline applied to HITS
+    // Each half-step's raw sums are cached and their L1 total is
+    // collected in the SAME job that materializes the cache; the total
+    // then enters the normalization as a LITERAL — identical DECIMAL
+    // arithmetic to the round-17 crossJoin(broadcast(agg)) shape (the
+    // sum is the same BIGINT either way) at half the driver actions:
+    // no per-step broadcast-exchange job, no per-step checkpoint job,
+    // and the normalized side stays a lazy projection over the cache
+    // (it is consumed exactly once, by the next half-step). persist
+    // (vs localCheckpoint) keeps lineage for executor-loss recovery.
+    val caches = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    def l1norm(rawDf: org.apache.spark.sql.DataFrame, key: String) = {
+      val raw = rawDf.persist()
+      caches += raw
+      val totRow = raw.agg(sum($"raw")).head()
+      // empty input ⇒ null sum ⇒ zero rows to normalize: the literal's
+      // value is never evaluated, any placeholder avoids the ANSI
+      // division-by-null difference
+      val tot = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+      raw.select(col(key).as("node"),
+        expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $S DIV CAST($tot AS DECIMAL(38,0)) AS BIGINT)")
+          .as("score"))
+    }
     var hub = cs.select($"c").distinct()
-      .select($"c".as("node"), lit(S).as("score")).localCheckpoint()
+      .select($"c".as("node"), lit(S).as("score"))
     var auth = spark.emptyDataFrame
     for (_ <- 1 to 2) {
-      // roll: each new checkpoint makes the PRIOR one on its side dead
-      // (its only consumer, the other side's last step, already
-      // materialized) — release at the RDD level, Dataset.unpersist
-      // never sees a local checkpoint
-      val a2 = l1norm(
+      auth = l1norm(
         cs.join(hub.withColumnRenamed("node", "c"), "c")
-          .groupBy($"s").agg(sum($"score").as("raw")), "s").localCheckpoint()
-      Relational.releaseCkpt(auth)
-      auth = a2
-      val h2 = l1norm(
+          .groupBy($"s").agg(sum($"score").as("raw")), "s")
+      hub = l1norm(
         cs.join(auth.withColumnRenamed("node", "s"), "s")
-          .groupBy($"c").agg(sum($"score").as("raw")), "c").localCheckpoint()
-      Relational.releaseCkpt(hub)
-      hub = h2
+          .groupBy($"c").agg(sum($"score").as("raw")), "c")
     }
     val out = hub.select(lit("hub").as("side"), $"node", $"score")
       .union(auth.select(lit("auth").as("side"), $"node", $"score"))
       .orderBy($"side", $"node")
-    // seal the (2 x nodes)-row result, drop the final per-side ckpts
-    Relational.dropAfter(out, hub, auth)
+    // seal the (2 x nodes)-row result, drop the per-step raw caches
+    Relational.dropAfter(out, caches.toSeq: _*)
   }
 
   /** q174: k-core peeling (Seidman 1983; the standard graph-curation
@@ -714,15 +767,26 @@ object GraphOps {
         .where($"dc" >= k).select($"c")
       val keepS = edges.groupBy($"s").agg(count(lit(1)).as("ds"))
         .where($"ds" >= k).select($"s")
-      val next = edges.join(keepC, "c").join(keepS, "s").localCheckpoint()
-      // previous round's edge checkpoint is dead once the new one is
+      val next = edges.join(keepC, "c").join(keepS, "s").persist()
+      val prev = edges
+      edges = next
+      // ONE action per round: the exploded-endpoint aggregate
+      // materializes the new edge cache en route and yields BOTH
+      // per-round statistics — exploded row count = 2·|edges| exactly
+      // (every edge contributes both endpoints), distinct endpoints =
+      // the node count. The round-17 shape paid three jobs per round
+      // (eager checkpoint, edge count, node distinct-count); persist
+      // (vs localCheckpoint) keeps lineage for executor-loss recovery.
+      val stats = edges
+        .select(explode(array($"c", $"s")).as("n"))
+        .agg(count(lit(1)).as("cnt2"), countDistinct($"n").as("nn"))
+        .head()
+      val ne = stats.getLong(0) / 2
+      val nn = stats.getLong(1)
+      // previous round's edge cache is dead once the new one is
       // materialized (round 1: `edges` is a lazy staged-parquet scan,
       // so the release is a no-op there)
-      Relational.releaseCkpt(edges)
-      edges = next
-      val ne = edges.count()
-      val nn = edges.select($"c".as("n")).union(edges.select($"s".as("n")))
-        .distinct().count()
+      prev.unpersist(blocking = false)
       out += ((r, nn, ne))
       if (earlyExit && ne == prevNe) {
         // fixed point: replicate the settled counts for the rest
@@ -731,9 +795,9 @@ object GraphOps {
       prevNe = ne
       r += 1
     }
-    // the result is driver-side rows — the last edge checkpoint has no
+    // the result is driver-side rows — the last edge cache has no
     // remaining consumer
-    Relational.releaseCkpt(edges)
+    edges.unpersist(blocking = false)
     out.result().toDF("round", "n_nodes", "n_edges").orderBy($"round")
   }
 

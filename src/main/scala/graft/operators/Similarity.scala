@@ -601,20 +601,17 @@ object Similarity {
     val sv = Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id",
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv")
-    val projs = (0 until 16).map { b =>
-      s"""aggregate(sequence(1, size(sv)), CAST(0 AS BIGINT),
-         |(acc, i) -> acc + sv[i - 1] *
-         |  (CASE WHEN (($b * 2654435761 + i * 40503) % 97) % 2 = 0
-         |        THEN 1 ELSE -1 END))""".stripMargin.replace("\n", " ")
-    }
-    val codeExpr = projs.zipWithIndex
-      .map { case (p, b) => s"(CASE WHEN ($p) > 0 THEN ${1L << b} ELSE 0 END)" }
-      .mkString(" + ")
     // No persist: both self-join sides shuffle the SAME subplan on
     // (ci, cv), so Spark plans one exchange and a ReusedExchange for
     // the other side — the 16-dot code derivation runs exactly once
     // with no cache to leak (pinned in PlanInvariantsSpec).
-    val coded = sv.selectExpr("vec_id", s"CAST($codeExpr AS BIGINT) AS code")
+    // srp_code_i64 is the codegen kernel for the 16 per-bit
+    // `aggregate(sequence(...))` HOF folds this derivation shipped
+    // through round 17 — interpreted CodegenFallbacks allocating a
+    // sequence array per bit per row (guide §4); bit-equality against
+    // the SQL folds is pinned in KernelEqualitySpec.
+    val coded = sv.select($"vec_id",
+      graft.functions.GraftFunctions.srp_code_i64($"sv", 16).as("code"))
     val chunks = coded.select($"vec_id", $"code", explode(expr(
         """array(struct(0 AS ci, code % 64 AS cv),
           |      struct(1 AS ci, (code DIV 64) % 32 AS cv),
@@ -653,17 +650,18 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.where($"vec_id" < 4)
       .selectExpr("vec_id AS q_id", s"$quant AS qq")
-    val maxsim =
-      """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc +
-        |  array_max(transform(sequence(0, 7), j ->
-        |    aggregate(sequence(0, 7), CAST(0 AS BIGINT),
-        |      (a, t) -> a + qq[i * 8 + t] * dq[j * 8 + t]))))""".stripMargin
-        .replace("\n", " ")
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    // maxsim_i64 is the codegen kernel for the triple-nested
+    // `aggregate(... array_max(transform(... aggregate(...))))` HOF
+    // fold this scoring shipped through round 17 — an interpreted
+    // CodegenFallback evaluating 512 multiplies and allocating ~9
+    // arrays per (query, doc) pair (guide §4); bit-equality against
+    // the SQL fold is pinned in KernelEqualitySpec.
     emb.selectExpr("vec_id", s"$quant AS dq")
       .crossJoin(broadcast(queries))
       .where($"vec_id" =!= $"q_id")
-      .selectExpr("q_id", "vec_id", s"CAST(($maxsim) AS BIGINT) AS score")
+      .select($"q_id", $"vec_id",
+        graft.functions.GraftFunctions.maxsim_i64($"qq", $"dq").as("score"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .where($"rank" <= 3)
       .select($"q_id", $"vec_id".as("neighbor_id"), $"rank", $"score")

@@ -41,43 +41,25 @@ import graft.functions.GraftFunctions._
 object Training {
   import Relational.Q
 
-  /** Eager `localCheckpoint` that releases the blocks of the PREVIOUS
-    * iteration's checkpoint once the new one is materialized — the
-    * iterative-loop must-pair on Spark (checkpoint truncates lineage;
-    * without the release every round leaves one dead RDD in the block
-    * manager for the life of the JVM). Returns the checkpointed frame
-    * plus the persistent-RDD ids it created, to pass back next round.
-    * Safe ordering: `localCheckpoint()` is eager, so the new blocks
-    * exist before the old ones are dropped and nothing recomputes.
-    *
-    * Fault-tolerance tradeoff: releasing the prior round makes the
-    * new NON-RELIABLE checkpoint blocks the only copy of the
-    * truncated-lineage data, so an executor loss mid-loop fails the
-    * job (inherent to `localCheckpoint`). That is the right trade in
-    * this single-JVM harness — bounded storage beats recoverability
-    * that local mode cannot lose anyway; a multi-executor cluster
-    * deployment should swap in reliable `checkpoint()` against a
-    * checkpoint dir, which tolerates executor loss at the cost of a
-    * distributed write per round.
+  /** Iterative-loop discipline (both CC kernels below, and the graph
+    * loops in [[GraphOps]]): each round's table eagerly
+    * `localCheckpoint`s — truncating the lineage so the loop keeps a
+    * flat plan instead of a 2^rounds tree — and the round's
+    * convergence witness rides that SAME materialization job as an
+    * `observe()` metric (CollectMetrics evaluates during the
+    * checkpoint's internal count), so the probe costs no
+    * driver-synchronous job of its own. The round-17 shape paid the
+    * checkpoint job PLUS a separate probe job per round — with
+    * node-sized rounds, that second job's scheduling and planning was
+    * pure overhead (guide §1.2). A persist()-based variant was
+    * measured and REJECTED: SQL-cache materialization runs without
+    * AQE by default (`canChangeCachedPlanOutputPartitioning=false`),
+    * losing runtime broadcast conversion and partition coalescing
+    * inside every round (q134 2.5 → 6.9 s, q91 1.7 → 9.4 s). The
+    * previous round's checkpoint is released once the new one exists;
+    * bounded storage: at most two rounds' block sets live at any
+    * moment.
     */
-  private def rollCheckpoint(
-      df: DataFrame, prevIds: Set[Int]): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val out = df.localCheckpoint()
-    // Identify the checkpoint's backing RDD PRECISELY from the result
-    // plan (a LogicalRDD over the persisted internal RDD). A
-    // before/after diff of getPersistentRDDs would also capture any
-    // upstream `.persist()` whose lazy cache co-materialized during
-    // this eager job (e.g. the edges cache during the initial labels
-    // checkpoint) — and then unpersist it next round, silently
-    // re-deriving the whole pair pipeline every iteration.
-    val mine: Set[Int] = out.queryExecution.logical.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
-    prevIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    (out, mine)
-  }
 
   /** Connected components over the MinHash-verified near-duplicate pair
     * graph (q29), by hash-min label propagation: every doc starts
@@ -86,9 +68,10 @@ object Training {
     * graph-diameter rounds; near-dup components are shallow (they are
     * similarity cliques plus a few bridges), so the loop is short in
     * practice. Each round is ONE shuffle keyed on the same `id`, so
-    * all rounds reuse one co-partitioning; `localCheckpoint` truncates
-    * the lineage per round (the iterative-algorithm must-do on Spark —
-    * an unbounded plan tree re-executes every prior round). For
+    * all rounds reuse one co-partitioning; the per-round checkpoint
+    * truncates the plan per round (the iterative-algorithm must-do on
+    * Spark — an unbounded plan tree re-executes every prior round; see
+    * the loop-discipline note above). For
     * adversarially deep graphs the two-phase large-star/small-star
     * contraction (Kiveris et al.) drops rounds to O(log n); the hash-min
     * kernel below is its inner step.
@@ -113,27 +96,36 @@ object Training {
     val edges = p.select($"a".as("src"), $"b".as("dst"))
       .union(p.select($"b".as("src"), $"a".as("dst")))
       .persist()
-    var (labels, lblIds) = rollCheckpoint(
-      edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("lbl")), Set.empty)
-    p.unpersist() // edges is materialized by the eager checkpoint above
     // Labels only ever DECREASE under min-propagation, so the label
     // sum is a convergence witness: unchanged sum <=> no label moved.
     // One map-side-combinable aggregate per round replaces a
-    // join-and-count change detector. (decimal(38,0): id sums can
-    // exceed long range at corpus scale.)
-    def lblSum(df: DataFrame) =
-      df.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = lblSum(labels)
+    // join-and-count change detector — and it rides the round's eager
+    // checkpoint as an observe() metric, so the probe costs no job of
+    // its own (the round-17 shape paid the localCheckpoint job PLUS a
+    // separate sum job per round; see the caching-discipline note
+    // above). (decimal(38,0): id sums can exceed long range at corpus
+    // scale; coalesce: an empty graph sums to zero, not null.)
+    val witness = coalesce(sum($"lbl".cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO)).as("lblsum")
+    def ckptWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, witness).localCheckpoint()
+      (out, obs.get("lblsum").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = ckptWithSum(
+      edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("lbl")))
+    p.unpersist() // edges is materialized by the eager checkpoint above
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"lbl")
-      val (nl, ni) = rollCheckpoint(
-        labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl")), lblIds)
-      labels = nl; lblIds = ni
-      val nextSum = lblSum(labels)
+      val (nl, nextSum) = ckptWithSum(
+        labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl")))
+      // prior round's checkpoint is dead once the new one exists
+      Relational.releaseCkpt(labels)
+      labels = nl
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       rounds += 1
@@ -274,8 +266,9 @@ object Training {
     * only shrinks toward the star fixpoint (per-step monotone
     * potential, the paper's Lemma 4/5), so convergence is detected by
     * an (edge count, edge-set hash sum) signature: one cheap aggregate
-    * per alternation, no join-based diffing. `localCheckpoint` per
-    * alternation truncates the iterative lineage. At the fixpoint the
+    * per alternation, no join-based diffing — and that aggregate also
+    * materializes the alternation's lazy persist (the caching
+    * discipline above), truncating the iterative plan. At the fixpoint the
     * graph is a union of stars centered at component minima, and the
     * labeling reads off each node's minimum final neighbor.
     */
@@ -283,18 +276,28 @@ object Training {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)
-    var (e, eIds) = rollCheckpoint(pairs
-      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
-      .where($"a" =!= $"b").distinct(), Set.empty)
-    val nodes = e.select($"a".as("id")).union(e.select($"b".as("id")))
-      .distinct().localCheckpoint()
 
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
+    // (edge count, edge-set hash sum) signature: one map-side-
+    // combinable aggregate per alternation detects the star fixpoint,
+    // and it rides the alternation's eager checkpoint as an observe()
+    // metric, so the probe costs no job of its own (the round-17 shape
+    // paid the localCheckpoint job PLUS a separate signature job per
+    // alternation; see the loop-discipline note above).
+    def ckptWithSig(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs,
+        count(lit(1)).as("ne"),
         coalesce(sum(xxhash64($"a", $"b").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head()
-      (r.getLong(0), r.getDecimal(1))
+          lit(java.math.BigDecimal.ZERO)).as("hs"))
+        .localCheckpoint()
+      val m = obs.get
+      (out, (m("ne").asInstanceOf[Long],
+        m("hs").asInstanceOf[java.math.BigDecimal]))
     }
+
+    var (e, cur) = ckptWithSig(pairs
+      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
+      .where($"a" =!= $"b").distinct())
 
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select($"a".as("u"), $"b".as("v"))
@@ -316,13 +319,18 @@ object Training {
       leaves.union(centers).distinct()
     }
 
-    var cur = sig(e)
+    // nodes reads the initial edge checkpoint; it is consumed only by
+    // the final labeling join, after the loop has released the initial
+    // edges — checkpoint it so the final join never re-derives the
+    // whole upstream pair pipeline
+    val nodes = e.select($"a".as("id")).union(e.select($"b".as("id")))
+      .distinct().localCheckpoint()
     var stable = cur._1 == 0L
     var iters = 0
     while (!stable && iters < maxIters) {
-      val (ne, ni) = rollCheckpoint(smallStar(largeStar(e)), eIds)
-      e = ne; eIds = ni
-      val next = sig(e)
+      val (ne, next) = ckptWithSig(smallStar(largeStar(e)))
+      Relational.releaseCkpt(e) // prior alternation is dead now
+      e = ne
       stable = next._1 == cur._1 && next._2.compareTo(cur._2) == 0
       cur = next
       iters += 1

@@ -56,6 +56,59 @@ class KernelEqualitySpec extends AnyFunSuite {
       df.where($"hof" =!= $"kern").collect().take(3).mkString("\n"))
   }
 
+  test("srp_code_i64 equals the 16 per-bit aggregate(sequence(...)) folds it replaced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // q136-contract magnitudes (ROUND(x * 1e6) over |x| <= ~1 embedding
+    // components, 64 dims): projections stay far from Long overflow
+    def vec(n: Int) = Array.fill(n)(
+      (rnd.nextLong() % 1000000L) * (if (rnd.nextBoolean()) 1 else -1))
+    // varied lengths: the fold runs sequence(1, size(sv)) — the kernel
+    // must track the actual array length, not assume 64
+    val rows = (1 to 150).map(i => Tuple1(vec(1 + (i % 80)))) :+
+      Tuple1(Array(0L)) :+ Tuple1(Array(1000000L)) :+ Tuple1(Array(-1L, 1L))
+    val projs = (0 until 16).map { b =>
+      s"""aggregate(sequence(1, size(sv)), CAST(0 AS BIGINT),
+         |(acc, i) -> acc + sv[i - 1] *
+         |  (CASE WHEN (($b * 2654435761 + i * 40503) % 97) % 2 = 0
+         |        THEN 1 ELSE -1 END))""".stripMargin.replace("\n", " ")
+    }
+    val codeExpr = projs.zipWithIndex
+      .map { case (p, b) => s"(CASE WHEN ($p) > 0 THEN ${1L << b} ELSE 0 END)" }
+      .mkString(" + ")
+    val df = rows.toDF("sv")
+      .withColumn("sql", expr(s"CAST($codeExpr AS BIGINT)"))
+      .withColumn("kern", graft.functions.GraftFunctions.srp_code_i64($"sv", 16))
+    assert(df.where($"sql" =!= $"kern").isEmpty,
+      df.where($"sql" =!= $"kern").select("sv", "sql", "kern")
+        .collect().take(3).mkString("\n"))
+  }
+
+  test("maxsim_i64 equals the nested aggregate/array_max/transform fold it replaced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // q143-contract: 64-element arrays (8 sub-vectors x 8 dims) at the
+    // FLOOR(x * 1e6) quantized scale; ties between sub-vector dots
+    // exercise array_max vs running-max agreement
+    def vec() = Array.fill(64)(
+      (rnd.nextLong() % 1000000L) * (if (rnd.nextBoolean()) 1 else -1))
+    val tied = Array.fill(64)(7L) // every sub-dot equal — max of ties
+    val rows = (1 to 150).map(_ => (vec(), vec())) :+
+      ((tied, tied)) :+ ((vec(), Array.fill(64)(0L)))
+    val maxsim =
+      """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc +
+        |  array_max(transform(sequence(0, 7), j ->
+        |    aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+        |      (a, t) -> a + qq[i * 8 + t] * dq[j * 8 + t]))))""".stripMargin
+        .replace("\n", " ")
+    val df = rows.toDF("qq", "dq")
+      .withColumn("sql", expr(s"CAST(($maxsim) AS BIGINT)"))
+      .withColumn("kern", graft.functions.GraftFunctions.maxsim_i64($"qq", $"dq"))
+    assert(df.where($"sql" =!= $"kern").isEmpty,
+      df.where($"sql" =!= $"kern").select("sql", "kern")
+        .collect().take(3).mkString("\n"))
+  }
+
   test("poly31_bucket equals the per-character SQL fold it replaced") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
