@@ -257,9 +257,15 @@ object Bench {
         jmap(results)},"min_with_prior":${jmap(minMerged)},"min_total":$minTotal,"sf":"$sfDir"}"""
     // Diverted artifact keyed by the CANONICAL path, not just the
     // basename — two different dirs sharing a basename must not
-    // collide on one suffixed file (round-15 ADVICE #2).
+    // collide on one suffixed file (round-15 ADVICE #2). A SUBSET run
+    // (named-query args, the iteration aid) diverts too: it would
+    // otherwise overwrite the canonical artifact with a map holding
+    // only the selected queries, silently destroying every other
+    // query's min-window entry (caught round 18 — a 3-query subset
+    // draw left BENCH_FULL.json with 3 queries).
     val artifact =
-      if (sameSf) "BENCH_FULL.json"
+      if (sameSf && args.isEmpty) "BENCH_FULL.json"
+      else if (args.nonEmpty) "BENCH_FULL_subset.json"
       else {
         val c = canonSf(sfDir)
         val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(c))

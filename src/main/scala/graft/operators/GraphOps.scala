@@ -691,7 +691,10 @@ object GraphOps {
     // no per-step broadcast-exchange job, no per-step checkpoint job,
     // and the normalized side stays a lazy projection over the cache
     // (it is consumed exactly once, by the next half-step). persist
-    // (vs localCheckpoint) keeps lineage for executor-loss recovery.
+    // (not localCheckpoint + observe, which was measured SLOWER here:
+    // the tiny aggregate checkpoints at 1 post-AQE partition and the
+    // next half-step's join serializes on that scan, while the cache
+    // keeps the aggregate's full width).
     val caches = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     def l1norm(rawDf: org.apache.spark.sql.DataFrame, key: String) = {
@@ -767,26 +770,24 @@ object GraphOps {
         .where($"dc" >= k).select($"c")
       val keepS = edges.groupBy($"s").agg(count(lit(1)).as("ds"))
         .where($"ds" >= k).select($"s")
-      val next = edges.join(keepC, "c").join(keepS, "s").persist()
+      // the edge count rides the eager checkpoint's own job as an
+      // observe() metric; the node count is one more aggregate over
+      // the just-checkpointed blocks (distinct counts cannot be
+      // observation metrics). Two jobs per round where the round-17
+      // shape paid three (checkpoint, edge count, node distinct-count)
+      // — and the second reads cached rows only.
+      val obs = org.apache.spark.sql.Observation()
+      val next = edges.join(keepC, "c").join(keepS, "s")
+        .observe(obs, count(lit(1)).as("ne")).localCheckpoint()
       val prev = edges
       edges = next
-      // ONE action per round: the exploded-endpoint aggregate
-      // materializes the new edge cache en route and yields BOTH
-      // per-round statistics — exploded row count = 2·|edges| exactly
-      // (every edge contributes both endpoints), distinct endpoints =
-      // the node count. The round-17 shape paid three jobs per round
-      // (eager checkpoint, edge count, node distinct-count); persist
-      // (vs localCheckpoint) keeps lineage for executor-loss recovery.
-      val stats = edges
-        .select(explode(array($"c", $"s")).as("n"))
-        .agg(count(lit(1)).as("cnt2"), countDistinct($"n").as("nn"))
-        .head()
-      val ne = stats.getLong(0) / 2
-      val nn = stats.getLong(1)
-      // previous round's edge cache is dead once the new one is
+      val ne = obs.get("ne").asInstanceOf[Long]
+      val nn = edges.select($"c".as("n")).union(edges.select($"s".as("n")))
+        .distinct().count()
+      // previous round's edge checkpoint is dead once the new one is
       // materialized (round 1: `edges` is a lazy staged-parquet scan,
       // so the release is a no-op there)
-      prev.unpersist(blocking = false)
+      Relational.releaseCkpt(prev)
       out += ((r, nn, ne))
       if (earlyExit && ne == prevNe) {
         // fixed point: replicate the settled counts for the rest
@@ -795,9 +796,9 @@ object GraphOps {
       prevNe = ne
       r += 1
     }
-    // the result is driver-side rows — the last edge cache has no
+    // the result is driver-side rows — the last edge checkpoint has no
     // remaining consumer
-    edges.unpersist(blocking = false)
+    Relational.releaseCkpt(edges)
     out.result().toDF("round", "n_nodes", "n_edges").orderBy($"round")
   }
 
